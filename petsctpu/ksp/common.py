@@ -1,0 +1,105 @@
+"""KSP shared infrastructure: norm policy, convergence test, monitors.
+
+Mirrors the reference's KSP interface layer (src/ksp/ksp/interface):
+KSPDefaultConverged (iterativ.c:702 — rtol/atol/dtol on the selected
+residual norm), norm-type policy (none/preconditioned/unpreconditioned/
+natural), monitors and residual history. Because the solve loop is a
+`lax.while_loop`, convergence state is an int32 reason code in the
+carry; monitors stream through `jax.debug.callback`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from petsctpu.core.errors import ConvergedReason
+
+NORM_NONE = "none"
+NORM_PRECONDITIONED = "preconditioned"
+NORM_UNPRECONDITIONED = "unpreconditioned"
+NORM_NATURAL = "natural"
+
+
+@dataclass(frozen=True)
+class KSPConfig:
+    """Static solver configuration (hashable: safe as a jit static arg)."""
+
+    ksp_type: str = "gmres"
+    rtol: float = 1e-5
+    atol: float = 1e-50
+    divtol: float = 1e5
+    maxits: int = 10000
+    restart: int = 30                   # GMRES restart
+    norm_type: Optional[str] = None     # None -> solver default
+    monitor: bool = False
+    orth: str = "cgs"                   # gmres orthogonalization: cgs|mgs
+    cgs_refine: str = "never"           # never|ifneeded|always
+    richardson_scale: float = 1.0
+    cheby_emin: float = 0.0             # 0 -> auto-estimate
+    cheby_emax: float = 0.0
+    guess_nonzero: bool = False
+
+
+class SolveResult(NamedTuple):
+    x: jax.Array
+    its: jax.Array          # int32 iteration count
+    reason: jax.Array       # int32 ConvergedReason
+    rnorm: jax.Array        # final residual norm
+    history: jax.Array      # [maxits+1] residual history (NaN-padded)
+
+    def reason_enum(self) -> ConvergedReason:
+        return ConvergedReason(int(self.reason))
+
+    @property
+    def converged(self):
+        return int(self.reason) > 0
+
+
+def check_convergence(rnorm, rnorm0, its, cfg: KSPConfig):
+    """KSPDefaultConverged (iterativ.c:702) as a pure function → reason."""
+    bad = jnp.isnan(rnorm) | jnp.isinf(rnorm)
+    ttol = jnp.maximum(cfg.rtol * rnorm0, cfg.atol)
+    reason = jnp.where(
+        bad, ConvergedReason.DIVERGED_NANORINF,
+        jnp.where(
+            rnorm <= cfg.atol, ConvergedReason.CONVERGED_ATOL,
+            jnp.where(
+                (rnorm <= ttol) & (its > 0), ConvergedReason.CONVERGED_RTOL,
+                jnp.where(
+                    rnorm > cfg.divtol * rnorm0, ConvergedReason.DIVERGED_DTOL,
+                    jnp.where(its >= cfg.maxits, ConvergedReason.DIVERGED_ITS,
+                              ConvergedReason.ITERATING)))))
+    return reason.astype(jnp.int32)
+
+
+def _monitor_print(its, rnorm):
+    print(f"{int(its):3d} KSP Residual norm {float(rnorm):g} ")
+
+
+def monitor_cb(cfg: KSPConfig, its, rnorm):
+    """Stream per-iteration residuals to the host (-ksp_monitor analog)."""
+    if cfg.monitor:
+        jax.debug.callback(_monitor_print, its, rnorm, ordered=True)
+
+
+def record(history, its, rnorm):
+    return history.at[its].set(rnorm)
+
+
+def init_history(cfg: KSPConfig, dtype):
+    return jnp.full((cfg.maxits + 1,), jnp.nan, dtype=dtype)
+
+
+def make_initial_residual(A, b, x, pc, guess_nonzero: bool):
+    """r = b - A x (or r = b for zero guess)."""
+    if guess_nonzero:
+        return b - A.mult(x)
+    return b
+
+
+def apply_pc(pc, r):
+    return r if pc is None else pc.apply(r)

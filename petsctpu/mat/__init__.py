@@ -1,0 +1,15 @@
+from petsctpu.mat.ell import AIJ, aij_from_scipy, aij_from_dense, aij_to_scipy
+from petsctpu.mat.bsr import BAIJ, baij_from_scipy_bsr
+from petsctpu.mat.dense import Dense
+from petsctpu.mat.base import (
+    Shell, Transpose, Normal, NormalHermitian, ShiftScale, Composite, LRC,
+    Diagonal, Identity,
+)
+from petsctpu.mat.coo import ell_from_coo
+
+__all__ = [
+    "AIJ", "aij_from_scipy", "aij_from_dense", "aij_to_scipy",
+    "BAIJ", "baij_from_scipy_bsr", "Dense",
+    "Shell", "Transpose", "Normal", "NormalHermitian", "ShiftScale",
+    "Composite", "LRC", "Diagonal", "Identity", "ell_from_coo",
+]

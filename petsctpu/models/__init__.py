@@ -1,0 +1,3 @@
+from petsctpu.models.poisson import laplacian_2d, poisson_3d, ex2_system, ex45_system
+
+__all__ = ["laplacian_2d", "poisson_3d", "ex2_system", "ex45_system"]
