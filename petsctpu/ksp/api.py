@@ -1,0 +1,147 @@
+"""KSP public interface: registry, functional solve, and KSP object.
+
+The reference's KSP interface (src/ksp/ksp/interface/itfunc.c:335
+KSPSolve; registry itcreate.c/itregis.c:69-98; options itcl.c). The
+dynamic string→constructor registry survives as KSP_REGISTRY /
+register_ksp so `ksp_type="gmres"` selects implementations at runtime,
+composable from the options DB exactly like `-ksp_type gmres`.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import replace
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from petsctpu.core.logging import log_event
+from petsctpu.core.options import Options
+from petsctpu.ksp.common import KSPConfig, SolveResult
+from petsctpu.ksp.cg import solve_cg, solve_pipecg
+from petsctpu.ksp.gmres import solve_gmres, solve_fgmres
+from petsctpu.ksp.bcgs import solve_bcgs, solve_cgsq, solve_bicg
+from petsctpu.ksp.cheby import solve_chebyshev, solve_richardson, solve_preonly
+from petsctpu.ksp.minres import solve_minres, solve_lsqr
+
+KSP_REGISTRY = {
+    "cg": solve_cg,
+    "pipecg": solve_pipecg,
+    "groppcg": solve_pipecg,    # same single-reduction structure on TPU
+    "gmres": solve_gmres,
+    "fgmres": solve_fgmres,
+    "bcgs": solve_bcgs,
+    "cgs": solve_cgsq,
+    "bicg": solve_bicg,
+    "chebyshev": solve_chebyshev,
+    "richardson": solve_richardson,
+    "preonly": solve_preonly,
+    "minres": solve_minres,
+    "lsqr": solve_lsqr,
+}
+
+
+def register_ksp(name: str, fn) -> None:
+    """Dynamic registration (KSPRegisterDynamic analog)."""
+    KSP_REGISTRY[name] = fn
+
+
+@functools.lru_cache(maxsize=256)
+def _compiled(ksp_type: str, cfg: KSPConfig, axis: Optional[str]):
+    fn = KSP_REGISTRY[ksp_type]
+
+    def run(A, b, x0, pc):
+        return fn(A, b, x0, pc, cfg, axis)
+
+    # Inside shard_map (axis set) the caller controls jit; serial path jits.
+    return run if axis is not None else jax.jit(run)
+
+
+def config_from_options(opts: Options, defaults: KSPConfig = None) -> KSPConfig:
+    """Consume -ksp_* options (itcl.c KSPSetFromOptions analog)."""
+    cfg = defaults or KSPConfig()
+    cfg = replace(
+        cfg,
+        ksp_type=opts.get_str("ksp_type", cfg.ksp_type),
+        rtol=opts.get_real("ksp_rtol", cfg.rtol),
+        atol=opts.get_real("ksp_atol", cfg.atol),
+        divtol=opts.get_real("ksp_divtol", cfg.divtol),
+        maxits=opts.get_int("ksp_max_it", cfg.maxits),
+        restart=opts.get_int("ksp_gmres_restart", cfg.restart),
+        norm_type=opts.get("ksp_norm_type", cfg.norm_type),
+        monitor=opts.get_bool("ksp_monitor", cfg.monitor)
+        or opts.get_bool("ksp_monitor_short", False),
+        cgs_refine=opts.get_str("ksp_gmres_cgs_refinement_type",
+                                cfg.cgs_refine).replace("refine_", ""),
+        orth="mgs" if opts.get_bool("ksp_gmres_modifiedgramschmidt", False)
+        else cfg.orth,
+        richardson_scale=opts.get_real("ksp_richardson_scale",
+                                       cfg.richardson_scale),
+        cheby_emin=opts.get_real("ksp_chebyshev_emin", cfg.cheby_emin),
+        cheby_emax=opts.get_real("ksp_chebyshev_emax", cfg.cheby_emax),
+        guess_nonzero=opts.get_bool("ksp_initial_guess_nonzero",
+                                    cfg.guess_nonzero),
+    )
+    return cfg
+
+
+def ksp_solve(A, b, x0=None, pc=None, axis: Optional[str] = None,
+              cfg: KSPConfig = None, **kw) -> SolveResult:
+    """Solve A x = b. kw overrides KSPConfig fields (e.g. ksp_type="cg")."""
+    cfg = replace(cfg or KSPConfig(), **kw) if (kw or cfg is None) else cfg
+    if x0 is None:
+        x0 = jnp.zeros(A.shape[1], b.dtype)
+    run = _compiled(cfg.ksp_type, cfg, axis)
+    nnz = getattr(A, "nnz", 0)
+    with log_event(f"KSPSolve[{cfg.ksp_type}]"):
+        return run(A, b, x0, pc)
+
+
+class KSP:
+    """Stateful wrapper mirroring the reference KSP lifecycle:
+    create → set_operators → set_from_options → solve (repeatedly)."""
+
+    def __init__(self, options: Options = None, prefix: str = ""):
+        self.opts = (options or Options()).prefixed(prefix)
+        self.cfg = KSPConfig()
+        self.A = None
+        self.A_host = None
+        self.pc = None
+        self.axis = None
+        self._setup = False
+
+    def set_operators(self, A, A_host=None):
+        """A: device operator; A_host: scipy matrix for PC setup paths
+        that need host-side symbolic work (ILU/LU/AMG)."""
+        self.A = A
+        self.A_host = A_host
+        self._setup = False
+        return self
+
+    def set_pc(self, pc):
+        self.pc = pc
+        self._setup = False
+        return self
+
+    def set_from_options(self):
+        self.cfg = config_from_options(self.opts, self.cfg)
+        return self
+
+    def setup(self):
+        if self._setup:
+            return self
+        if self.pc is None:
+            from petsctpu.pc import make_pc
+            pc_type = self.opts.get_str("pc_type", "ilu" if self.A_host
+                                        is not None else "jacobi")
+            self.pc = make_pc(pc_type, A=self.A, A_host=self.A_host,
+                              options=self.opts, axis=self.axis)
+        self._setup = True
+        return self
+
+    def solve(self, b, x0=None) -> SolveResult:
+        self.set_from_options()
+        self.setup()
+        return ksp_solve(self.A, b, x0=x0, pc=self.pc, axis=self.axis,
+                         cfg=self.cfg)

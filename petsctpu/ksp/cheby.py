@@ -1,0 +1,166 @@
+"""Chebyshev iteration and Richardson — the reduction-free smoothers.
+
+Reference: KSPSolve_Chebychev (src/ksp/ksp/impls/cheby/cheby.c:345):
+no inner products in the hot loop, which is why it is the default MG
+smoother — on TPU this means ZERO collectives per iteration, ideal
+over ICI (SURVEY §2.10 P4). Eigenvalue bounds are auto-estimated like
+the reference's `specest`/estimate-eigenvalues option: a few power
+iterations on M⁻¹A, then (emin, emax) = (0.1, 1.1)·λmax — matching
+the reference's default transform factors.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from petsctpu.core.errors import ConvergedReason
+from petsctpu.ksp.common import (
+    KSPConfig, SolveResult, NORM_NONE, NORM_PRECONDITIONED, apply_pc,
+    check_convergence, init_history, monitor_cb, record,
+)
+from petsctpu.vec import ops
+
+
+def estimate_lambda_max(A, pc, n, dtype, axis=None, iters: int = 12,
+                        seed: int = 7):
+    """Power-iteration estimate of λmax(M⁻¹A) (deterministic start)."""
+    # deterministic pseudo-random start vector (no RNG under shard_map)
+    i = jnp.arange(n, dtype=dtype)
+    v = jnp.sin(i * 12.9898 + 78.233) + 0.01
+    v = v / ops.norm(v, axis)
+
+    def body(_, carry):
+        v, lam = carry
+        w = apply_pc(pc, A.mult(v))
+        nw = ops.norm(w, axis)
+        lam = nw
+        v = w / jnp.where(nw > 0, nw, 1.0)
+        return (v, lam)
+
+    _, lam = lax.fori_loop(0, iters, body, (v, jnp.ones((), dtype)))
+    return lam
+
+
+def solve_chebyshev(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
+    dtype = b.dtype
+    x = x0 if cfg.guess_nonzero else jnp.zeros_like(b)
+
+    if cfg.cheby_emax > 0:
+        emin = jnp.asarray(cfg.cheby_emin, dtype)
+        emax = jnp.asarray(cfg.cheby_emax, dtype)
+    else:
+        lam = estimate_lambda_max(A, pc, b.shape[0], dtype, axis)
+        emin = 0.1 * lam     # reference default transform (0, 0.1, 0, 1.1)
+        emax = 1.1 * lam
+
+    theta = 0.5 * (emax + emin)
+    delta = 0.5 * (emax - emin)
+    sigma = theta / delta
+
+    norm_type = cfg.norm_type or NORM_PRECONDITIONED
+    want_norm = norm_type != NORM_NONE
+
+    r = b - A.mult(x)
+    z = apply_pc(pc, r)
+    if want_norm:
+        dp = ops.norm(z if norm_type == NORM_PRECONDITIONED else r, axis)
+    else:
+        dp = jnp.zeros((), dtype)
+    history = record(init_history(cfg, dtype), 0, dp)
+    monitor_cb(cfg, 0, dp)
+    if want_norm:
+        reason = check_convergence(dp, dp, jnp.int32(0), cfg)
+    else:
+        reason = jnp.int32(ConvergedReason.ITERATING)
+    rnorm0 = dp
+
+    d0 = z / theta
+
+    def cond(c):
+        return c["reason"] == ConvergedReason.ITERATING
+
+    def body(c):
+        its = c["its"]
+        x = c["x"] + c["d"]
+        r = c["r"] - A.mult(c["d"])
+        z = apply_pc(pc, r)
+        rho = 1.0 / (2.0 * sigma - c["rho_old"])
+        d = rho * c["rho_old"] * c["d"] + (2.0 * rho / delta) * z
+        its = its + 1
+        if want_norm:
+            dp = ops.norm(z if norm_type == NORM_PRECONDITIONED else r, axis)
+            history = record(c["history"], its, dp)
+            monitor_cb(cfg, its, dp)
+            reason = check_convergence(dp, rnorm0, its, cfg)
+        else:
+            history = c["history"]
+            reason = jnp.where(its >= cfg.maxits,
+                               jnp.int32(ConvergedReason.CONVERGED_ITS),
+                               jnp.int32(ConvergedReason.ITERATING))
+        return dict(x=x, r=r, d=d, rho_old=rho, its=its, history=history,
+                    reason=reason)
+
+    init = dict(x=x, r=r, d=d0, rho_old=1.0 / sigma, its=jnp.int32(0),
+                history=history, reason=reason)
+    out = lax.while_loop(cond, body, init)
+    return SolveResult(out["x"], out["its"], out["reason"],
+                       out["history"][out["its"]], out["history"])
+
+
+def solve_richardson(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
+    """Richardson x ← x + s·M⁻¹r (src/ksp/ksp/impls/rich)."""
+    dtype = b.dtype
+    x = x0 if cfg.guess_nonzero else jnp.zeros_like(b)
+    s = cfg.richardson_scale
+    norm_type = cfg.norm_type or NORM_PRECONDITIONED
+    want_norm = norm_type != NORM_NONE
+
+    r = b - A.mult(x)
+    z = apply_pc(pc, r)
+    if want_norm:
+        dp = ops.norm(z if norm_type == NORM_PRECONDITIONED else r, axis)
+    else:
+        dp = jnp.zeros((), dtype)
+    history = record(init_history(cfg, dtype), 0, dp)
+    monitor_cb(cfg, 0, dp)
+    reason = (check_convergence(dp, dp, jnp.int32(0), cfg) if want_norm
+              else jnp.int32(ConvergedReason.ITERATING))
+    rnorm0 = dp
+
+    def cond(c):
+        return c["reason"] == ConvergedReason.ITERATING
+
+    def body(c):
+        its = c["its"]
+        x = c["x"] + s * c["z"]
+        r = c["r"] - s * A.mult(c["z"])
+        z = apply_pc(pc, r)
+        its = its + 1
+        if want_norm:
+            dp = ops.norm(z if norm_type == NORM_PRECONDITIONED else r, axis)
+            history = record(c["history"], its, dp)
+            monitor_cb(cfg, its, dp)
+            reason = check_convergence(dp, rnorm0, its, cfg)
+        else:
+            history = c["history"]
+            reason = jnp.where(its >= cfg.maxits,
+                               jnp.int32(ConvergedReason.CONVERGED_ITS),
+                               jnp.int32(ConvergedReason.ITERATING))
+        return dict(x=x, r=r, z=z, its=its, history=history, reason=reason)
+
+    init = dict(x=x, r=r, z=z, its=jnp.int32(0), history=history,
+                reason=reason)
+    out = lax.while_loop(cond, body, init)
+    return SolveResult(out["x"], out["its"], out["reason"],
+                       out["history"][out["its"]], out["history"])
+
+
+def solve_preonly(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
+    """x = M⁻¹ b (src/ksp/ksp/impls/preonly) — one PC application."""
+    x = apply_pc(pc, b)
+    dtype = b.dtype
+    history = init_history(cfg, dtype)
+    return SolveResult(x, jnp.int32(1),
+                       jnp.int32(ConvergedReason.CONVERGED_ITS),
+                       jnp.zeros((), dtype), history)

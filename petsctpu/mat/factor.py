@@ -1,0 +1,191 @@
+"""Incomplete/complete factorizations + level-scheduled triangular solves.
+
+Reference: MatILUFactorSymbolic/MatLUFactorNumeric_SeqAIJ
+(src/mat/impls/aij/seq/aijfact.c:122,285,461) and MatSolve_SeqAIJ
+(aijfact.c:603). The reference's row-by-row sequential solve is the
+wrong shape for a TPU, so the design splits:
+
+  * NUMERIC factorization on host (numpy over CSR) at PCSetUp time —
+    setup is plan-time work, exactly where the reference also does it.
+  * TRIANGULAR SOLVES on device via LEVEL SCHEDULING: rows are grouped
+    into dependency levels (wavefronts); all rows in a level solve in
+    parallel as an ELL gather + fused multiply-add, and a `fori_loop`
+    walks levels. This is the standard GPU/TPU SpTRSV decomposition —
+    the sequential depth drops from n to nlevels (≈ grid diameter for
+    stencil ILU(0)).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+
+# ---------------------------------------------------------------------------
+# numeric factorizations (host, numpy over CSR)
+# ---------------------------------------------------------------------------
+def ilu0(A) -> tuple:
+    """ILU(0): LU restricted to the sparsity pattern of A.
+
+    Returns (L, U) scipy CSR with L unit-lower (diag not stored) and U
+    upper including diagonal. Standard IKJ algorithm."""
+    A = sp.csr_matrix(A, copy=True)
+    A.sort_indices()
+    n = A.shape[0]
+    ai, aj, av = A.indptr, A.indices, A.data
+    diag_ptr = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        row = aj[ai[i]:ai[i + 1]]
+        d = np.searchsorted(row, i)
+        if d >= len(row) or row[d] != i:
+            raise ValueError(f"ILU(0): missing diagonal in row {i}")
+        diag_ptr[i] = ai[i] + d
+    for i in range(n):
+        for p in range(ai[i], diag_ptr[i]):
+            k = aj[p]
+            av[p] /= av[diag_ptr[k]]
+            lik = av[p]
+            # update row i entries j > k that exist in BOTH rows
+            krow = slice(diag_ptr[k] + 1, ai[k + 1])
+            kj = aj[krow]
+            kv = av[krow]
+            irow = slice(p + 1, ai[i + 1])
+            ij = aj[irow]
+            pos = np.searchsorted(ij, kj)
+            ok = (pos < len(ij))
+            okp = pos[ok]
+            hit = ij[okp] == kj[ok]
+            av[irow][0]  # noop to keep slice live
+            tgt = np.arange(irow.start, irow.stop)[okp[hit]]
+            av[tgt] -= lik * kv[ok][hit]
+    L = sp.tril(sp.csr_matrix((av, aj, ai), shape=A.shape), k=-1, format="csr")
+    U = sp.triu(sp.csr_matrix((av, aj, ai), shape=A.shape), k=0, format="csr")
+    return L, U
+
+
+def icc0(A) -> sp.csr_matrix:
+    """IC(0) via ILU(0) on the symmetric matrix: returns U with
+    A ≈ UᵀDU folded as A ≈ LLᵀ-style (we reuse L,U from ilu0; for SPD A
+    the ILU(0) pair is the standard substitute the reference's icc
+    covers)."""
+    L, U = ilu0(A)
+    return L, U
+
+
+def lu_factor(A):
+    """Complete sparse LU via SuperLU (scipy splu) with permutations,
+    exposed as (L, U, perm_r, perm_c) for level-scheduled device solves.
+    The reference's MatLUFactorNumeric + MatSolve pair."""
+    A = sp.csc_matrix(A)
+    lu = sp.linalg.splu(A, permc_spec="COLAMD",
+                        options=dict(Equil=False, IterRefine="NOREFINE"))
+    # x = Pc ( U⁻¹ ( L⁻¹ ( Pr b ) ) )
+    L = sp.csr_matrix(lu.L)          # unit lower (diag stored = 1)
+    U = sp.csr_matrix(lu.U)
+    return L, U, lu.perm_r, lu.perm_c
+
+
+def cholesky_factor(A):
+    """Sparse Cholesky via LU of SPD matrix (no pivoting requirement)."""
+    return lu_factor(A)
+
+
+# ---------------------------------------------------------------------------
+# level-scheduled SpTRSV plan (device)
+# ---------------------------------------------------------------------------
+def _levels(T: sp.csr_matrix, lower: bool) -> np.ndarray:
+    """Dependency level of each row for a triangular solve."""
+    n = T.shape[0]
+    lev = np.zeros(n, dtype=np.int64)
+    ai, aj = T.indptr, T.indices
+    order = range(n) if lower else range(n - 1, -1, -1)
+    for i in order:
+        deps = aj[ai[i]:ai[i + 1]]
+        deps = deps[deps < i] if lower else deps[deps > i]
+        if len(deps):
+            lev[i] = lev[deps].max() + 1
+    return lev
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SpTRSVPlan:
+    """Level-scheduled triangular solve: x = T⁻¹ b.
+
+    level_rows: int32 [nlev, rmax] rows per level (padding = n sentinel)
+    cols/vals : ELL off-diagonal entries per row [n, K] (padding col = n)
+    dinv      : 1/diag per row [n] (1 for unit diagonal)
+    """
+
+    level_rows: jax.Array
+    cols: jax.Array
+    vals: jax.Array
+    dinv: jax.Array
+    n: int = field(metadata=dict(static=True))
+    nlev: int = field(metadata=dict(static=True))
+
+    def solve(self, b: jax.Array) -> jax.Array:
+        n = self.n
+        x = jnp.zeros(n + 1, b.dtype)
+        bp = jnp.concatenate([b, jnp.zeros(1, b.dtype)])
+        dinv = jnp.concatenate([self.dinv, jnp.ones(1, b.dtype)])
+
+        def level(l, x):
+            rows = self.level_rows[l]                       # [rmax]
+            c = self.cols[rows]                             # [rmax, K]
+            v = self.vals[rows]
+            acc = jnp.sum(v * x[c], axis=1)
+            xr = (bp[rows] - acc) * dinv[rows]
+            return x.at[rows].set(xr)
+
+        x = jax.lax.fori_loop(0, self.nlev, level, x)
+        return x[:n]
+
+
+def make_sptrsv_plan(T, lower: bool, unit_diag: bool, dtype=None) -> SpTRSVPlan:
+    """Build a device plan from a scipy triangular matrix."""
+    T = sp.csr_matrix(T)
+    T.sort_indices()
+    n = T.shape[0]
+    lev = _levels(T, lower)
+    nlev = int(lev.max()) + 1 if n > 0 else 1
+    dtype = dtype or T.dtype
+
+    # group rows by level, padded with sentinel n
+    counts = np.bincount(lev, minlength=nlev)
+    rmax = max(int(counts.max()), 1)
+    level_rows = np.full((nlev, rmax), n, dtype=np.int32)
+    fill = np.zeros(nlev, dtype=np.int64)
+    for i in range(n):
+        l = lev[i]
+        level_rows[l, fill[l]] = i
+        fill[l] += 1
+
+    # off-diagonal ELL (padding col = n → reads the scratch slot, val 0)
+    ai, aj, av = T.indptr, T.indices, T.data
+    diag = np.ones(n, dtype=dtype)
+    offs = []
+    for i in range(n):
+        j = aj[ai[i]:ai[i + 1]]
+        v = av[ai[i]:ai[i + 1]]
+        off = j != i
+        if not unit_diag:
+            d = v[~off]
+            diag[i] = d[0] if len(d) else 1.0
+        offs.append((j[off], v[off]))
+    K = max(max((len(j) for j, _ in offs), default=0), 1)
+    cols = np.full((n, K), n, dtype=np.int32)
+    vals = np.zeros((n, K), dtype=dtype)
+    for i, (j, v) in enumerate(offs):
+        cols[i, :len(j)] = j
+        vals[i, :len(j)] = v
+    # extra sentinel row (level_rows padding reads row n): point at scratch
+    cols = np.vstack([cols, np.full((1, K), n, dtype=np.int32)])
+    vals = np.vstack([vals, np.zeros((1, K), dtype=dtype)])
+    dinv = (1.0 / diag).astype(dtype)
+    return SpTRSVPlan(jnp.asarray(level_rows), jnp.asarray(cols),
+                      jnp.asarray(vals), jnp.asarray(dinv), n, nlev)

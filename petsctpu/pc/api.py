@@ -1,0 +1,72 @@
+"""PC registry and factory.
+
+Reference: PC interface src/ksp/pc/interface/precon.c (PCApply :369,
+PCSetUp :805) and registry pcregis.c:90-146. A PC here is a pytree
+with `.apply(x)`; setup happens in the factory (host-side symbolic
+work allowed), apply is jit-safe device code.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from petsctpu.core.options import Options
+from petsctpu.pc.simple import NonePC, make_jacobi, make_pbjacobi
+from petsctpu.pc.factor import make_ilu, make_lu
+from petsctpu.pc.sor import make_sor
+
+PC_REGISTRY = {}
+
+
+def register_pc(name: str, factory) -> None:
+    """PCRegisterDynamic analog: factory(A, A_host, options, axis) -> pc."""
+    PC_REGISTRY[name] = factory
+
+
+def _dtype_of(A):
+    return getattr(A, "dtype", None)
+
+
+def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
+            axis: Optional[str] = None):
+    """Build a preconditioner (PCSetFromOptions + PCSetUp analog).
+
+    A: device operator (needed by jacobi/pbjacobi and matrix-free PCs)
+    A_host: scipy matrix (needed by factorization/AMG setups)
+    """
+    opts = options or Options()
+    dt = _dtype_of(A)
+    if pc_type in PC_REGISTRY:
+        return PC_REGISTRY[pc_type](A, A_host, opts, axis)
+    if pc_type == "none":
+        return NonePC()
+    if pc_type == "jacobi":
+        return make_jacobi(A, variant=opts.get_str("pc_jacobi_type", "diag"))
+    if pc_type == "pbjacobi":
+        bs = opts.get_int("pc_pbjacobi_block_size", 0) or None
+        return make_pbjacobi(A, bs=bs)
+    if pc_type == "ilu":
+        _require_host(A_host, "ilu")
+        return make_ilu(A_host, dtype=dt,
+                        levels=opts.get_int("pc_factor_levels", 0))
+    if pc_type in ("lu", "cholesky", "icc"):
+        _require_host(A_host, pc_type)
+        return make_lu(A_host, dtype=dt)
+    if pc_type == "sor":
+        _require_host(A_host, "sor")
+        return make_sor(
+            A_host,
+            omega=opts.get_real("pc_sor_omega", 1.0),
+            sweeps=opts.get_int("pc_sor_its", 1),
+            symmetric=opts.get_bool("pc_sor_symmetric", False)
+            or not (opts.get_bool("pc_sor_forward", False)
+                    or opts.get_bool("pc_sor_backward", False)),
+            dtype=dt)
+    raise ValueError(f"unknown pc_type {pc_type!r}; known: "
+                     f"{sorted(set(list(PC_REGISTRY) + ['none','jacobi','pbjacobi','ilu','lu','cholesky','icc','sor']))}")
+
+
+def _require_host(A_host, name):
+    if A_host is None:
+        raise ValueError(f"pc_type={name} needs the host (scipy) matrix: "
+                         "pass A_host to make_pc/KSP.set_operators")

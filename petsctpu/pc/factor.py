@@ -1,0 +1,77 @@
+"""Factorization preconditioners: ILU(0), LU, Cholesky/ICC.
+
+Reference: src/ksp/pc/impls/factor/{ilu,lu,cholesky,icc}. Numeric
+factorization happens host-side at setup (PCSetUp time, like the
+reference); the apply is two level-scheduled SpTRSVs on device
+(mat/factor.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from petsctpu.mat.factor import SpTRSVPlan, ilu0, lu_factor, make_sptrsv_plan
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ILUPC:
+    """x = U⁻¹ L⁻¹ b with L unit-lower, U upper (pattern of A)."""
+
+    Lplan: SpTRSVPlan
+    Uplan: SpTRSVPlan
+
+    def apply(self, b):
+        return self.Uplan.solve(self.Lplan.solve(b))
+
+
+def make_ilu(A_host, dtype=None, levels: int = 0) -> ILUPC:
+    if levels != 0:
+        import scipy.sparse as sp
+        # ILU(k) pattern growth via symbolic powers, then ILU(0) on it
+        P = sp.csr_matrix(A_host, copy=True)
+        P.data = np.ones_like(P.data)
+        S = P
+        for _ in range(levels):
+            S = (S @ P).tocsr()
+            S.data = np.ones_like(S.data)
+        patt = (S + P).tocsr()
+        patt.data[:] = 0.0
+        Awide = (sp.csr_matrix(A_host) + patt).tocsr()
+        L, U = ilu0(Awide)
+    else:
+        L, U = ilu0(A_host)
+    return ILUPC(make_sptrsv_plan(L, lower=True, unit_diag=True, dtype=dtype),
+                 make_sptrsv_plan(U, lower=False, unit_diag=False, dtype=dtype))
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class LUPC:
+    """Exact sparse LU (SuperLU factors, device triangular solves):
+    x = Pc U⁻¹ L⁻¹ Pr b."""
+
+    Lplan: SpTRSVPlan
+    Uplan: SpTRSVPlan
+    perm_r: jax.Array
+    perm_c: jax.Array
+
+    def apply(self, b):
+        # scipy splu convention: x = Pc U⁻¹ L⁻¹ Pr b with
+        # (Pr b)[perm_r[i]] = b[i] (scatter) and (Pc z)[i] = z[perm_c[i]]
+        # (gather) — matches scipy.sparse.linalg.SuperLU docs.
+        pb = jnp.zeros_like(b).at[self.perm_r].set(b)
+        z = self.Uplan.solve(self.Lplan.solve(pb))
+        return z[self.perm_c]
+
+
+def make_lu(A_host, dtype=None) -> LUPC:
+    L, U, perm_r, perm_c = lu_factor(A_host)
+    return LUPC(make_sptrsv_plan(L, lower=True, unit_diag=False, dtype=dtype),
+                make_sptrsv_plan(U, lower=False, unit_diag=False, dtype=dtype),
+                jnp.asarray(perm_r, jnp.int32), jnp.asarray(perm_c, jnp.int32))

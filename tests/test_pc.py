@@ -1,0 +1,136 @@
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from petsctpu.mat import aij_from_scipy, baij_from_scipy_bsr
+from petsctpu.mat.factor import ilu0, make_sptrsv_plan
+from petsctpu.models import laplacian_2d
+from petsctpu.pc import make_pc
+
+
+class TestSpTRSV:
+    def test_lower_and_upper(self):
+        rng = np.random.default_rng(0)
+        n = 40
+        L = sp.tril(sp.random(n, n, density=0.15, random_state=rng),
+                    k=-1).tocsr() + sp.eye(n) * 2.0
+        b = rng.standard_normal(n)
+        plan = make_sptrsv_plan(L.tocsr(), lower=True, unit_diag=False)
+        x = np.asarray(plan.solve(jnp.asarray(b)))
+        np.testing.assert_allclose(x, spla.spsolve_triangular(L.tocsr(), b,
+                                                              lower=True),
+                                   rtol=1e-10)
+        U = L.T.tocsr()
+        planU = make_sptrsv_plan(U, lower=False, unit_diag=False)
+        xU = np.asarray(planU.solve(jnp.asarray(b)))
+        np.testing.assert_allclose(xU, spla.spsolve_triangular(U, b,
+                                                               lower=False),
+                                   rtol=1e-10)
+
+    def test_unit_diag(self):
+        n = 20
+        L = sp.tril(laplacian_2d(4, 5), k=-1).tocsr()
+        b = np.arange(1.0, n + 1)
+        plan = make_sptrsv_plan(L, lower=True, unit_diag=True)
+        ref = spla.spsolve_triangular((L + sp.eye(n)).tocsr(), b, lower=True)
+        np.testing.assert_allclose(np.asarray(plan.solve(jnp.asarray(b))),
+                                   ref, rtol=1e-12)
+
+
+class TestILU0:
+    def test_factor_matches_naive_dense(self):
+        A = laplacian_2d(6, 6)
+        L, U = ilu0(A)
+        n = A.shape[0]
+        M = A.toarray().copy()
+        patt = A.toarray() != 0
+        for i in range(1, n):
+            for k in range(i):
+                if patt[i, k]:
+                    M[i, k] /= M[k, k]
+                    for j in range(k + 1, n):
+                        if patt[i, j]:
+                            M[i, j] -= M[i, k] * M[k, j]
+        np.testing.assert_allclose(L.toarray(), np.tril(M, -1), atol=1e-12)
+        np.testing.assert_allclose(U.toarray(), np.triu(M), atol=1e-12)
+
+    def test_ilu_pc_apply(self):
+        A = laplacian_2d(6, 6)
+        Ad = aij_from_scipy(A)
+        pc = make_pc("ilu", A=Ad, A_host=A)
+        b = np.random.default_rng(1).standard_normal(36)
+        L, U = ilu0(A)
+        ref = spla.spsolve_triangular(
+            sp.csr_matrix(U), spla.spsolve_triangular(
+                (L + sp.eye(36)).tocsr(), b, lower=True), lower=False)
+        np.testing.assert_allclose(np.asarray(pc.apply(jnp.asarray(b))), ref,
+                                   rtol=1e-10)
+
+
+class TestLU:
+    def test_exact_solve(self):
+        rng = np.random.default_rng(2)
+        A = laplacian_2d(5, 7) + sp.random(35, 35, density=0.05,
+                                           random_state=rng)
+        A = A.tocsr()
+        Ad = aij_from_scipy(A)
+        pc = make_pc("lu", A=Ad, A_host=A)
+        b = rng.standard_normal(35)
+        np.testing.assert_allclose(np.asarray(pc.apply(jnp.asarray(b))),
+                                   spla.spsolve(A, b), atol=1e-9)
+
+
+class TestJacobi:
+    def test_variants(self):
+        A = laplacian_2d(4, 4)
+        Ad = aij_from_scipy(A)
+        x = jnp.asarray(np.arange(16.0) + 1)
+        pc = make_pc("jacobi", A=Ad)
+        np.testing.assert_allclose(np.asarray(pc.apply(x)),
+                                   np.asarray(x) / 4.0)
+        from petsctpu.core.options import Options
+        A2 = (laplacian_2d(4, 4) + sp.eye(16)).tocsr()   # nonzero row sums
+        Ad2 = aij_from_scipy(A2)
+        pc2 = make_pc("jacobi", A=Ad2,
+                      options=Options({"pc_jacobi_type": "rowsum"}))
+        rs = np.asarray(A2.sum(axis=1)).ravel()
+        np.testing.assert_allclose(np.asarray(pc2.apply(x)),
+                                   np.asarray(x) / rs)
+        pc3 = make_pc("jacobi", A=Ad2,
+                      options=Options({"pc_jacobi_type": "rowmax"}))
+        np.testing.assert_allclose(np.asarray(pc3.apply(x)),
+                                   np.asarray(x) / 5.0)
+
+    def test_pbjacobi(self):
+        bs = 2
+        rng = np.random.default_rng(3)
+        blocks = rng.standard_normal((5, bs, bs)) + 3 * np.eye(bs)
+        A = sp.block_diag([b for b in blocks]).tocsr() + \
+            sp.diags(np.ones(8), offsets=2, shape=(10, 10)) * 0.1
+        A = A.tocsr()
+        Ab = baij_from_scipy_bsr(A, bs=bs)
+        pc = make_pc("pbjacobi", A=Ab)
+        x = rng.standard_normal(10)
+        Dblk = sp.block_diag(
+            [A[i * bs:(i + 1) * bs, i * bs:(i + 1) * bs].toarray()
+             for i in range(5)])
+        ref = spla.spsolve(Dblk.tocsc(), x)
+        np.testing.assert_allclose(np.asarray(pc.apply(jnp.asarray(x))), ref,
+                                   rtol=1e-10)
+
+
+class TestSOR:
+    def test_one_symmetric_sweep(self):
+        A = laplacian_2d(5, 5)
+        b = np.random.default_rng(4).standard_normal(25)
+        Ad = aij_from_scipy(A)
+        pc = make_pc("sor", A=Ad, A_host=A)
+        # reference: x1 = (D+L)^-1 b ; x = (D+U)^-1 (b - L x1 + 0)
+        D = sp.diags(A.diagonal())
+        L = sp.tril(A, -1)
+        U = sp.triu(A, 1)
+        x1 = spla.spsolve((D + L).tocsc(), b)
+        xref = spla.spsolve((D + U).tocsc(), b - L @ x1)
+        np.testing.assert_allclose(np.asarray(pc.apply(jnp.asarray(b))), xref,
+                                   rtol=1e-10)
