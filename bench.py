@@ -1,0 +1,135 @@
+"""Benchmark: SpMV throughput vs HBM roofline on one chip.
+
+Prints ONE JSON line: the fraction of the HBM-bandwidth roofline
+achieved by the ELL SpMV kernel on a large 2-D Poisson matrix.
+BASELINE.json target: >= 70% of roofline, so vs_baseline =
+achieved_fraction / 0.70 (>1 beats target).
+
+Method: N chained SpMVs run INSIDE one jitted lax.fori_loop (each
+iteration rescaled by 1/8 to stay bounded), with a dynamic trip count
+so one executable serves two timed runs; throughput is computed from
+the time DIFFERENCE between the long and short runs, cancelling the
+per-dispatch tunnel/dispatch overhead (which dominates through the
+axon relay). Completion is forced by fetching a scalar, not
+block_until_ready (which does not block through the relay).
+
+Roofline model (fp32, ELL width K): compulsory traffic per mult =
+vals(4nK) + cols(4nK) + x(4n) + y(4n) bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def hbm_bandwidth_gbs() -> float:
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 819.0
+    if "v4" in kind:
+        return 1228.0
+    if "v5p" in kind:
+        return 2765.0
+    if "v6" in kind or "trillium" in kind:
+        return 1640.0
+    return 819.0
+
+
+def build_stencil_laplacian(m: int, dtype=np.float32):
+    """5-point variable-coefficient stencil on an m×m grid, built
+    directly in DIA/stencil layout (what the DMDA layer produces)."""
+    import jax.numpy as jnp
+    from petsctpu.mat.stencil import StencilMat
+
+    C = np.zeros((5, m, m), dtype)
+    C[0] = 4.0
+    C[1, 1:, :] = -1.0    # (-1, 0)
+    C[2, :-1, :] = -1.0   # (+1, 0)
+    C[3, :, 1:] = -1.0    # (0, -1)
+    C[4, :, :-1] = -1.0   # (0, +1)
+    offsets = ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1))
+    return StencilMat(jnp.asarray(C), offsets, (m, m))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    m = 4096                       # 16.8M rows, ~84M nnz, ~470MB working set
+    n = m * m
+    Ad = build_stencil_laplacian(m)
+    K = len(Ad.offsets)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(n)
+                    .astype(np.float32))
+
+    @jax.jit
+    def chain(M, v, iters):
+        def body(_, v):
+            return M.mult(v) * np.float32(0.125)   # keep ‖v‖ bounded
+        return jnp.sum(lax.fori_loop(0, iters, body, v))
+
+    def timed(iters):
+        t0 = time.perf_counter()
+        s = float(chain(Ad, x, jnp.int32(iters)))   # scalar fetch = sync
+        dt = time.perf_counter() - t0
+        assert np.isfinite(s), f"bench produced {s}"
+        return dt
+
+    timed(1)                                        # compile + warm
+    n_lo, n_hi = 100, 2100       # ≥200 ms of work in the delta
+    t_lo = min(timed(n_lo) for _ in range(3))
+    t_hi = min(timed(n_hi) for _ in range(3))
+    dt = max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
+
+    # STREAM-triad probe measured the same way — the reference's own
+    # roofline denominator methodology (src/benchmarks/streams/).
+    # Arrays must dwarf on-chip memory or the loop runs out of VMEM at
+    # multi-TB/s and the "roofline" is fiction: use 256 MB operands.
+    ns = 64 * 1024 * 1024
+    a = jnp.asarray(np.random.default_rng(1).standard_normal(ns)
+                    .astype(np.float32))
+    v0 = jnp.asarray(np.random.default_rng(2).standard_normal(ns)
+                     .astype(np.float32))
+
+    @jax.jit
+    def triad(a, v, iters):
+        def body(_, v):
+            return a + np.float32(0.5) * v          # read a, v; write out
+        return jnp.sum(lax.fori_loop(0, iters, body, v))
+
+    def timed_triad(iters):
+        t0 = time.perf_counter()
+        float(triad(a, v0, jnp.int32(iters)))
+        return time.perf_counter() - t0
+
+    timed_triad(1)
+    m_lo, m_hi = 20, 320
+    tt_lo = min(timed_triad(m_lo) for _ in range(3))
+    tt_hi = min(timed_triad(m_hi) for _ in range(3))
+    dt_triad = max(tt_hi - tt_lo, 1e-9) / (m_hi - m_lo)
+    stream_gbs = 3.0 * 4.0 * ns / dt_triad / 1e9
+
+    # stencil traffic: K coefficient arrays + x read + y write
+    bytes_moved = 4.0 * n * (K + 2)
+    gbs = bytes_moved / dt / 1e9
+    frac = gbs / max(stream_gbs, hbm_bandwidth_gbs())
+    print(json.dumps({
+        "metric": "spmv_hbm_roofline_frac",
+        "value": round(frac, 4),
+        "unit": "fraction_of_peak_hbm_bw",
+        "vs_baseline": round(frac / 0.70, 4),
+        "detail": {"gbs": round(gbs, 1), "nnz_per_s": f"{Ad.nnz / dt:.3e}",
+                   "ms_per_spmv": round(dt * 1e3, 4), "n": n,
+                   "stencil_width": K, "peak_gbs": hbm_bandwidth_gbs(),
+                   "stream_gbs": round(stream_gbs, 1),
+                   "format": "stencil/DIA (2-D 5-point, variable coeff)"},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -6,10 +6,12 @@ from petsctpu.mat.base import (
     Diagonal, Identity,
 )
 from petsctpu.mat.coo import ell_from_coo
+from petsctpu.mat.stencil import StencilMat, stencil_from_scipy, stencil_to_scipy
 
 __all__ = [
     "AIJ", "aij_from_scipy", "aij_from_dense", "aij_to_scipy",
     "BAIJ", "baij_from_scipy_bsr", "Dense",
     "Shell", "Transpose", "Normal", "NormalHermitian", "ShiftScale",
     "Composite", "LRC", "Diagonal", "Identity", "ell_from_coo",
+    "StencilMat", "stencil_from_scipy", "stencil_to_scipy",
 ]

@@ -146,8 +146,12 @@ class SpTRSVPlan:
         return x[:n]
 
 
-def make_sptrsv_plan(T, lower: bool, unit_diag: bool, dtype=None) -> SpTRSVPlan:
-    """Build a device plan from a scipy triangular matrix."""
+def make_sptrsv_plan(T, lower: bool, unit_diag: bool, dtype=None,
+                     pad_to: tuple = None) -> SpTRSVPlan:
+    """Build a device plan from a scipy triangular matrix.
+
+    pad_to=(nlev, rmax, K) forces uniform static shapes so plans from
+    different local blocks can be stacked for shard_map (bjacobi)."""
     T = sp.csr_matrix(T)
     T.sort_indices()
     n = T.shape[0]
@@ -158,6 +162,10 @@ def make_sptrsv_plan(T, lower: bool, unit_diag: bool, dtype=None) -> SpTRSVPlan:
     # group rows by level, padded with sentinel n
     counts = np.bincount(lev, minlength=nlev)
     rmax = max(int(counts.max()), 1)
+    if pad_to is not None:
+        nlev = max(nlev, pad_to[0])
+        rmax = max(rmax, pad_to[1])
+        counts = np.bincount(lev, minlength=nlev)
     level_rows = np.full((nlev, rmax), n, dtype=np.int32)
     fill = np.zeros(nlev, dtype=np.int64)
     for i in range(n):
@@ -178,6 +186,8 @@ def make_sptrsv_plan(T, lower: bool, unit_diag: bool, dtype=None) -> SpTRSVPlan:
             diag[i] = d[0] if len(d) else 1.0
         offs.append((j[off], v[off]))
     K = max(max((len(j) for j, _ in offs), default=0), 1)
+    if pad_to is not None:
+        K = max(K, pad_to[2])
     cols = np.full((n, K), n, dtype=np.int32)
     vals = np.zeros((n, K), dtype=dtype)
     for i, (j, v) in enumerate(offs):

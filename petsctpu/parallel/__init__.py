@@ -1,0 +1,5 @@
+from petsctpu.parallel.pmat import ShardedAIJ, sharded_aij_from_scipy
+from petsctpu.parallel.api import ParKSP, par_ksp_solve, shard_vector, unshard_vector
+
+__all__ = ["ShardedAIJ", "sharded_aij_from_scipy", "ParKSP", "par_ksp_solve",
+           "shard_vector", "unshard_vector"]

@@ -1,0 +1,118 @@
+"""Distributed solves: shard_map wrapper around the axis-parametric KSP.
+
+The same solver code that runs serially runs here inside
+`shard_map` over a 1-D device mesh; collectives appear only through
+vec.ops (psum) and ShardedAIJ.ghosts (all_to_all/all_gather). This is
+the TPU equivalent of the reference running the identical source
+under real MPI vs mpiuni (SURVEY.md §2.10 P1-P4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from petsctpu.core.layout import Layout
+from petsctpu.ksp.api import KSP_REGISTRY
+from petsctpu.ksp.common import KSPConfig, SolveResult
+from petsctpu.parallel.pmat import ShardedAIJ
+from petsctpu.parallel.plan import PartitionedCSR
+
+
+def shard_vector(mesh: Mesh, axis: str, x: np.ndarray, layout: Layout):
+    """Place a padded global vector row-sharded on the mesh."""
+    xp = layout.pad_vector(np.asarray(x))
+    return jax.device_put(jnp.asarray(xp), NamedSharding(mesh, P(axis)))
+
+
+def unshard_vector(x, layout: Layout) -> np.ndarray:
+    return np.asarray(x)[: layout.n]
+
+
+def _local(tree):
+    return None if tree is None else jax.tree.map(lambda a: a[0], tree)
+
+
+@functools.lru_cache(maxsize=128)
+def _compiled_par(ksp_type: str, cfg: KSPConfig, axis: str, mesh_key):
+    mesh = mesh_key.mesh
+    fn = KSP_REGISTRY[ksp_type]
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=SolveResult(P(axis), P(), P(), P(), P()),
+        check_vma=False)
+    def run(A_st, b_loc, x0_loc, pc_st):
+        A = A_st.local()
+        pc = _local(pc_st)
+        return fn(A, b_loc, x0_loc, pc, cfg, axis)
+
+    return run
+
+
+class _MeshKey:
+    """Hashable wrapper so meshes can key the compile cache."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def __hash__(self):
+        return hash((self.mesh.axis_names, self.mesh.devices.shape,
+                     tuple(d.id for d in self.mesh.devices.flat)))
+
+    def __eq__(self, other):
+        return isinstance(other, _MeshKey) and hash(self) == hash(other)
+
+
+def par_ksp_solve(mesh: Mesh, A: ShardedAIJ, b, x0=None, pc=None,
+                  cfg: KSPConfig = None, **kw) -> SolveResult:
+    """Distributed KSP solve. b may be a host global vector (auto-padded
+    and sharded) or an already-sharded padded device array."""
+    from dataclasses import replace
+    cfg = replace(cfg or KSPConfig(), **kw) if (kw or cfg is None) else cfg
+    axis = A.axis
+    lay = Layout(A.shape[0], A.nshards)   # shape already padded
+    if isinstance(b, np.ndarray) or (hasattr(b, "shape")
+                                     and b.shape[0] != A.shape[0]):
+        b = shard_vector(mesh, axis, np.asarray(b),
+                         Layout(np.asarray(b).shape[0], A.nshards))
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    run = _compiled_par(cfg.ksp_type, cfg, axis, _MeshKey(mesh))
+    return run(A, b, x0, pc)
+
+
+class ParKSP:
+    """Stateful distributed KSP (mirrors KSP but over a mesh)."""
+
+    def __init__(self, mesh: Mesh, options=None, prefix: str = ""):
+        from petsctpu.core.options import Options
+        self.mesh = mesh
+        self.opts = (options or Options()).prefixed(prefix)
+        self.A: Optional[ShardedAIJ] = None
+        self.part: Optional[PartitionedCSR] = None
+        self.pc = None
+
+    def set_operators(self, A: ShardedAIJ, part: PartitionedCSR = None):
+        self.A = A
+        self.part = part
+        return self
+
+    def solve(self, b, x0=None) -> SolveResult:
+        from petsctpu.ksp.api import config_from_options
+        cfg = config_from_options(self.opts)
+        if self.pc is None:
+            from petsctpu.pc.parallel import make_par_pc
+            pc_type = self.opts.get_str("pc_type", "bjacobi")
+            self.pc = make_par_pc(pc_type, self.A, self.part,
+                                  options=self.opts)
+        return par_ksp_solve(self.mesh, self.A, b, x0=x0, pc=self.pc,
+                             cfg=cfg)

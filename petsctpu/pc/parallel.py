@@ -1,0 +1,106 @@
+"""Distributed preconditioners (stacked per-shard pytrees).
+
+Reference: the default parallel PC of the reference is block Jacobi
+with one ILU(0) block per rank (PCSetUp_BJacobi src/ksp/pc/impls/
+bjacobi/bjacobi.c:14). Here a "block" is a shard's diagonal block; the
+sub-solve is a level-scheduled ILU(0)/LU apply — embarrassingly
+parallel inside shard_map (SURVEY §2.10 P6). The returned pytrees have
+a leading shard axis; `shard_map` splits them and `_local()` strips it.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from petsctpu.core.options import Options
+from petsctpu.mat.factor import ilu0, lu_factor, make_sptrsv_plan
+from petsctpu.pc.factor import ILUPC, LUPC
+from petsctpu.pc.simple import JacobiPC
+from petsctpu.parallel.plan import PartitionedCSR
+
+
+def stack_pytrees(trees):
+    """Stack a list of identically-structured pytrees along axis 0."""
+    return jax.tree.map(lambda *ls: jnp.stack(ls), *trees)
+
+
+def _stacked_tri_plans(tris, lower, unit_diag, dtype):
+    """Build per-shard SpTRSV plans with uniform static shapes, stacked."""
+    import scipy.sparse as sp
+
+    from petsctpu.mat.factor import _levels
+    nlev = rmax = K = 1
+    infos = []
+    for T in tris:
+        T = sp.csr_matrix(T)
+        lev = _levels(T, lower)
+        nl = int(lev.max()) + 1 if T.shape[0] else 1
+        counts = np.bincount(lev, minlength=nl)
+        rm = max(int(counts.max()), 1)
+        offk = max(int((np.diff(T.indptr) - (0 if unit_diag else 1)).max())
+                   if T.nnz else 0, 1)
+        nlev, rmax, K = max(nlev, nl), max(rmax, rm), max(K, offk + 1)
+    plans = [make_sptrsv_plan(T, lower=lower, unit_diag=unit_diag,
+                              dtype=dtype, pad_to=(nlev, rmax, K))
+             for T in tris]
+    return stack_pytrees(plans)
+
+
+def make_bjacobi(part: PartitionedCSR, sub_pc: str = "ilu", dtype=None):
+    """Block Jacobi over shard diagonal blocks; sub_pc: ilu | lu."""
+    if sub_pc == "ilu":
+        Ls, Us = [], []
+        for D in part.diag_blocks:
+            L, U = ilu0(D)
+            Ls.append(L)
+            Us.append(U)
+        return ILUPC(_stacked_tri_plans(Ls, True, True, dtype),
+                     _stacked_tri_plans(Us, False, False, dtype))
+    if sub_pc == "lu":
+        Ls, Us, prs, pcs = [], [], [], []
+        for D in part.diag_blocks:
+            L, U, pr, pcm = lu_factor(D)
+            Ls.append(L)
+            Us.append(U)
+            prs.append(pr)
+            pcs.append(pcm)
+        return LUPC(_stacked_tri_plans(Ls, True, False, dtype),
+                    _stacked_tri_plans(Us, False, False, dtype),
+                    jnp.asarray(np.stack(prs), jnp.int32),
+                    jnp.asarray(np.stack(pcs), jnp.int32))
+    raise ValueError(f"bjacobi sub_pc {sub_pc!r} not supported")
+
+
+def make_par_jacobi(part: PartitionedCSR, dtype=None) -> JacobiPC:
+    dinvs = []
+    for D in part.diag_blocks:
+        d = D.diagonal()
+        d = np.where(d != 0, d, 1.0)
+        dinvs.append(jnp.asarray((1.0 / d).astype(dtype or d.dtype)))
+    return JacobiPC(jnp.stack(dinvs))
+
+
+def make_par_pc(pc_type: str, A, part: PartitionedCSR = None,
+                options: Options = None):
+    """Factory for stacked distributed PCs (PCSetUp analog, parallel)."""
+    opts = options or Options()
+    dtype = getattr(A, "dtype", None)
+    dtype = np.dtype(str(dtype)) if dtype is not None else None
+    if pc_type == "none":
+        return None
+    if pc_type == "jacobi":
+        _need_part(part, "jacobi")
+        return make_par_jacobi(part, dtype)
+    if pc_type == "bjacobi":
+        _need_part(part, "bjacobi")
+        return make_bjacobi(part, sub_pc=opts.get_str("sub_pc_type", "ilu"),
+                            dtype=dtype)
+    raise ValueError(f"unknown parallel pc_type {pc_type!r}")
+
+
+def _need_part(part, name):
+    if part is None:
+        raise ValueError(f"parallel pc {name} needs the PartitionedCSR "
+                         "(returned by sharded_aij_from_scipy)")
