@@ -52,6 +52,19 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
     if pc_type in ("lu", "cholesky", "icc"):
         _require_host(A_host, pc_type)
         return make_lu(A_host, dtype=dt)
+    if pc_type == "mg":
+        _require_host(A_host, "mg")
+        da = opts.get("pc_mg_da")
+        if da is None:
+            raise ValueError("pc_type=mg needs options key 'pc_mg_da' (a DA)"
+                             " for the grid hierarchy; use pc_type=gamg for "
+                             "unstructured operators")
+        from petsctpu.pc.mg import make_geometric_mg
+        return make_geometric_mg(A_host, da, dtype=dt, options=opts)
+    if pc_type == "gamg":
+        _require_host(A_host, "gamg")
+        from petsctpu.pc.gamg import make_gamg
+        return make_gamg(A_host, dtype=dt, options=opts)
     if pc_type == "sor":
         _require_host(A_host, "sor")
         return make_sor(

@@ -1,0 +1,126 @@
+"""GAMG — smoothed-aggregation algebraic multigrid.
+
+Reference: src/ksp/pc/impls/gamg (PCSetUp_GAMG gamg.c:533; strength
+graph PCGAMGgraph_AGG agg.c:927; MIS aggregation PCGAMGCoarsen_AGG
+agg.c:977 + MatCoarsenApply_MIS mis.c:335; smoothed prolongator
+PCGAMGProlongator_AGG agg.c:1110; Galerkin MatPtAP gamg.c:156).
+
+Setup is host-side graph work (exactly the reference's PCSetUp-time
+computation): filtered strength graph → greedy root-based aggregation
+→ tentative piecewise-constant prolongator from the near-null space →
+Jacobi-smoothed P → PᵀAP coarse operator, recursively. The resulting
+hierarchy runs on device through MGPC (pc/mg.py) with Chebyshev+Jacobi
+smoothers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from petsctpu.core.options import Options
+from petsctpu.pc.mg import make_algebraic_mg_from_hierarchy, _power_lambda_max
+
+
+def strength_graph(A: sp.csr_matrix, theta: float) -> sp.csr_matrix:
+    """Symmetrized filtered graph: keep |a_ij| > θ·sqrt(|a_ii·a_jj|)
+    (agg.c:927 'filter' semantics)."""
+    A = sp.csr_matrix(A)
+    d = np.abs(A.diagonal())
+    d = np.where(d > 0, d, 1.0)
+    coo = A.tocoo()
+    scale = np.sqrt(d[coo.row] * d[coo.col])
+    keep = (np.abs(coo.data) > theta * scale) & (coo.row != coo.col)
+    S = sp.coo_matrix((np.ones(keep.sum()), (coo.row[keep], coo.col[keep])),
+                      shape=A.shape).tocsr()
+    return ((S + S.T) > 0).astype(np.int8).tocsr()
+
+
+def aggregate(S: sp.csr_matrix) -> np.ndarray:
+    """Greedy root-based aggregation (the serial equivalent of MIS-based
+    aggregation, mis.c:30 maxIndSetAgg): pass 1 picks independent roots
+    and claims their neighborhoods; pass 2 attaches leftovers to an
+    adjacent aggregate; pass 3 makes singletons."""
+    n = S.shape[0]
+    agg = np.full(n, -1, dtype=np.int64)
+    ai, aj = S.indptr, S.indices
+    na = 0
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nbrs = aj[ai[i]:ai[i + 1]]
+        if np.all(agg[nbrs] == -1):
+            agg[i] = na
+            agg[nbrs] = na
+            na += 1
+    for i in range(n):
+        if agg[i] == -1:
+            nbrs = aj[ai[i]:ai[i + 1]]
+            owned = nbrs[agg[nbrs] != -1]
+            if len(owned):
+                agg[i] = agg[owned[0]]
+    for i in range(n):
+        if agg[i] == -1:
+            agg[i] = na
+            na += 1
+    return agg
+
+
+def tentative_prolongator(agg: np.ndarray, nullspace: np.ndarray = None):
+    """P0 from aggregates × near-null-space (constant vector by default),
+    column-normalized (agg.c:1110)."""
+    n = len(agg)
+    na = int(agg.max()) + 1
+    v = np.ones(n) if nullspace is None else np.asarray(nullspace)
+    P0 = sp.coo_matrix((v, (np.arange(n), agg)), shape=(n, na)).tocsr()
+    # normalize columns
+    norms = np.sqrt(np.asarray(P0.multiply(P0).sum(axis=0))).ravel()
+    norms = np.where(norms > 0, norms, 1.0)
+    return (P0 @ sp.diags(1.0 / norms)).tocsr()
+
+
+def smooth_prolongator(A: sp.csr_matrix, P0: sp.csr_matrix) -> sp.csr_matrix:
+    """P = (I − ω D⁻¹A) P0 with ω = 4/(3 λmax(D⁻¹A)) (agg.c optprol)."""
+    d = A.diagonal()
+    d = np.where(d != 0, d, 1.0)
+    dinv = 1.0 / d
+    lam = _power_lambda_max(A, dinv)
+    omega = 4.0 / (3.0 * max(lam, 1e-12))
+    DA = sp.diags(dinv) @ A
+    return (P0 - omega * (DA @ P0)).tocsr()
+
+
+def gamg_hierarchy(A, theta: float = 0.0, coarse_n: int = 64,
+                   max_levels: int = 10, smooth: bool = True,
+                   nullspace=None):
+    """Build (As, Ps): As[0]=A fine … As[-1] coarsest; Ps[l]: l+1 → l."""
+    As = [sp.csr_matrix(A)]
+    Ps = []
+    nsp = nullspace
+    while As[-1].shape[0] > coarse_n and len(As) < max_levels:
+        Ac = As[-1]
+        S = strength_graph(Ac, theta)
+        agg = aggregate(S)
+        na = int(agg.max()) + 1
+        if na >= Ac.shape[0]:        # no coarsening progress
+            break
+        P0 = tentative_prolongator(agg, nsp)
+        P = smooth_prolongator(Ac, P0) if smooth else P0
+        As.append((P.T @ Ac @ P).tocsr())
+        Ps.append(P)
+        nsp = None                   # constant-vector null space propagates
+    return As, Ps
+
+
+def make_gamg(A_host, dtype=None, options: Options = None):
+    """PCGAMG factory (PCSetUp_GAMG analog)."""
+    opts = options or Options()
+    theta = opts.get_real("pc_gamg_threshold", 0.0)
+    coarse_n = opts.get_int("pc_gamg_coarse_eq_limit", 64)
+    max_levels = opts.get_int("pc_mg_levels", 10)
+    smooth = opts.get_int("pc_gamg_agg_nsmooths", 1) > 0
+    sm_its = opts.get_int("mg_levels_ksp_max_it", 2)
+    As, Ps = gamg_hierarchy(A_host, theta=theta, coarse_n=coarse_n,
+                            max_levels=max_levels, smooth=smooth)
+    return make_algebraic_mg_from_hierarchy(As, Ps, dtype=dtype,
+                                            sm_its=sm_its)

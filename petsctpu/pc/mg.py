@@ -1,0 +1,173 @@
+"""PCMG — multigrid preconditioner framework.
+
+Reference: src/ksp/pc/impls/mg/mg.c (PCMGMCycle_Private :10,
+PCSetUp_MG :529, PCApply_MG :296): a level hierarchy with per-level
+smoothers, interpolation/restriction operators, and a coarse solve;
+V/W cycles. TPU design choices:
+
+  * default smoother is Chebyshev+Jacobi — like the reference's MG
+    default (mg.c sets cheby+sor; we use the dot-product-free pair
+    that needs ZERO collectives per smoothing step, SURVEY §2.10 P4);
+    eigenvalue bounds are computed once at setup (host power
+    iteration) and baked in;
+  * the level loop is a statically unrolled Python recursion (level
+    count is static), so XLA sees one straight-line program;
+  * coarse solve is an exact sparse LU (level-scheduled device solve);
+  * Galerkin coarse operators (PᵀAP) are built host-side with scipy at
+    setup, like the reference's MatPtAP at PCSetUp_GAMG/MG time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from petsctpu.core.options import Options
+from petsctpu.pc.factor import LUPC, make_lu
+from petsctpu.pc.simple import JacobiPC
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ChebySmoother:
+    """Fixed-iteration Chebyshev smoother with Jacobi preconditioning.
+
+    Bounds follow the reference's MG defaults: [0.1·λmax, 1.1·λmax]
+    of D⁻¹A (cheby.c estimate_eigenvalues transform)."""
+
+    dinv: jax.Array
+    emin: jax.Array
+    emax: jax.Array
+    its: int = field(metadata=dict(static=True), default=2)
+
+    def smooth(self, A, b, x):
+        theta = 0.5 * (self.emax + self.emin)
+        delta = 0.5 * (self.emax - self.emin)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        r = b - A.mult(x)
+        d = (self.dinv * r) / theta
+        for _ in range(self.its):
+            x = x + d
+            r = r - A.mult(d)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = rho_new * rho * d + (2.0 * rho_new / delta) * (self.dinv * r)
+            rho = rho_new
+        return x
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class MGLevel:
+    A: Any                      # operator on this level
+    P: Any                      # prolongation coarser→this level
+    smoother: ChebySmoother
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class MGPC:
+    """Apply one multigrid cycle as a preconditioner: x = MG(b)."""
+
+    levels: Tuple                # fine..(second-coarsest) MGLevel
+    coarse: LUPC                 # exact solve on coarsest
+    coarse_A: Any
+    cycles: int = field(metadata=dict(static=True), default=1)  # 1=V 2=W
+
+    def apply(self, b):
+        return self._cycle(0, b)
+
+    def _cycle(self, l, b):
+        if l == len(self.levels):
+            return self.coarse.apply(b)
+        lev = self.levels[l]
+        x = lev.smoother.smooth(lev.A, b, jnp.zeros_like(b))
+        for _ in range(self.cycles):
+            r = b - lev.A.mult(x)
+            rc = lev.P.multT(r)
+            xc = self._cycle(l + 1, rc)
+            x = x + lev.P.mult(xc)
+        x = lev.smoother.smooth(lev.A, b, x)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# setup
+# ---------------------------------------------------------------------------
+def _power_lambda_max(A: sp.csr_matrix, dinv: np.ndarray,
+                      iters: int = 20) -> float:
+    """Host power iteration for λmax(D⁻¹A)."""
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal(A.shape[0])
+    v /= np.linalg.norm(v)
+    lam = 1.0
+    for _ in range(iters):
+        w = dinv * (A @ v)
+        lam = np.linalg.norm(w)
+        if lam == 0:
+            return 1.0
+        v = w / lam
+    return float(lam)
+
+
+def _cheby_smoother(Ah: sp.csr_matrix, dtype, its: int) -> ChebySmoother:
+    d = Ah.diagonal()
+    d = np.where(d != 0, d, 1.0)
+    dinv = (1.0 / d).astype(dtype)
+    lam = _power_lambda_max(Ah, dinv)
+    return ChebySmoother(jnp.asarray(dinv),
+                         jnp.asarray(dtype(0.1 * lam)),
+                         jnp.asarray(dtype(1.1 * lam)), its)
+
+
+def make_geometric_mg(A_host, da, dtype=None, options: Options = None):
+    """Geometric MG on a DA grid hierarchy with Galerkin PᵀAP coarse
+    operators and matrix-free Q1 transfer (PCSetUp_MG analog)."""
+    from petsctpu.dm.da import q1_interp_scipy
+    from petsctpu.mat.stencil import stencil_from_scipy
+
+    opts = options or Options()
+    dtype = np.dtype(dtype or A_host.dtype).type
+    max_levels = opts.get_int("pc_mg_levels", 0)
+    coarse_n = opts.get_int("pc_mg_coarse_size", 65)
+    sm_its = opts.get_int("mg_levels_ksp_max_it", 2)
+    cycles = 2 if opts.get_str("pc_mg_cycle_type", "v") == "w" else 1
+
+    levels = []
+    Ah = sp.csr_matrix(A_host)
+    cur = da
+    while cur.can_coarsen() and Ah.shape[0] > coarse_n and \
+            (max_levels == 0 or len(levels) < max_levels - 1):
+        coarse = cur.coarsen()
+        Pd = cur.interpolation(coarse)
+        Ps = q1_interp_scipy(cur.grid, coarse.grid)
+        Ad = stencil_from_scipy(Ah, cur.grid, dtype=dtype)
+        levels.append(MGLevel(Ad, Pd, _cheby_smoother(Ah, dtype, sm_its)))
+        Ah = (Ps.T @ Ah @ Ps).tocsr()
+        cur = coarse
+    coarse_pc = make_lu(Ah, dtype=dtype)
+    from petsctpu.mat.stencil import stencil_from_scipy as s2
+    coarse_A = s2(Ah, cur.grid, dtype=dtype)
+    return MGPC(tuple(levels), coarse_pc, coarse_A, cycles)
+
+
+def make_algebraic_mg_from_hierarchy(As, Ps, dtype=None, sm_its: int = 2,
+                                     cycles: int = 1):
+    """Assemble an MGPC from explicit (A_l, P_l) scipy hierarchies —
+    used by GAMG (pc/gamg.py) after aggregation builds the transfers."""
+    from petsctpu.mat.ell import aij_from_scipy
+
+    dtype = np.dtype(dtype or As[0].dtype).type
+    levels = []
+    for l in range(len(Ps)):
+        Ad = aij_from_scipy(As[l], dtype=dtype)
+        Pd = aij_from_scipy(Ps[l], dtype=dtype)
+        levels.append(MGLevel(Ad, Pd, _cheby_smoother(As[l], dtype, sm_its)))
+    coarse_pc = make_lu(As[-1], dtype=dtype)
+    coarse_A = aij_from_scipy(As[-1], dtype=dtype)
+    return MGPC(tuple(levels), coarse_pc, coarse_A, cycles)

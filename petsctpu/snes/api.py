@@ -1,0 +1,224 @@
+"""SNES — Newton-Krylov nonlinear solver.
+
+Reference: SNESSolve (src/snes/interface/snes.c:3585), Newton line
+search SNESSolve_NEWTONLS (src/snes/impls/ls/ls.c:191-271), pluggable
+line searches (src/snes/linesearch/impls/{basic,bt,l2,cp}), convergence
+SNESDefaultConverged. The whole Newton loop — Jacobian build, inner
+Krylov solve, line search — is ONE `lax.while_loop` program: the inner
+KSP's while_loop nests inside, so a full nonlinear solve is a single
+XLA computation with no host round-trips.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Callable, NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from petsctpu.core.errors import SNESConvergedReason
+from petsctpu.ksp.api import KSP_REGISTRY
+from petsctpu.ksp.common import KSPConfig
+from petsctpu.snes.fdjac import ColoredJacobian, jvp_operator, mffd_operator
+from petsctpu.vec import ops
+
+
+@dataclass(frozen=True)
+class SNESConfig:
+    rtol: float = 1e-8
+    atol: float = 1e-50
+    stol: float = 1e-8
+    maxits: int = 50
+    linesearch: str = "bt"            # bt | basic
+    ls_alpha: float = 1e-4
+    ls_maxits: int = 40
+    ls_lambda_min: float = 1e-12
+    monitor: bool = False
+    jac: str = "jvp"                  # jvp | fd (when no explicit jac given)
+
+
+class SNESResult(NamedTuple):
+    x: jax.Array
+    its: jax.Array
+    reason: jax.Array
+    fnorm: jax.Array
+    history: jax.Array
+
+    @property
+    def converged(self):
+        return int(self.reason) > 0
+
+
+def _monitor(cfg, its, fnorm):
+    if cfg.monitor:
+        jax.debug.callback(
+            lambda i, f: print(f"{int(i):3d} SNES Function norm {float(f):g} "),
+            its, fnorm, ordered=True)
+
+
+def _check(fnorm, fnorm0, snorm, xnorm, its, cfg: SNESConfig):
+    R = SNESConvergedReason
+    reason = jnp.where(
+        jnp.isnan(fnorm), R.DIVERGED_FNORM_NAN,
+        jnp.where(
+            fnorm < cfg.atol, R.CONVERGED_FNORM_ABS,
+            jnp.where(
+                fnorm <= cfg.rtol * fnorm0, R.CONVERGED_FNORM_RELATIVE,
+                jnp.where(
+                    (its > 0) & (snorm < cfg.stol * jnp.maximum(xnorm, 1e-30)),
+                    R.CONVERGED_SNORM_RELATIVE,
+                    jnp.where(its >= cfg.maxits, R.DIVERGED_MAX_IT,
+                              R.ITERATING)))))
+    return reason.astype(jnp.int32)
+
+
+def _linesearch_bt(F, x, dx, Fx, fnorm, cfg: SNESConfig, axis):
+    """Backtracking with quadratic model (linesearchbt.c): minimize
+    φ(λ)=½‖F(x−λdx)‖²; slope ≈ −‖F‖² for an (in)exact Newton step."""
+    phi0 = 0.5 * fnorm * fnorm
+    slope = -fnorm * fnorm
+
+    def cond(c):
+        lam, phi, k, done = c
+        return (~done) & (k < cfg.ls_maxits)
+
+    def body(c):
+        lam, phi, k, done = c
+        xn = x - lam * dx
+        fn = ops.norm(F(xn), axis)
+        phin = 0.5 * fn * fn
+        ok = phin <= phi0 + cfg.ls_alpha * lam * slope
+        # quadratic backtrack, clamped to [0.1λ, 0.5λ]
+        denom = 2.0 * (phin - phi0 - lam * slope)
+        lam_q = jnp.where(denom > 0, -slope * lam * lam / denom, 0.5 * lam)
+        lam_new = jnp.clip(lam_q, 0.1 * lam, 0.5 * lam)
+        return (jnp.where(ok, lam, lam_new), phin, k + 1,
+                done | ok | (lam_new < cfg.ls_lambda_min))
+
+    lam, phin, k, done = lax.while_loop(
+        cond, body, (jnp.asarray(1.0, x.dtype), phi0, jnp.int32(0),
+                     jnp.asarray(False)))
+    xn = x - lam * dx
+    Fn = F(xn)
+    fn = ops.norm(Fn, axis)
+    success = fn < fnorm  # accept any decrease (ls.c:248 failure policy)
+    return xn, Fn, fn, lam, success
+
+
+def snes_solve(F: Callable, x0: jax.Array, jac: Union[str, ColoredJacobian,
+                                                      Callable] = None,
+               pc_builder: Optional[Callable] = None,
+               ksp_cfg: KSPConfig = None, cfg: SNESConfig = None,
+               axis: Optional[str] = None, **kw) -> SNESResult:
+    """Newton-LS solve of F(x) = 0.
+
+    jac: "jvp" (AD matrix-free), "fd" (MFFD), a ColoredJacobian plan
+         (assembled FD), or a callable (x, Fx) -> operator.
+    pc_builder: callable J -> pc pytree, rebuilt every Newton step
+         (only device-rebuildable PCs: jacobi/pbjacobi/cheby-MG)."""
+    cfg = replace(cfg or SNESConfig(), **kw) if kw else (cfg or SNESConfig())
+    ksp_cfg = ksp_cfg or KSPConfig(ksp_type="gmres", rtol=1e-5, maxits=200)
+    jac = jac or cfg.jac
+    ksolver = KSP_REGISTRY[ksp_cfg.ksp_type]
+
+    def build_J(x, Fx):
+        if jac == "jvp":
+            return jvp_operator(F, x, Fx)
+        if jac == "fd":
+            return mffd_operator(F, x, Fx)
+        if isinstance(jac, ColoredJacobian):
+            return jac.assemble(F, x, Fx)
+        return jac(x, Fx)
+
+    x = x0
+    Fx = F(x)
+    fnorm = ops.norm(Fx, axis)
+    history = jnp.full((cfg.maxits + 1,), jnp.nan, x.dtype).at[0].set(fnorm)
+    _monitor(cfg, 0, fnorm)
+    fnorm0 = fnorm
+    reason = _check(fnorm, fnorm0, jnp.zeros((), x.dtype),
+                    ops.norm(x, axis), jnp.int32(0), cfg)
+
+    def cond(c):
+        return c["reason"] == SNESConvergedReason.ITERATING
+
+    def body(c):
+        x, Fx, fnorm, its = c["x"], c["F"], c["fnorm"], c["its"]
+        J = build_J(x, Fx)
+        pc = pc_builder(J) if pc_builder is not None else None
+        kres = ksolver(J, Fx, jnp.zeros_like(x), pc, ksp_cfg, axis)
+        dx = kres.x                       # J dx = F → step is −dx
+        lin_fail = kres.reason < 0
+        if cfg.linesearch == "basic":
+            xn = x - dx
+            Fn = F(xn)
+            fn = ops.norm(Fn, axis)
+            ls_ok = jnp.asarray(True)
+        else:
+            xn, Fn, fn, lam, ls_ok = _linesearch_bt(F, x, dx, Fx, fnorm,
+                                                    cfg, axis)
+        snorm = ops.norm(xn - x, axis)
+        xnorm = ops.norm(xn, axis)
+        its = its + 1
+        history = c["history"].at[its].set(fn)
+        _monitor(cfg, its, fn)
+        reason = _check(fn, fnorm0, snorm, xnorm, its, cfg)
+        reason = jnp.where(
+            (reason == 0) & ~ls_ok,
+            jnp.int32(SNESConvergedReason.DIVERGED_LINE_SEARCH), reason)
+        reason = jnp.where(
+            (reason == 0) & lin_fail,
+            jnp.int32(SNESConvergedReason.DIVERGED_LINEAR_SOLVE), reason)
+        return dict(x=xn, F=Fn, fnorm=fn, its=its, history=history,
+                    reason=reason)
+
+    out = lax.while_loop(cond, body, dict(x=x, F=Fx, fnorm=fnorm,
+                                          its=jnp.int32(0), history=history,
+                                          reason=reason))
+    return SNESResult(out["x"], out["its"], out["reason"], out["fnorm"],
+                      out["history"])
+
+
+class SNES:
+    """Stateful wrapper mirroring the reference SNES lifecycle."""
+
+    def __init__(self, options=None, prefix: str = ""):
+        from petsctpu.core.options import Options
+        self.opts = (options or Options()).prefixed(prefix)
+        self.F = None
+        self.jac = None
+        self.pc_builder = None
+        self.axis = None
+
+    def set_function(self, F):
+        self.F = F
+        return self
+
+    def set_jacobian(self, jac):
+        self.jac = jac
+        return self
+
+    def set_pc_builder(self, pb):
+        self.pc_builder = pb
+        return self
+
+    def solve(self, x0) -> SNESResult:
+        o = self.opts
+        cfg = SNESConfig(
+            rtol=o.get_real("snes_rtol", 1e-8),
+            atol=o.get_real("snes_atol", 1e-50),
+            stol=o.get_real("snes_stol", 1e-8),
+            maxits=o.get_int("snes_max_it", 50),
+            linesearch=o.get_str("snes_linesearch_type", "bt"),
+            monitor=o.get_bool("snes_monitor", False),
+            jac="fd" if o.get_bool("snes_mf", False) else "jvp",
+        )
+        from petsctpu.ksp.api import config_from_options
+        ksp_cfg = config_from_options(o, KSPConfig(ksp_type="gmres",
+                                                   rtol=1e-5, maxits=200))
+        fn = jax.jit(lambda x0: snes_solve(
+            self.F, x0, jac=self.jac, pc_builder=self.pc_builder,
+            ksp_cfg=ksp_cfg, cfg=cfg, axis=self.axis))
+        return fn(x0)

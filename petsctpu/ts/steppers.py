@@ -1,0 +1,221 @@
+"""TS — time integration.
+
+Reference: src/ts (TSSolve ts.c:2388 → TSStep ts.c:2297; impls euler,
+rk (adaptive), ssp, theta — TSStep_Theta theta.c:151 solves the
+implicit stage with SNES; pseudo-timestepping src/ts/impls/pseudo;
+step adaptivity src/ts/adapt/impls/basic). Here the step loop is a
+`lax.while_loop` over (t, u, dt, step); implicit methods nest the
+SNES while_loop (which nests the KSP while_loop) — one XLA program
+integrates the whole horizon.
+
+Methods:
+  euler       u ← u + dt·F(t,u)
+  ssp         3-stage SSP-RK3 (Shu-Osher)
+  rk          Bogacki–Shampine 3(2) embedded pair w/ basic adaptor
+  theta       u ← u + dt[θF(t+dt,u⁺)+(1−θ)F(t,u)]  (BE: θ=1, CN: θ=½)
+  beuler/cn   aliases of theta
+  pseudo      pseudo-transient continuation with SER dt growth
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from petsctpu.ksp.common import KSPConfig
+from petsctpu.snes.api import SNESConfig, snes_solve
+from petsctpu.vec import ops
+
+
+@dataclass(frozen=True)
+class TSConfig:
+    ts_type: str = "euler"
+    t0: float = 0.0
+    dt: float = 0.01
+    max_steps: int = 1000
+    max_time: float = 1.0
+    theta: float = 1.0              # for theta method
+    endpoint: bool = False          # theta endpoint variant (CN = θ½+endpoint)
+    adapt: bool = False             # basic controller (rk only)
+    adapt_rtol: float = 1e-4
+    adapt_atol: float = 1e-4
+    adapt_clip: tuple = (0.1, 10.0)
+    monitor: bool = False
+    # pseudo-timestepping
+    pseudo_max_dt: float = 1e12
+    pseudo_fnorm_rtol: float = 1e-8
+    # inner nonlinear/linear solve settings for implicit methods
+    snes: SNESConfig = field(default_factory=lambda: SNESConfig(rtol=1e-8))
+    ksp: KSPConfig = field(default_factory=lambda: KSPConfig(
+        ksp_type="gmres", rtol=1e-6, maxits=200))
+
+
+class TSResult(NamedTuple):
+    u: jax.Array
+    t: jax.Array
+    steps: jax.Array
+    dt_final: jax.Array
+
+
+def _monitor(cfg, step, t, u):
+    if cfg.monitor:
+        jax.debug.callback(
+            lambda s, tt: print(f"TS step {int(s)} time {float(tt):g} "),
+            step, t, ordered=True)
+
+
+def ts_solve(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
+             axis: Optional[str] = None, **kw) -> TSResult:
+    """Integrate u' = rhs(t, u) from t0 until max_time/max_steps."""
+    cfg = replace(cfg or TSConfig(), **kw) if kw else (cfg or TSConfig())
+    t_type = cfg.ts_type
+    if t_type == "beuler":
+        cfg = replace(cfg, theta=1.0)
+        t_type = "theta"
+    elif t_type == "cn":
+        cfg = replace(cfg, theta=0.5, endpoint=True)
+        t_type = "theta"
+
+    dtype = u0.dtype
+
+    def euler_step(t, u, dt):
+        return u + dt * rhs(t, u), dt, dt
+
+    def ssp_step(t, u, dt):
+        # SSPRK3 (Shu–Osher)
+        u1 = u + dt * rhs(t, u)
+        u2 = 0.75 * u + 0.25 * (u1 + dt * rhs(t + dt, u1))
+        un = u / 3.0 + (2.0 / 3.0) * (u2 + dt * rhs(t + 0.5 * dt, u2))
+        return un, dt, dt
+
+    def rk_step(t, u, dt):
+        # Bogacki–Shampine 3(2)
+        k1 = rhs(t, u)
+        k2 = rhs(t + 0.5 * dt, u + 0.5 * dt * k1)
+        k3 = rhs(t + 0.75 * dt, u + 0.75 * dt * k2)
+        un = u + dt * (2.0 * k1 + 3.0 * k2 + 4.0 * k3) / 9.0
+        k4 = rhs(t + dt, un)
+        u2 = u + dt * (7.0 * k1 + 6.0 * k2 + 8.0 * k3 + 3.0 * k4) / 24.0
+        if not cfg.adapt:
+            return un, dt, dt
+        # basic controller (adapt/impls/basic): order-3 error estimate
+        err = ops.norm(un - u2, axis)
+        scale = ops.norm(un, axis) * cfg.adapt_rtol + cfg.adapt_atol
+        ratio = err / jnp.maximum(scale, 1e-30)
+        fac = jnp.clip(0.9 * ratio ** (-1.0 / 3.0),
+                       cfg.adapt_clip[0], cfg.adapt_clip[1])
+        accept = ratio <= 1.0
+        dt_next = dt * fac
+        un = jnp.where(accept, un, u)
+        dt_used = jnp.where(accept, dt, 0.0)
+        return un, dt_used, dt_next
+
+    def theta_step(t, u, dt):
+        th = cfg.theta
+        if cfg.endpoint:
+            # u⁺ = u + dt[(1−θ)F(t,u) + θF(t+dt,u⁺)]
+            known = u + dt * (1.0 - th) * rhs(t, u)
+
+            def G(v):
+                return v - known - dt * th * rhs(t + dt, v)
+        else:
+            # stage formulation (theta.c): solve at t+θdt then extrapolate
+            def G(v):
+                return v - u - dt * th * rhs(t + th * dt, v)
+        res = snes_solve(G, u, jac="jvp", cfg=cfg.snes, ksp_cfg=cfg.ksp,
+                         axis=axis)
+        v = res.x
+        if cfg.endpoint:
+            un = v
+        else:
+            un = u + (v - u) / th if th > 0 else v
+        return un, dt, dt
+
+    stepper = {"euler": euler_step, "ssp": ssp_step, "rk": rk_step,
+               "theta": theta_step}[t_type]
+
+    def cond(c):
+        t, u, dt, step = c
+        return (step < cfg.max_steps) & (t < cfg.max_time - 1e-14)
+
+    def body(c):
+        t, u, dt, step = c
+        dt_eff = jnp.minimum(dt, cfg.max_time - t)
+        un, dt_used, dt_next = stepper(t, u, dt_eff)
+        t = t + dt_used
+        step = step + 1
+        _monitor(cfg, step, t, un)
+        return (t, un, dt_next.astype(dtype), step)
+
+    t, u, dt, step = lax.while_loop(
+        cond, body, (jnp.asarray(cfg.t0, dtype), u0,
+                     jnp.asarray(cfg.dt, dtype), jnp.int32(0)))
+    return TSResult(u, t, step, dt)
+
+
+def ts_pseudo(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
+              axis: Optional[str] = None, **kw) -> TSResult:
+    """Pseudo-transient continuation to steady state (src/ts/impls/
+    pseudo): backward-Euler steps with SER dt growth
+    dt ← dt·‖F(u₀)‖/‖F(u)‖ until ‖F‖ drops by pseudo_fnorm_rtol."""
+    cfg = replace(cfg or TSConfig(), **kw) if kw else (cfg or TSConfig())
+    dtype = u0.dtype
+    f0 = ops.norm(rhs(0.0, u0), axis)
+
+    def cond(c):
+        t, u, dt, step, fnorm = c
+        return (step < cfg.max_steps) & (fnorm > cfg.pseudo_fnorm_rtol * f0)
+
+    def body(c):
+        t, u, dt, step, fnorm = c
+
+        def G(v):
+            return (v - u) / dt - rhs(t + dt, v)
+
+        res = snes_solve(G, u, jac="jvp", cfg=cfg.snes, ksp_cfg=cfg.ksp,
+                         axis=axis)
+        un = res.x
+        fn = ops.norm(rhs(t + dt, un), axis)
+        dt_next = jnp.clip(dt * fnorm / jnp.maximum(fn, 1e-30),
+                           0.0, cfg.pseudo_max_dt)
+        return (t + dt, un, dt_next.astype(dtype), step + 1, fn)
+
+    t, u, dt, step, fnorm = lax.while_loop(
+        cond, body, (jnp.asarray(cfg.t0, dtype), u0,
+                     jnp.asarray(cfg.dt, dtype), jnp.int32(0), f0))
+    return TSResult(u, t, step, dt)
+
+
+class TS:
+    """Stateful wrapper mirroring the reference TS lifecycle."""
+
+    def __init__(self, options=None, prefix: str = ""):
+        from petsctpu.core.options import Options
+        self.opts = (options or Options()).prefixed(prefix)
+        self.rhs = None
+        self.axis = None
+
+    def set_rhs_function(self, rhs):
+        self.rhs = rhs
+        return self
+
+    def solve(self, u0) -> TSResult:
+        o = self.opts
+        cfg = TSConfig(
+            ts_type=o.get_str("ts_type", "euler"),
+            dt=o.get_real("ts_dt", 0.01),
+            max_steps=o.get_int("ts_max_steps", 1000),
+            max_time=o.get_real("ts_max_time", 1.0),
+            theta=o.get_real("ts_theta_theta", 1.0),
+            endpoint=o.get_bool("ts_theta_endpoint", False),
+            adapt=o.get_str("ts_adapt_type", "none") != "none",
+            monitor=o.get_bool("ts_monitor", False),
+        )
+        solver = ts_pseudo if cfg.ts_type == "pseudo" else ts_solve
+        fn = jax.jit(lambda u0: solver(self.rhs, u0, cfg=cfg,
+                                       axis=self.axis))
+        return fn(u0)

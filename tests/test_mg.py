@@ -1,0 +1,165 @@
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from petsctpu.core.options import Options
+from petsctpu.dm import DA, Q1Interp, q1_interp_scipy
+from petsctpu.ksp import ksp_solve
+from petsctpu.mat import aij_from_scipy
+from petsctpu.models import ex2_system, laplacian_2d, poisson_3d
+from petsctpu.pc import make_pc
+from petsctpu.pc.gamg import aggregate, gamg_hierarchy, strength_graph
+
+
+class TestDA:
+    def test_hierarchy(self):
+        da = DA((33, 33))
+        c = da.coarsen()
+        assert c.grid == (17, 17)
+        assert c.refine().grid == (33, 33)
+        assert da.can_coarsen()
+
+    def test_ghosts_and_offsets(self):
+        da = DA((4, 4))
+        x = jnp.arange(16.0)
+        g = da.local_with_ghosts(x)
+        assert g.shape == (6, 6)
+        assert float(g[0, 0]) == 0.0 and float(g[1, 1]) == 0.0 + x[0]
+        offs = da.stencil_offsets()
+        assert (0, 0) in offs and len(offs) == 5
+        assert len(DA((4, 4), stencil_type="box").stencil_offsets()) == 9
+
+    def test_create_matrix(self):
+        da = DA((5, 5))
+        S = da.create_matrix()
+        assert S.shape == (25, 25)
+
+
+class TestQ1Interp:
+    def test_matches_scipy_2d(self):
+        fine, coarse = (9, 7), (5, 4)
+        P = Q1Interp(fine, coarse)
+        Ps = q1_interp_scipy(fine, coarse)
+        rng = np.random.default_rng(0)
+        xc = rng.standard_normal(20)
+        xf = rng.standard_normal(63)
+        np.testing.assert_allclose(np.asarray(P.mult(jnp.asarray(xc))),
+                                   Ps @ xc, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(P.multT(jnp.asarray(xf))),
+                                   Ps.T @ xf, rtol=1e-12)
+
+    def test_matches_scipy_3d(self):
+        fine, coarse = (5, 7, 9), (3, 4, 5)
+        P = Q1Interp(fine, coarse)
+        Ps = q1_interp_scipy(fine, coarse)
+        rng = np.random.default_rng(1)
+        xc = rng.standard_normal(60)
+        np.testing.assert_allclose(np.asarray(P.mult(jnp.asarray(xc))),
+                                   Ps @ xc, rtol=1e-12)
+
+    def test_constant_preserved(self):
+        P = Q1Interp((9, 9), (5, 5))
+        np.testing.assert_allclose(np.asarray(P.mult(jnp.ones(25))),
+                                   np.ones(81))
+
+
+class TestGeometricMG:
+    def test_cg_mg_2d(self):
+        m = 33
+        A, b, u = ex2_system(m, m)
+        da = DA((m, m))
+        Ad = aij_from_scipy(A)
+        pc = make_pc("mg", A=Ad, A_host=A,
+                     options=Options({"pc_mg_da": da}))
+        res = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="cg", rtol=1e-8)
+        assert res.converged
+        # MG must be mesh-independent-ish: few iterations
+        assert int(res.its) <= 10, int(res.its)
+        np.testing.assert_allclose(np.asarray(res.x), u, atol=1e-6)
+
+    def test_mg_iterations_mesh_independent(self):
+        its = []
+        for m in (17, 33):
+            A, b, u = ex2_system(m, m)
+            Ad = aij_from_scipy(A)
+            pc = make_pc("mg", A=Ad, A_host=A,
+                         options=Options({"pc_mg_da": DA((m, m))}))
+            res = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="cg",
+                            rtol=1e-8)
+            its.append(int(res.its))
+        assert abs(its[0] - its[1]) <= 2, its
+
+    def test_mg_3d(self):
+        m = 9
+        A = poisson_3d(m, m, m)
+        u = np.ones(m ** 3)
+        b = jnp.asarray(A @ u)
+        Ad = aij_from_scipy(A)
+        pc = make_pc("mg", A=Ad, A_host=A,
+                     options=Options({"pc_mg_da": DA((m, m, m))}))
+        res = ksp_solve(Ad, b, pc=pc, ksp_type="cg", rtol=1e-8)
+        assert res.converged and int(res.its) <= 10
+        np.testing.assert_allclose(np.asarray(res.x), u, atol=1e-6)
+
+    def test_w_cycle(self):
+        m = 17
+        A, b, u = ex2_system(m, m)
+        Ad = aij_from_scipy(A)
+        pc = make_pc("mg", A=Ad, A_host=A,
+                     options=Options({"pc_mg_da": DA((m, m)),
+                                      "pc_mg_cycle_type": "w"}))
+        res = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="cg", rtol=1e-8)
+        assert res.converged and int(res.its) <= 8
+
+
+class TestGAMG:
+    def test_strength_and_aggregate(self):
+        A = laplacian_2d(10, 10)
+        S = strength_graph(A, 0.0)
+        agg = aggregate(S)
+        na = agg.max() + 1
+        assert 0 < na < 100
+        assert np.all(agg >= 0)
+
+    def test_hierarchy_shrinks(self):
+        A = laplacian_2d(20, 20)
+        As, Ps = gamg_hierarchy(A, coarse_n=30)
+        assert len(As) >= 2
+        sizes = [M.shape[0] for M in As]
+        assert all(sizes[i] > sizes[i + 1] for i in range(len(sizes) - 1))
+        assert sizes[-1] <= 4 * 30
+
+    def test_cg_gamg_poisson(self):
+        m = 30
+        A, b, u = ex2_system(m, m)
+        Ad = aij_from_scipy(A)
+        pc = make_pc("gamg", A=Ad, A_host=A)
+        res = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="cg", rtol=1e-8)
+        assert res.converged
+        assert int(res.its) <= 20, int(res.its)
+        np.testing.assert_allclose(np.asarray(res.x), u, atol=1e-6)
+
+    def test_gamg_anisotropic_with_threshold(self):
+        # anisotropic operator: -u_xx - 1000 u_yy
+        m = 20
+        N = m * m
+        Ii = np.arange(N)
+        i, j = Ii // m, Ii % m
+        rows, cols, vals = [Ii], [Ii], [np.full(N, 2 + 2000.0)]
+        for cond, off, w in ((i > 0, -m, 1.0), (i < m - 1, m, 1.0),
+                             (j > 0, -1, 1000.0), (j < m - 1, 1, 1000.0)):
+            r = Ii[cond]
+            rows.append(r)
+            cols.append(r + off)
+            vals.append(np.full(len(r), -w))
+        A = sp.coo_matrix((np.concatenate(vals),
+                           (np.concatenate(rows), np.concatenate(cols))),
+                          shape=(N, N)).tocsr()
+        Ad = aij_from_scipy(A)
+        pc = make_pc("gamg", A=Ad, A_host=A,
+                     options=Options({"pc_gamg_threshold": "0.1"}))
+        xex = np.random.default_rng(2).standard_normal(N)
+        b = jnp.asarray(A @ xex)
+        res = ksp_solve(Ad, b, pc=pc, ksp_type="cg", rtol=1e-8, maxits=100)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x), xex, atol=1e-5)

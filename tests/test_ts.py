@@ -1,0 +1,101 @@
+import jax.numpy as jnp
+import numpy as np
+
+from petsctpu.ts import TS, TSConfig, ts_solve
+from petsctpu.ts.steppers import ts_pseudo
+
+
+def decay_rhs(t, u):
+    return -u
+
+
+class TestExplicit:
+    def test_euler_order1(self):
+        u0 = jnp.asarray([1.0])
+        errs = []
+        for dt in (0.01, 0.005):
+            r = ts_solve(decay_rhs, u0, ts_type="euler", dt=dt, max_time=1.0,
+                         max_steps=100000)
+            errs.append(abs(float(r.u[0]) - np.exp(-1.0)))
+        assert errs[0] / errs[1] > 1.8      # first order
+
+    def test_ssp_order3(self):
+        u0 = jnp.asarray([1.0])
+        errs = []
+        for dt in (0.1, 0.05):
+            r = ts_solve(decay_rhs, u0, ts_type="ssp", dt=dt, max_time=1.0)
+            errs.append(abs(float(r.u[0]) - np.exp(-1.0)))
+        assert errs[0] / errs[1] > 6.0      # ~third order
+
+    def test_rk_adaptive(self):
+        # stiff-ish oscillator; adaptivity changes dt and stays accurate
+        def rhs(t, u):
+            return jnp.stack([u[1], -25.0 * u[0]])
+
+        u0 = jnp.asarray([1.0, 0.0])
+        r = ts_solve(rhs, u0, ts_type="rk", dt=0.05, max_time=1.0,
+                     adapt=True, adapt_rtol=1e-6, adapt_atol=1e-8,
+                     max_steps=10000)
+        ref = np.cos(5.0 * float(r.t))
+        np.testing.assert_allclose(float(r.u[0]), ref, atol=1e-4)
+
+    def test_exact_final_time(self):
+        r = ts_solve(decay_rhs, jnp.asarray([1.0]), ts_type="euler", dt=0.3,
+                     max_time=1.0, max_steps=100)
+        np.testing.assert_allclose(float(r.t), 1.0, atol=1e-12)
+
+
+class TestImplicit:
+    def test_backward_euler_stable_stiff(self):
+        # u' = -1000u: explicit euler at dt=0.01 explodes; BE is fine
+        def rhs(t, u):
+            return -1000.0 * u
+
+        u0 = jnp.asarray([1.0])
+        r = ts_solve(rhs, u0, ts_type="beuler", dt=0.01, max_time=0.1)
+        assert float(jnp.abs(r.u[0])) < 1.0
+        assert np.isfinite(float(r.u[0]))
+
+    def test_cn_order2(self):
+        u0 = jnp.asarray([1.0])
+        errs = []
+        for dt in (0.1, 0.05):
+            r = ts_solve(decay_rhs, u0, ts_type="cn", dt=dt, max_time=1.0)
+            errs.append(abs(float(r.u[0]) - np.exp(-1.0)))
+        assert errs[0] / errs[1] > 3.5      # second order
+
+    def test_theta_nonlinear(self):
+        # logistic u' = u(1-u), exact solution known
+        def rhs(t, u):
+            return u * (1.0 - u)
+
+        u0 = jnp.asarray([0.1])
+        r = ts_solve(rhs, u0, ts_type="cn", dt=0.05, max_time=2.0)
+        exact = 0.1 * np.exp(2.0) / (1 - 0.1 + 0.1 * np.exp(2.0))
+        np.testing.assert_allclose(float(r.u[0]), exact, atol=1e-4)
+
+
+class TestPseudo:
+    def test_steady_state(self):
+        # steady state of u' = -(u - sin(x)) is u = sin(x)
+        x = jnp.linspace(0, np.pi, 20)
+        target = jnp.sin(x)
+
+        def rhs(t, u):
+            return -(u - target)
+
+        r = ts_pseudo(rhs, jnp.zeros(20), dt=0.1, max_steps=100,
+                      pseudo_fnorm_rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(r.u), np.asarray(target),
+                                   atol=1e-8)
+
+
+class TestTSObject:
+    def test_options_driven(self):
+        from petsctpu.core.options import Options
+        ts = TS(options=Options({"ts_type": "ssp", "ts_dt": "0.05",
+                                 "ts_max_time": "1.0"}))
+        ts.set_rhs_function(decay_rhs)
+        r = ts.solve(jnp.asarray([2.0]))
+        np.testing.assert_allclose(float(r.u[0]), 2 * np.exp(-1.0),
+                                   atol=1e-4)
