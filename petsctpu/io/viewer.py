@@ -1,0 +1,128 @@
+"""Checkpoint / viewer I/O.
+
+Reference: binary viewers (src/sys/classes/viewer/impls/binary/
+binv.c:693 PetscViewerBinaryOpen; VecLoad_Binary vecio.c:41; MatLoad
+matrix.c:924). Two on-disk formats:
+
+  * native .npz — CSR triplets + metadata, the framework's own
+    checkpoint format (deterministic layout so resumed solves continue
+    identically);
+  * the reference's big-endian PETSc binary format (classid-tagged:
+    MAT 1211216, VEC 1211214) for direct interop with reference-
+    generated matrices/vectors (the ex10 DATAFILESPATH workflow).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import scipy.sparse as sp
+
+MAT_CLASSID = 1211216
+VEC_CLASSID = 1211214
+
+
+# ---------------------------------------------------------------------------
+# native npz checkpoints
+# ---------------------------------------------------------------------------
+def save_vec(path: str, x) -> None:
+    np.savez_compressed(path, kind="vec", data=np.asarray(x))
+
+
+def load_vec(path: str) -> np.ndarray:
+    z = np.load(path, allow_pickle=False)
+    assert str(z["kind"]) == "vec", f"{path} is not a vec checkpoint"
+    return z["data"]
+
+
+def save_mat(path: str, A) -> None:
+    A = sp.csr_matrix(A)
+    np.savez_compressed(path, kind="mat", shape=np.asarray(A.shape),
+                        indptr=A.indptr, indices=A.indices, data=A.data)
+
+
+def load_mat(path: str) -> sp.csr_matrix:
+    z = np.load(path, allow_pickle=False)
+    assert str(z["kind"]) == "mat", f"{path} is not a mat checkpoint"
+    return sp.csr_matrix((z["data"], z["indices"], z["indptr"]),
+                         shape=tuple(z["shape"]))
+
+
+def save_system(path: str, A, b=None, x=None) -> None:
+    """ex10-style system checkpoint (matrix + optional rhs/solution)."""
+    A = sp.csr_matrix(A)
+    payload = dict(kind="system", shape=np.asarray(A.shape),
+                   indptr=A.indptr, indices=A.indices, data=A.data)
+    if b is not None:
+        payload["b"] = np.asarray(b)
+    if x is not None:
+        payload["x"] = np.asarray(x)
+    np.savez_compressed(path, **payload)
+
+
+def load_system(path: str):
+    z = np.load(path, allow_pickle=False)
+    assert str(z["kind"]) == "system"
+    A = sp.csr_matrix((z["data"], z["indices"], z["indptr"]),
+                      shape=tuple(z["shape"]))
+    b = z["b"] if "b" in z else None
+    x = z["x"] if "x" in z else None
+    return A, b, x
+
+
+# ---------------------------------------------------------------------------
+# PETSc binary format (big-endian), for reference interop
+# ---------------------------------------------------------------------------
+def petsc_binary_write_mat(path: str, A) -> None:
+    """MatView binary layout: classid, m, n, nnz, rownnz[m],
+    colidx[nnz] (int32 BE), values[nnz] (float64 BE)."""
+    A = sp.csr_matrix(A)
+    A.sort_indices()
+    m, n = A.shape
+    with open(path, "wb") as f:
+        header = np.array([MAT_CLASSID, m, n, A.nnz], dtype=">i4")
+        f.write(header.tobytes())
+        f.write(np.diff(A.indptr).astype(">i4").tobytes())
+        f.write(A.indices.astype(">i4").tobytes())
+        f.write(A.data.astype(">f8").tobytes())
+
+
+def petsc_binary_read_mat(path: str) -> sp.csr_matrix:
+    with open(path, "rb") as f:
+        classid, m, n, nnz = np.frombuffer(f.read(16), dtype=">i4")
+        assert classid == MAT_CLASSID, f"not a PETSc Mat file ({classid})"
+        rownnz = np.frombuffer(f.read(4 * m), dtype=">i4")
+        indices = np.frombuffer(f.read(4 * nnz), dtype=">i4")
+        data = np.frombuffer(f.read(8 * nnz), dtype=">f8")
+    indptr = np.concatenate([[0], np.cumsum(rownnz)]).astype(np.int64)
+    return sp.csr_matrix((data.astype(np.float64),
+                          indices.astype(np.int64), indptr), shape=(m, n))
+
+
+def petsc_binary_write_vec(path: str, x) -> None:
+    x = np.asarray(x, dtype=np.float64)
+    with open(path, "wb") as f:
+        f.write(np.array([VEC_CLASSID, len(x)], dtype=">i4").tobytes())
+        f.write(x.astype(">f8").tobytes())
+
+
+def petsc_binary_read_vec(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        classid, n = np.frombuffer(f.read(8), dtype=">i4")
+        assert classid == VEC_CLASSID, f"not a PETSc Vec file ({classid})"
+        return np.frombuffer(f.read(8 * n), dtype=">f8").astype(np.float64)
+
+
+def load_any_matrix(path: str):
+    """Dispatch loader: .npz (native), .mtx/.mtx.gz (MatrixMarket),
+    anything else: PETSc binary."""
+    if path.endswith(".npz"):
+        z = np.load(path, allow_pickle=False)
+        if str(z["kind"]) == "system":
+            return load_system(path)[0]
+        return load_mat(path)
+    if path.endswith((".mtx", ".mtx.gz")):
+        from scipy.io import mmread
+        return sp.csr_matrix(mmread(path))
+    return petsc_binary_read_mat(path)

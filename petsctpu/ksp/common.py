@@ -76,14 +76,36 @@ def check_convergence(rnorm, rnorm0, its, cfg: KSPConfig):
     return reason.astype(jnp.int32)
 
 
+def _fmt_short(rnorm):
+    """KSPMonitorDefaultShort formatting (iterativ.c): %g above 1e-9,
+    %5.3e down to 1e-11, then the literal '< 1.e-11'."""
+    r = float(rnorm)
+    if r > 1e-9:
+        return f"{r:g}"
+    if r > 1e-11:
+        return f"{r:5.3e}"
+    return "< 1.e-11"
+
+
 def _monitor_print(its, rnorm):
-    print(f"{int(its):3d} KSP Residual norm {float(rnorm):g} ")
+    print(f"{int(its):3d} KSP Residual norm {_fmt_short(rnorm)} ")
+
+
+def _monitor_print_if(pred, its, rnorm):
+    if bool(pred):
+        print(f"{int(its):3d} KSP Residual norm {_fmt_short(rnorm)} ")
 
 
 def monitor_cb(cfg: KSPConfig, its, rnorm):
     """Stream per-iteration residuals to the host (-ksp_monitor analog)."""
     if cfg.monitor:
         jax.debug.callback(_monitor_print, its, rnorm, ordered=True)
+
+
+def monitor_cb_if(cfg: KSPConfig, pred, its, rnorm):
+    """Monitor gated by a traced predicate (e.g. only at first cycle)."""
+    if cfg.monitor:
+        jax.debug.callback(_monitor_print_if, pred, its, rnorm, ordered=True)
 
 
 def record(history, its, rnorm):

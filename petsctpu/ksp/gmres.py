@@ -24,7 +24,7 @@ from petsctpu.core.errors import ConvergedReason
 from petsctpu.ksp.common import (
     KSPConfig, SolveResult, NORM_NONE, NORM_PRECONDITIONED,
     NORM_UNPRECONDITIONED, apply_pc, check_convergence, init_history,
-    monitor_cb, record,
+    monitor_cb, monitor_cb_if, record,
 )
 from petsctpu.vec import ops
 
@@ -124,6 +124,7 @@ def _gmres_generic(A, b, x0, pc, cfg: KSPConfig, axis, flexible: bool):
         first = c["its"] == 0
         rnorm0 = jnp.where(first, beta, c["rnorm0"])
         history = jnp.where(first, record(c["history"], 0, beta), c["history"])
+        monitor_cb_if(cfg, first, jnp.int32(0), beta)
         reason = jnp.where(first,
                            check_convergence(beta, rnorm0, jnp.int32(0), cfg),
                            c["reason"])

@@ -1,0 +1,95 @@
+"""Golden-output parity with the reference's regression outputs.
+
+The reference tests by diffing example output against checked-in
+golden files (SURVEY.md §4; e.g. src/ksp/ksp/examples/tutorials/
+makefile:317-321 runs ex2 and diffs output/ex2_1.out). These tests
+reproduce the same runs and compare residual histories / iteration
+counts — "bit-for-iteration" parity in fp64.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+from petsctpu.core.options import Options
+from petsctpu.ksp import ksp_solve
+from petsctpu.mat import aij_from_scipy
+from petsctpu.models import ex2_system
+from petsctpu.pc import make_pc
+
+
+def tridiag_ex1(n=10):
+    """ex1.c: tridiag(-1,2,-1), u=ones, b=A·u."""
+    A = sp.diags([-np.ones(n - 1), 2 * np.ones(n), -np.ones(n - 1)],
+                 [-1, 0, 1]).tocsr()
+    u = np.ones(n)
+    return A, A @ u, u
+
+
+class TestGoldenOutputs:
+    def test_ex2_1_gmres_ilu(self):
+        """output/ex2_1.out: -m 5 -n 5, GMRES+ILU(0), refine_always."""
+        A, b, u = ex2_system(5, 5)
+        Ad = aij_from_scipy(A)
+        pc = make_pc("ilu", A=Ad, A_host=A)
+        r = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="gmres",
+                      rtol=1e-2 / 36, atol=1e-50, cgs_refine="always")
+        golden = [3.21109, 0.93268, 0.103515, 0.00787798, 0.000387275]
+        assert int(r.its) == 4
+        np.testing.assert_allclose(np.asarray(r.history[:5]), golden,
+                                   rtol=2e-5)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(r.x) - u), 0.000392701, rtol=1e-4)
+
+    def test_ex2_3_gmres_ssor(self):
+        """output/ex2_3.out: default 8x7 grid, -pc_type sor
+        -pc_sor_symmetric."""
+        A, b, u = ex2_system(8, 7)
+        Ad = aij_from_scipy(A)
+        pc = make_pc("sor", A=Ad, A_host=A,
+                     options=Options({"pc_sor_symmetric": None}))
+        r = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="gmres",
+                      rtol=1e-2 / 72, atol=1e-50, cgs_refine="always")
+        golden = [2.98499, 1.13133, 0.575925, 0.108871, 0.0213225,
+                  0.00325239, 0.000874208, 0.000179613]
+        assert int(r.its) == 7
+        np.testing.assert_allclose(np.asarray(r.history[:8]), golden,
+                                   rtol=2e-5)
+
+    def test_ex1_1_gmres_jacobi(self):
+        """output/ex1_1.out: tridiagonal n=10, GMRES+Jacobi, rtol 1e-5."""
+        A, b, u = tridiag_ex1()
+        Ad = aij_from_scipy(A)
+        pc = make_pc("jacobi", A=Ad)
+        r = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="gmres",
+                      rtol=1e-5, atol=1e-50, cgs_refine="always")
+        golden = [0.707107, 0.316228, 0.188982, 0.129099, 0.0953463]
+        assert int(r.its) == 5
+        np.testing.assert_allclose(np.asarray(r.history[:5]), golden,
+                                   rtol=2e-5)
+        # 5th residual is exact-convergence tiny ("< 1.e-11" in golden)
+        assert float(r.history[5]) < 1e-11
+
+    def test_ex2_1_exact_output_text(self, capsys):
+        """Character-level diff of the monitor stream vs output/ex2_1.out
+        (the reference's own regression check)."""
+        import jax
+
+        A, b, u = ex2_system(5, 5)
+        Ad = aij_from_scipy(A)
+        pc = make_pc("ilu", A=Ad, A_host=A)
+        r = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="gmres",
+                      rtol=1e-2 / 36, atol=1e-50, cgs_refine="always",
+                      monitor=True)
+        jax.effects_barrier()
+        err = np.linalg.norm(np.asarray(r.x) - u)
+        out = capsys.readouterr().out
+        out += f"Norm of error {err:g} iterations {int(r.its)}\n"
+        golden = (
+            "  0 KSP Residual norm 3.21109 \n"
+            "  1 KSP Residual norm 0.93268 \n"
+            "  2 KSP Residual norm 0.103515 \n"
+            "  3 KSP Residual norm 0.00787798 \n"
+            "  4 KSP Residual norm 0.000387275 \n"
+            "Norm of error 0.000392701 iterations 4\n")
+        assert out == golden
