@@ -65,6 +65,45 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
         _require_host(A_host, "gamg")
         from petsctpu.pc.gamg import make_gamg
         return make_gamg(A_host, dtype=dt, options=opts)
+    if pc_type == "asm" or pc_type == "gasm":
+        _require_host(A_host, "asm")
+        from petsctpu.pc.asm import make_asm
+        return make_asm(A_host, dtype=dt, options=opts)
+    if pc_type == "fieldsplit":
+        _require_host(A_host, "fieldsplit")
+        from petsctpu.pc.fieldsplit import make_fieldsplit
+        fields = opts.get("pc_fieldsplit_fields")
+        if fields is None:
+            raise ValueError("pc_type=fieldsplit needs options key "
+                             "'pc_fieldsplit_fields' (list of 2 IS)")
+        return make_fieldsplit(A_host, fields, options=opts, dtype=dt)
+    if pc_type == "ksp":
+        from petsctpu.pc.composite import KSPPC
+        from petsctpu.ksp.api import config_from_options
+        from petsctpu.ksp.common import KSPConfig
+        inner = opts.prefixed("ksp_")
+        icfg = config_from_options(inner, KSPConfig(ksp_type="gmres",
+                                                    rtol=1e-2, maxits=20))
+        ipc_type = inner.get_str("pc_type", "jacobi")
+        ipc = make_pc(ipc_type, A=A, A_host=A_host, options=inner, axis=axis)
+        return KSPPC(A, ipc, icfg, axis)
+    if pc_type == "composite":
+        from petsctpu.pc.composite import CompositePC
+        names = opts.get_str("pc_composite_pcs", "jacobi,sor").split(",")
+        mode = opts.get_str("pc_composite_type", "additive")
+        pcs = tuple(make_pc(nm.strip(), A=A, A_host=A_host,
+                            options=opts.prefixed(f"sub_{i}_"), axis=axis)
+                    for i, nm in enumerate(names))
+        return CompositePC(pcs, A, mode)
+    if pc_type == "mat":
+        from petsctpu.pc.composite import MatPC
+        return MatPC(opts.get("pc_mat_operator") or A)
+    if pc_type == "redundant":
+        # serial semantics: every rank solves the full system → exact LU
+        # (src/ksp/pc/impls/redundant); the subcomm variant arrives with
+        # multi-host meshes
+        _require_host(A_host, "redundant")
+        return make_lu(A_host, dtype=dt)
     if pc_type == "sor":
         _require_host(A_host, "sor")
         return make_sor(

@@ -1,0 +1,185 @@
+"""PCFieldSplit — physics-based block preconditioning.
+
+Reference: src/ksp/pc/impls/fieldsplit/fieldsplit.c (PCApply_FieldSplit
+:829; Schur path :744). Fields are index sets; the operator is split
+into blocks A00/A01/A10/A11 at setup (host scipy), each with its own
+sub-preconditioner configured under the `fieldsplit_<k>_` options
+prefix — the reference's recursive-composition UX.
+
+Types: additive (block diagonal), multiplicative (block Gauss-Seidel),
+symmetric_multiplicative, schur (factorization diag|lower|upper|full
+with S = A11 − A10·Ã00⁻¹·A01 applied matrix-free; the Schur solve is
+an inner Krylov loop with an A11-based preconditioner — the
+reference's `-pc_fieldsplit_schur_precondition a11` default).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from petsctpu.core.options import Options
+from petsctpu.ksp.common import KSPConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class _SchurOp:
+    """S v = A11 v − A10 (inner-solve A00) A01 v."""
+
+    A00: Any
+    A01: Any
+    A10: Any
+    A11: Any
+    pc0: Any
+    cfg0: KSPConfig = field(metadata=dict(static=True),
+                            default_factory=lambda: KSPConfig(
+                                ksp_type="preonly"))
+    axis: str = field(metadata=dict(static=True), default=None)
+
+    @property
+    def shape(self):
+        return self.A11.shape
+
+    def _solve0(self, r):
+        from petsctpu.ksp.api import KSP_REGISTRY
+        if self.cfg0.ksp_type == "preonly":
+            return self.pc0.apply(r) if self.pc0 is not None else r
+        fn = KSP_REGISTRY[self.cfg0.ksp_type]
+        return fn(self.A00, r, jnp.zeros_like(r), self.pc0, self.cfg0,
+                  self.axis).x
+
+    def mult(self, v):
+        return self.A11.mult(v) - self.A10.mult(self._solve0(self.A01.mult(v)))
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class FieldSplitPC:
+    isa: jax.Array                 # indices of field 0
+    isb: jax.Array                 # indices of field 1 (2-field case)
+    A00: Any
+    A01: Any
+    A10: Any
+    A11: Any
+    pc0: Any                       # sub-PC for A00
+    pc1: Any                       # sub-PC for A11 (also Schur PC)
+    n: int = field(metadata=dict(static=True))
+    fs_type: str = field(metadata=dict(static=True), default="additive")
+    schur_fact: str = field(metadata=dict(static=True), default="full")
+    cfg0: KSPConfig = field(metadata=dict(static=True),
+                            default_factory=lambda: KSPConfig(
+                                ksp_type="preonly"))
+    schur_cfg: KSPConfig = field(metadata=dict(static=True),
+                                 default_factory=lambda: KSPConfig(
+                                     ksp_type="gmres", rtol=1e-9,
+                                     maxits=100))
+    axis: str = field(metadata=dict(static=True), default=None)
+
+    # -- helpers ---------------------------------------------------------
+    def _gather(self, x):
+        return x[self.isa], x[self.isb]
+
+    def _scatter(self, ya, yb):
+        y = jnp.zeros(self.n, ya.dtype)
+        return y.at[self.isa].set(ya).at[self.isb].set(yb)
+
+    def _solve0(self, r):
+        from petsctpu.ksp.api import KSP_REGISTRY
+        if self.cfg0.ksp_type == "preonly":
+            return self.pc0.apply(r) if self.pc0 is not None else r
+        fn = KSP_REGISTRY[self.cfg0.ksp_type]
+        return fn(self.A00, r, jnp.zeros_like(r), self.pc0, self.cfg0,
+                  self.axis).x
+
+    def _solve1(self, r):
+        return self.pc1.apply(r) if self.pc1 is not None else r
+
+    def _solve_schur(self, r):
+        from petsctpu.ksp.api import KSP_REGISTRY
+        S = _SchurOp(self.A00, self.A01, self.A10, self.A11, self.pc0,
+                     self.cfg0, self.axis)
+        fn = KSP_REGISTRY[self.schur_cfg.ksp_type]
+        return fn(S, r, jnp.zeros_like(r), self.pc1, self.schur_cfg,
+                  self.axis).x
+
+    # -- apply -----------------------------------------------------------
+    def apply(self, x):
+        xa, xb = self._gather(x)
+        t = self.fs_type
+        if t == "additive":
+            return self._scatter(self._solve0(xa), self._solve1(xb))
+        if t in ("multiplicative", "symmetric_multiplicative"):
+            ya = self._solve0(xa)
+            # update residual of field 1: xb − A10 ya
+            yb = self._solve1(xb - self.A10.mult(ya))
+            if t == "symmetric_multiplicative":
+                ya = self._solve0(xa - self.A01.mult(yb))
+            return self._scatter(ya, yb)
+        if t == "schur":
+            f = self.schur_fact
+            if f == "diag":
+                # reference sign convention: diag factorization uses −S
+                return self._scatter(self._solve0(xa),
+                                     -self._solve_schur(xb))
+            if f == "lower":
+                ya = self._solve0(xa)
+                yb = self._solve_schur(xb - self.A10.mult(ya))
+                return self._scatter(ya, yb)
+            if f == "upper":
+                yb = self._solve_schur(xb)
+                ya = self._solve0(xa - self.A01.mult(yb))
+                return self._scatter(ya, yb)
+            # full
+            ya_t = self._solve0(xa)
+            yb = self._solve_schur(xb - self.A10.mult(ya_t))
+            ya = ya_t - self._solve0(self.A01.mult(yb))
+            return self._scatter(ya, yb)
+        raise ValueError(f"unknown fieldsplit type {self.fs_type}")
+
+
+def make_fieldsplit(A_host, fields, options: Options = None, dtype=None,
+                    A_dev=None):
+    """Build a 2-field FieldSplitPC from index sets (PCFieldSplitSetIS
+    analog). Sub-PC types come from fieldsplit_0_pc_type /
+    fieldsplit_1_pc_type (defaults: lu / jacobi-for-schur, lu else)."""
+    import scipy.sparse as sp
+
+    from petsctpu.mat.ell import aij_from_scipy
+    from petsctpu.pc.api import make_pc
+
+    opts = options or Options()
+    assert len(fields) == 2, "2-field splits supported (nest for more)"
+    ia = np.asarray(fields[0].indices if hasattr(fields[0], "indices")
+                    else fields[0], dtype=np.int64)
+    ib = np.asarray(fields[1].indices if hasattr(fields[1], "indices")
+                    else fields[1], dtype=np.int64)
+    A = sp.csr_matrix(A_host)
+    A00 = A[np.ix_(ia, ia)].tocsr()
+    A01 = A[np.ix_(ia, ib)].tocsr()
+    A10 = A[np.ix_(ib, ia)].tocsr()
+    A11 = A[np.ix_(ib, ib)].tocsr()
+
+    fs_type = opts.get_str("pc_fieldsplit_type", "additive")
+    schur_fact = opts.get_str("pc_fieldsplit_schur_fact_type", "full")
+
+    d0 = aij_from_scipy(A00, dtype=dtype)
+    d1 = aij_from_scipy(A11, dtype=dtype)
+    pc0_type = opts.prefixed("fieldsplit_0_").get_str("pc_type", "lu")
+    pc1_default = "jacobi" if fs_type == "schur" else "lu"
+    pc1_type = opts.prefixed("fieldsplit_1_").get_str("pc_type", pc1_default)
+    pc0 = make_pc(pc0_type, A=d0, A_host=A00,
+                  options=opts.prefixed("fieldsplit_0_"))
+    pc1 = make_pc(pc1_type, A=d1, A_host=A11,
+                  options=opts.prefixed("fieldsplit_1_"))
+
+    return FieldSplitPC(
+        isa=jnp.asarray(ia, jnp.int32), isb=jnp.asarray(ib, jnp.int32),
+        A00=d0, A01=aij_from_scipy(A01, dtype=dtype),
+        A10=aij_from_scipy(A10, dtype=dtype), A11=d1,
+        pc0=pc0, pc1=pc1, n=A.shape[0], fs_type=fs_type,
+        schur_fact=schur_fact)
