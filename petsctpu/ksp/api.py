@@ -24,8 +24,14 @@ from petsctpu.ksp.gmres import solve_gmres, solve_fgmres
 from petsctpu.ksp.bcgs import solve_bcgs, solve_cgsq, solve_bicg
 from petsctpu.ksp.cheby import solve_chebyshev, solve_richardson, solve_preonly
 from petsctpu.ksp.minres import solve_minres, solve_lsqr
+from petsctpu.ksp.extra import solve_cr, solve_tfqmr, solve_cgne, solve_fbcgs
 
 KSP_REGISTRY = {
+    "cr": solve_cr,
+    "pipecr": solve_cr,        # fused-reduction CR (same TPU structure)
+    "tfqmr": solve_tfqmr,
+    "cgne": solve_cgne,
+    "fbcgs": solve_fbcgs,
     "cg": solve_cg,
     "pipecg": solve_pipecg,
     "groppcg": solve_pipecg,    # same single-reduction structure on TPU
@@ -93,9 +99,28 @@ def ksp_solve(A, b, x0=None, pc=None, axis: Optional[str] = None,
     if x0 is None:
         x0 = jnp.zeros(A.shape[1], b.dtype)
     run = _compiled(cfg.ksp_type, cfg, axis)
-    nnz = getattr(A, "nnz", 0)
     with log_event(f"KSPSolve[{cfg.ksp_type}]"):
-        return run(A, b, x0, pc)
+        res = run(A, b, x0, pc)
+    _log_solve_flops(A, b, cfg, res)
+    return res
+
+
+def _log_solve_flops(A, b, cfg, res) -> None:
+    """Post-hoc analytic flop model (reference convention: SpMV counts
+    2·nnz − nrows, aij.c:1219; plus ~10n of vector work per iteration)."""
+    from petsctpu.core import logging as plog
+
+    if not plog.log_enabled():
+        return
+    try:
+        its = int(res.its)
+    except Exception:
+        return   # still traced (inside jit) — skip host accounting
+    spmv = getattr(A, "flops_per_mult", lambda: 0.0)()
+    n = b.shape[0]
+    plog.log_flops(f"KSPSolve[{cfg.ksp_type}]",
+                   flops=its * (spmv + 10.0 * n))
+    plog.log_flops("MatMult", flops=its * spmv)
 
 
 class KSP:
@@ -143,5 +168,33 @@ class KSP:
     def solve(self, b, x0=None) -> SolveResult:
         self.set_from_options()
         self.setup()
-        return ksp_solve(self.A, b, x0=x0, pc=self.pc, axis=self.axis,
-                         cfg=self.cfg)
+        res = ksp_solve(self.A, b, x0=x0, pc=self.pc, axis=self.axis,
+                        cfg=self.cfg)
+        if self.opts.get_bool("ksp_view", False):
+            print(self.view())
+        return res
+
+    def view(self) -> str:
+        """-ksp_view analog: textual solver configuration (itfunc.c
+        KSPView / PCView output shape)."""
+        c = self.cfg
+        lines = ["KSP Object: 1 MPI processes", f"  type: {c.ksp_type}"]
+        if "gmres" in c.ksp_type:
+            orth = ("Classical (unmodified) Gram-Schmidt"
+                    if c.orth == "cgs" else "Modified Gram-Schmidt")
+            refine = {"never": "no", "always": "one step of",
+                      "ifneeded": "as-needed"}.get(c.cgs_refine, "no")
+            lines.append(f"    GMRES: restart={c.restart}, using {orth} "
+                         f"Orthogonalization with {refine} iterative "
+                         "refinement")
+        lines.append(f"  maximum iterations={c.maxits}, initial guess is "
+                     + ("nonzero" if c.guess_nonzero else "zero"))
+        lines.append(f"  tolerances:  relative={c.rtol:g}, "
+                     f"absolute={c.atol:g}, divergence={c.divtol:g}")
+        lines.append("  left preconditioning")
+        nt = c.norm_type or ("unpreconditioned" if c.ksp_type in
+                             ("fgmres", "fbcgs", "lsqr") else "preconditioned")
+        lines.append(f"  using {nt.upper()} norm type for convergence test")
+        lines.append("PC Object: 1 MPI processes")
+        lines.append(f"  type: {type(self.pc).__name__ if self.pc is not None else 'none'}")
+        return "\n".join(lines)

@@ -1,0 +1,51 @@
+import jax.numpy as jnp
+import numpy as np
+
+from petsctpu.core import logging as plog
+from petsctpu.ksp import KSP, ksp_solve
+from petsctpu.mat import aij_from_scipy
+from petsctpu.models import ex2_system
+from petsctpu.pc import make_pc
+
+
+class TestLogSummary:
+    def test_events_and_flops_recorded(self):
+        A, b, u = ex2_system(6, 6)
+        Ad = aij_from_scipy(A)
+        plog.log_begin()
+        res = ksp_solve(Ad, jnp.asarray(b), pc=make_pc("jacobi", A=Ad),
+                        ksp_type="cg", rtol=1e-8)
+        table = plog.log_view()
+        assert "KSPSolve[cg]" in table
+        assert "MatMult" in table
+        ev = plog._state.events[("Main", "KSPSolve[cg]")]
+        assert ev.count == 1
+        assert ev.time > 0
+        assert ev.flops > 0
+        plog._state.enabled = False
+
+    def test_stages(self):
+        plog.log_begin()
+        plog.stage_push("Assembly")
+        with plog.log_event("MatSetValues"):
+            pass
+        plog.stage_pop()
+        with plog.log_event("Solve"):
+            pass
+        t = plog.log_view()
+        assert "stage: Assembly" in t and "stage: Main" in t
+        plog._state.enabled = False
+
+    def test_ksp_view(self, capsys):
+        from petsctpu.core.options import Options
+        A, b, u = ex2_system(5, 5)
+        Ad = aij_from_scipy(A)
+        ksp = KSP(options=Options({"ksp_view": None, "pc_type": "ilu"}))
+        ksp.set_operators(Ad, A_host=A)
+        ksp.solve(jnp.asarray(b))
+        out = capsys.readouterr().out
+        assert "KSP Object" in out
+        assert "type: gmres" in out
+        assert "GMRES: restart=30" in out
+        assert "left preconditioning" in out
+        assert "PC Object" in out
