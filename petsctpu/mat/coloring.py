@@ -20,9 +20,18 @@ def greedy_color(A) -> np.ndarray:
     row-col graph)."""
     A = sp.csc_matrix(A)
     n = A.shape[1]
+    Acsr = A.tocsr()
+
+    from petsctpu import native
+    if native.available():
+        return native.greedy_color(Acsr.indptr.astype(np.int64),
+                                   Acsr.indices.astype(np.int32),
+                                   A.indptr.astype(np.int64),
+                                   A.indices.astype(np.int32),
+                                   A.shape[0], n)
+
     color = np.full(n, -1, dtype=np.int32)
     # column j conflicts with all columns appearing in rows of column j
-    Acsr = A.tocsr()
     for j in range(n):
         rows = A.indices[A.indptr[j]:A.indptr[j + 1]]
         used = set()

@@ -32,11 +32,21 @@ def ilu0(A) -> tuple:
     """ILU(0): LU restricted to the sparsity pattern of A.
 
     Returns (L, U) scipy CSR with L unit-lower (diag not stored) and U
-    upper including diagonal. Standard IKJ algorithm."""
+    upper including diagonal. IKJ algorithm; the numeric loop runs in
+    the native C++ kernel when available (native/petsctpu_native.cpp),
+    mirroring the reference's C MatLUFactorNumeric_SeqAIJ."""
     A = sp.csr_matrix(A, copy=True)
     A.sort_indices()
     n = A.shape[0]
     ai, aj, av = A.indptr, A.indices, A.data
+
+    from petsctpu import native
+    if native.available():
+        av64 = np.ascontiguousarray(av, np.float64)
+        native.ilu0_csr_inplace(ai, aj, av64)
+        F = sp.csr_matrix((av64.astype(av.dtype), aj, ai), shape=A.shape)
+        return (sp.tril(F, k=-1, format="csr"),
+                sp.triu(F, k=0, format="csr"))
     diag_ptr = np.zeros(n, dtype=np.int64)
     for i in range(n):
         row = aj[ai[i]:ai[i + 1]]
@@ -99,6 +109,9 @@ def cholesky_factor(A):
 # ---------------------------------------------------------------------------
 def _levels(T: sp.csr_matrix, lower: bool) -> np.ndarray:
     """Dependency level of each row for a triangular solve."""
+    from petsctpu import native
+    if native.available():
+        return native.tri_levels(T.indptr, T.indices, lower)
     n = T.shape[0]
     lev = np.zeros(n, dtype=np.int64)
     ai, aj = T.indptr, T.indices

@@ -1,0 +1,118 @@
+"""ctypes loader for the native plan-time kernels (native/*.cpp).
+
+Builds lazily with g++ on first import if the shared library is
+missing (a ~1 s compile); falls back to pure-Python implementations
+when no toolchain is available. All entry points mirror numpy-CSR
+signatures; see native/petsctpu_native.cpp for the C ABI.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SO = os.path.join(_HERE, "libpetsctpu_native.so")
+_SRC = os.path.join(_HERE, "..", "..", "native", "petsctpu_native.cpp")
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", _SO,
+             _SRC], check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) and os.path.exists(_SRC):
+        _build()
+    if os.path.exists(_SO):
+        try:
+            lib = ctypes.CDLL(_SO)
+            i64 = ctypes.c_int64
+            p64 = np.ctypeslib.ndpointer(np.int64, flags="C")
+            p32 = np.ctypeslib.ndpointer(np.int32, flags="C")
+            pf64 = np.ctypeslib.ndpointer(np.float64, flags="C")
+            lib.ilu0_csr.restype = i64
+            lib.ilu0_csr.argtypes = [i64, p64, p32, pf64]
+            lib.tri_levels.restype = i64
+            lib.tri_levels.argtypes = [i64, p64, p32, ctypes.c_int32, p64]
+            lib.greedy_color.restype = i64
+            lib.greedy_color.argtypes = [i64, i64, p64, p32, p64, p32, p32]
+            lib.aggregate.restype = i64
+            lib.aggregate.argtypes = [i64, p64, p32, p64]
+            lib.rcm.restype = i64
+            lib.rcm.argtypes = [i64, p64, p32, p32]
+            _lib = lib
+        except Exception:
+            _lib = False
+    else:
+        _lib = False
+    return _lib
+
+
+def available() -> bool:
+    return bool(_load())
+
+
+# ---- numpy-facing wrappers --------------------------------------------------
+def ilu0_csr_inplace(indptr, indices, data) -> None:
+    """Numeric ILU(0) on CSR arrays in place. Raises on zero pivot."""
+    lib = _load()
+    n = len(indptr) - 1
+    rc = lib.ilu0_csr(n, np.ascontiguousarray(indptr, np.int64),
+                      np.ascontiguousarray(indices, np.int32), data)
+    if rc < 0:
+        raise ValueError(f"ILU(0): missing diagonal in row {-rc - 1}")
+    if rc > 0:
+        raise ZeroDivisionError(f"ILU(0): zero pivot in row {rc - 1}")
+
+
+def tri_levels(indptr, indices, lower: bool):
+    lib = _load()
+    n = len(indptr) - 1
+    out = np.zeros(n, np.int64)
+    lib.tri_levels(n, np.ascontiguousarray(indptr, np.int64),
+                   np.ascontiguousarray(indices, np.int32),
+                   1 if lower else 0, out)
+    return out
+
+
+def greedy_color(row_ptr, row_idx, col_ptr, col_idx, n_rows, n_cols):
+    lib = _load()
+    out = np.zeros(n_cols, np.int32)
+    lib.greedy_color(n_rows, n_cols,
+                     np.ascontiguousarray(row_ptr, np.int64),
+                     np.ascontiguousarray(row_idx, np.int32),
+                     np.ascontiguousarray(col_ptr, np.int64),
+                     np.ascontiguousarray(col_idx, np.int32), out)
+    return out
+
+
+def aggregate(indptr, indices):
+    lib = _load()
+    n = len(indptr) - 1
+    out = np.zeros(n, np.int64)
+    lib.aggregate(n, np.ascontiguousarray(indptr, np.int64),
+                  np.ascontiguousarray(indices, np.int32), out)
+    return out
+
+
+def rcm(indptr, indices):
+    lib = _load()
+    n = len(indptr) - 1
+    out = np.zeros(n, np.int32)
+    lib.rcm(n, np.ascontiguousarray(indptr, np.int64),
+            np.ascontiguousarray(indices, np.int32), out)
+    return out

@@ -48,7 +48,9 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
     if pc_type == "ilu":
         _require_host(A_host, "ilu")
         return make_ilu(A_host, dtype=dt,
-                        levels=opts.get_int("pc_factor_levels", 0))
+                        levels=opts.get_int("pc_factor_levels", 0),
+                        ordering=opts.get_str("pc_factor_mat_ordering_type",
+                                              "natural"))
     if pc_type in ("lu", "cholesky", "icc"):
         _require_host(A_host, pc_type)
         return make_lu(A_host, dtype=dt)

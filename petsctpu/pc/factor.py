@@ -30,7 +30,32 @@ class ILUPC:
         return self.Uplan.solve(self.Lplan.solve(b))
 
 
-def make_ilu(A_host, dtype=None, levels: int = 0) -> ILUPC:
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PermutedPC:
+    """Apply an inner PC in a symmetric permutation: M⁻¹ = Pᵀ M̃⁻¹ P
+    (-pc_factor_mat_ordering_type rcm analog)."""
+
+    inner: object
+    perm: jax.Array      # new → old
+
+    def apply(self, b):
+        z = self.inner.apply(b[self.perm])
+        return jnp.zeros_like(b).at[self.perm].set(z)
+
+
+def make_ilu(A_host, dtype=None, levels: int = 0,
+             ordering: str = "natural"):
+    if ordering not in ("natural", ""):
+        from petsctpu.mat.order import get_ordering, permute_symmetric
+        perm = get_ordering(A_host, ordering)
+        inner = make_ilu(permute_symmetric(A_host, perm), dtype=dtype,
+                         levels=levels)
+        return PermutedPC(inner, jnp.asarray(perm, jnp.int32))
+    return _make_ilu_natural(A_host, dtype, levels)
+
+
+def _make_ilu_natural(A_host, dtype=None, levels: int = 0) -> ILUPC:
     if levels != 0:
         import scipy.sparse as sp
         # ILU(k) pattern growth via symbolic powers, then ILU(0) on it

@@ -40,7 +40,12 @@ def aggregate(S: sp.csr_matrix) -> np.ndarray:
     """Greedy root-based aggregation (the serial equivalent of MIS-based
     aggregation, mis.c:30 maxIndSetAgg): pass 1 picks independent roots
     and claims their neighborhoods; pass 2 attaches leftovers to an
-    adjacent aggregate; pass 3 makes singletons."""
+    adjacent aggregate; pass 3 makes singletons. Runs in the native C++
+    kernel (native/petsctpu_native.cpp) when available."""
+    from petsctpu import native
+    if native.available():
+        return native.aggregate(S.indptr.astype(np.int64),
+                                S.indices.astype(np.int32))
     n = S.shape[0]
     agg = np.full(n, -1, dtype=np.int64)
     ai, aj = S.indptr, S.indices
