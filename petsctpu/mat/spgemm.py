@@ -1,0 +1,185 @@
+"""Sparse matrix-matrix products: SpGEMM and PtAP (Galerkin).
+
+Reference: MatMatMult symbolic/numeric split (src/mat/impls/aij/seq/
+matmatmult.c:29 — symbolic estimates fill once, numeric re-runs cheaply
+when values change) and MatPtAP (src/mat/impls/aij/seq/matptap.c:19,44)
+powering GAMG's coarse operators (gamg.c:156).
+
+TPU design: the same symbolic/numeric split, but sharper — the
+SYMBOLIC phase runs on host (scipy computes the product pattern and a
+flat contribution plan), and the NUMERIC phase is a pure jit-safe
+segment-sum over device value arrays. That makes Galerkin coarse
+operators re-assemblable INSIDE a jitted Newton/time loop when only
+coefficients change (something the reference's host-only PtAP cannot
+do without leaving the solver).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from petsctpu.mat.ell import AIJ, aij_from_scipy
+
+
+# ---------------------------------------------------------------------------
+# host-only products (plan-time)
+# ---------------------------------------------------------------------------
+def matmatmult(A, B):
+    """C = A·B on host (MatMatMult analog)."""
+    return (sp.csr_matrix(A) @ sp.csr_matrix(B)).tocsr()
+
+
+def ptap(A, P):
+    """Galerkin triple product Pᵀ·A·P on host (MatPtAP analog)."""
+    P = sp.csr_matrix(P)
+    return (P.T @ sp.csr_matrix(A) @ P).tocsr()
+
+
+def rart(A, R):
+    """R·A·Rᵀ (MatRARt analog)."""
+    R = sp.csr_matrix(R)
+    return (R @ sp.csr_matrix(A) @ R.T).tocsr()
+
+
+# ---------------------------------------------------------------------------
+# device numeric with frozen symbolic pattern
+# ---------------------------------------------------------------------------
+def _csr_entry_index(M: sp.csr_matrix):
+    """Map (row, col) -> flat data index for a sorted CSR."""
+    M = sp.csr_matrix(M)
+    M.sort_indices()
+    return M
+
+
+def _lookup(M: sp.csr_matrix, rows, cols):
+    """Flat data indices of entries (rows[k], cols[k]) — must exist."""
+    idx = np.empty(len(rows), dtype=np.int64)
+    for t, (r, c) in enumerate(zip(rows, cols)):
+        lo, hi = M.indptr[r], M.indptr[r + 1]
+        j = lo + np.searchsorted(M.indices[lo:hi], c)
+        idx[t] = j
+    return idx
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SpGEMMPlan:
+    """Numeric C = A·B with frozen patterns.
+
+    Contribution k: cdata[c_idx[k]] += adata[a_idx[k]] * bdata[b_idx[k]].
+    `template` holds C's ELL structure; `ell_pos` maps CSR data order to
+    flat ELL slots."""
+
+    c_idx: jax.Array
+    a_idx: jax.Array
+    b_idx: jax.Array
+    ell_pos: jax.Array
+    template: AIJ
+    c_nnz: int = field(metadata=dict(static=True))
+
+    @classmethod
+    def plan(cls, A_host, B_host, dtype=None) -> "SpGEMMPlan":
+        A = _csr_entry_index(A_host)
+        B = _csr_entry_index(B_host)
+        C = _csr_entry_index((A @ B).tocsr())
+        a_rows = np.repeat(np.arange(A.shape[0]), np.diff(A.indptr))
+        # contributions: for each A entry (i,k) x each B entry (k,j)
+        reps = np.diff(B.indptr)[A.indices]
+        a_idx = np.repeat(np.arange(A.nnz), reps)
+        b_idx = np.concatenate([
+            np.arange(B.indptr[k], B.indptr[k + 1]) for k in A.indices
+        ]) if A.nnz else np.zeros(0, np.int64)
+        ci = np.repeat(a_rows, reps)
+        cj = B.indices[b_idx]
+        c_idx = _lookup(C, ci, cj)
+        tmpl = aij_from_scipy(C, dtype=dtype)
+        ell_pos = _ell_positions(C, tmpl)
+        return cls(jnp.asarray(c_idx, jnp.int32), jnp.asarray(a_idx, jnp.int32),
+                   jnp.asarray(b_idx, jnp.int32), jnp.asarray(ell_pos, jnp.int32),
+                   tmpl, int(C.nnz))
+
+    def numeric(self, a_data: jax.Array, b_data: jax.Array) -> AIJ:
+        cdata = jnp.zeros((self.c_nnz,), a_data.dtype)
+        cdata = cdata.at[self.c_idx].add(a_data[self.a_idx]
+                                         * b_data[self.b_idx])
+        return _fill_template(self.template, self.ell_pos, cdata)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PtAPPlan:
+    """Numeric Ac = Pᵀ·A·P with frozen patterns (P values also frozen —
+    the common Galerkin case where only A's coefficients change)."""
+
+    c_idx: jax.Array      # contribution → C data slot
+    a_idx: jax.Array      # contribution → A data slot
+    w: jax.Array          # P[k,i]·P[l,j] weight per contribution
+    ell_pos: jax.Array
+    template: AIJ
+    c_nnz: int = field(metadata=dict(static=True))
+
+    @classmethod
+    def plan(cls, A_host, P_host, dtype=None) -> "PtAPPlan":
+        A = _csr_entry_index(A_host)
+        P = _csr_entry_index(P_host)
+        C = _csr_entry_index((P.T @ A @ P).tocsr())
+        # contributions: A entry (k,l); P row k entries (k,i); P row l (l,j)
+        a_rows = np.repeat(np.arange(A.shape[0]), np.diff(A.indptr))
+        ks, ls = a_rows, A.indices
+        cnt_k = np.diff(P.indptr)[ks]
+        cnt_l = np.diff(P.indptr)[ls]
+        reps = cnt_k * cnt_l
+        a_idx = np.repeat(np.arange(A.nnz), reps)
+        ci_l, cj_l, w_l = [], [], []
+        for t in range(A.nnz):
+            k, l = ks[t], ls[t]
+            pk = slice(P.indptr[k], P.indptr[k + 1])
+            plc = slice(P.indptr[l], P.indptr[l + 1])
+            ii = P.indices[pk]
+            jj = P.indices[plc]
+            wi = P.data[pk]
+            wj = P.data[plc]
+            ci_l.append(np.repeat(ii, len(jj)))
+            cj_l.append(np.tile(jj, len(ii)))
+            w_l.append(np.outer(wi, wj).ravel())
+        ci = np.concatenate(ci_l) if ci_l else np.zeros(0, np.int64)
+        cj = np.concatenate(cj_l) if cj_l else np.zeros(0, np.int64)
+        w = np.concatenate(w_l) if w_l else np.zeros(0)
+        c_idx = _lookup(C, ci, cj)
+        tmpl = aij_from_scipy(C, dtype=dtype)
+        ell_pos = _ell_positions(C, tmpl)
+        return cls(jnp.asarray(c_idx, jnp.int32), jnp.asarray(a_idx, jnp.int32),
+                   jnp.asarray(w, tmpl.dtype), jnp.asarray(ell_pos, jnp.int32),
+                   tmpl, int(C.nnz))
+
+    def numeric(self, a_data: jax.Array) -> AIJ:
+        cdata = jnp.zeros((self.c_nnz,), a_data.dtype)
+        cdata = cdata.at[self.c_idx].add(self.w * a_data[self.a_idx])
+        return _fill_template(self.template, self.ell_pos, cdata)
+
+
+def _ell_positions(C: sp.csr_matrix, tmpl: AIJ) -> np.ndarray:
+    """Flat ELL slot of each CSR data entry (row-major slot order)."""
+    K = tmpl.ell_width
+    row_nnz = np.diff(C.indptr)
+    rows = np.repeat(np.arange(C.shape[0]), row_nnz)
+    slot = np.arange(C.nnz) - np.repeat(C.indptr[:-1], row_nnz)
+    return rows.astype(np.int64) * K + slot
+
+
+def _fill_template(tmpl: AIJ, ell_pos, cdata) -> AIJ:
+    flat = jnp.zeros((tmpl.cols.shape[0] * tmpl.ell_width,), cdata.dtype)
+    flat = flat.at[ell_pos].set(cdata)
+    return AIJ(tmpl.cols, flat.reshape(tmpl.vals.shape), tmpl.shape,
+               tmpl.nnz)
+
+
+def csr_data_of(A_host) -> np.ndarray:
+    """Sorted-CSR data array matching plan index conventions."""
+    M = _csr_entry_index(A_host)
+    return M.data

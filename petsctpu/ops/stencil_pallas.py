@@ -1,0 +1,133 @@
+"""Pallas TPU kernel for the 2-D 5-point stencil SpMV (the hot op).
+
+The jnp pad+slice formulation (mat/stencil.py) materializes a padded
+copy of x on every apply — ~30% extra HBM traffic on the dominant
+kernel. This kernel strip-mines rows:
+
+  * the 5 coefficient planes (5/7 of compulsory traffic) stream
+    through the normal Pallas pipeline (double-buffered BlockSpecs);
+  * the x slab [TR+2, n] is fetched by three explicit DMAs per strip
+    (center rows + one halo row above/below) into VMEM scratch, with
+    boundary strips zero-filling the missing halo row;
+  * column shifts happen in-register on the VPU (no HBM traffic).
+
+Result: compulsory-traffic-only SpMV, no padded-array materialization.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pallas_available() -> bool:
+    try:
+        from jax.experimental import pallas as pl  # noqa: F401
+        from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _pick_tile(m: int) -> int:
+    for tr in (256, 128, 64, 32, 16, 8):
+        if m % tr == 0:
+            return tr
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def stencil5_mult_pallas(coeffs: jax.Array, x: jax.Array,
+                         interpret: bool = False) -> jax.Array:
+    """y = A x for a 5-point star stencil.
+
+    coeffs: [5, m, n] for offsets ((0,0),(-1,0),(1,0),(0,-1),(0,1))
+    x:      [m, n] grid-shaped operand (n should be lane-friendly).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D, m, n = coeffs.shape
+    assert D == 5 and x.shape == (m, n)
+    TR = _pick_tile(m)
+    if TR == 0:
+        from petsctpu.mat.stencil import StencilMat
+        S = StencilMat(coeffs, ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)),
+                       (m, n))
+        return S.mult(x.reshape(-1)).reshape(m, n)
+
+    nsteps = m // TR
+
+    def kernel(c_ref, x_ref, o_ref, xs_ref, sems):
+        i = pl.program_id(0)
+        nprog = pl.num_programs(0)
+        first = i == 0
+        last = i == nprog - 1
+
+        center = pltpu.make_async_copy(
+            x_ref.at[pl.ds(i * TR, TR), :], xs_ref.at[pl.ds(1, TR), :],
+            sems.at[0])
+        center.start()
+
+        @pl.when(~first)
+        def _():
+            pltpu.make_async_copy(
+                x_ref.at[pl.ds(jnp.maximum(i * TR - 1, 0), 1), :],
+                xs_ref.at[pl.ds(0, 1), :], sems.at[1]).start()
+
+        @pl.when(~last)
+        def _():
+            pltpu.make_async_copy(
+                x_ref.at[pl.ds(jnp.minimum(i * TR + TR, m - 1), 1), :],
+                xs_ref.at[pl.ds(TR + 1, 1), :], sems.at[2]).start()
+
+        @pl.when(first)
+        def _():
+            xs_ref[0, :] = jnp.zeros((n,), xs_ref.dtype)
+
+        @pl.when(last)
+        def _():
+            xs_ref[TR + 1, :] = jnp.zeros((n,), xs_ref.dtype)
+
+        center.wait()
+
+        @pl.when(~first)
+        def _():
+            pltpu.make_async_copy(x_ref.at[pl.ds(0, 1), :],
+                                  xs_ref.at[pl.ds(0, 1), :],
+                                  sems.at[1]).wait()
+
+        @pl.when(~last)
+        def _():
+            pltpu.make_async_copy(x_ref.at[pl.ds(0, 1), :],
+                                  xs_ref.at[pl.ds(TR + 1, 1), :],
+                                  sems.at[2]).wait()
+
+        xc = xs_ref[pl.ds(1, TR), :]
+        north = xs_ref[pl.ds(0, TR), :]
+        south = xs_ref[pl.ds(2, TR), :]
+        z = jnp.zeros((TR, 1), xc.dtype)
+        west = jnp.concatenate([z, xc[:, :-1]], axis=1)
+        east = jnp.concatenate([xc[:, 1:], z], axis=1)
+        o_ref[...] = (c_ref[0] * xc + c_ref[1] * north + c_ref[2] * south
+                      + c_ref[3] * west + c_ref[4] * east)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((5, TR, n), lambda i: (0, i, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),     # x stays in HBM
+        ],
+        out_specs=pl.BlockSpec((TR, n), lambda i: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((TR + 2, n), x.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(coeffs, x)
+    return out
