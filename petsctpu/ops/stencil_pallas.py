@@ -109,9 +109,11 @@ def stencil5_mult_pallas(coeffs: jax.Array, x: jax.Array,
         xc = xs_ref[pl.ds(1, TR), :]
         north = xs_ref[pl.ds(0, TR), :]
         south = xs_ref[pl.ds(2, TR), :]
-        z = jnp.zeros((TR, 1), xc.dtype)
-        west = jnp.concatenate([z, xc[:, :-1]], axis=1)
-        east = jnp.concatenate([xc[:, 1:], z], axis=1)
+        # column shifts: lane-roll + boundary mask (Mosaic-friendly)
+        col = jax.lax.broadcasted_iota(jnp.int32, (TR, n), 1)
+        west = jnp.where(col == 0, 0.0, pltpu.roll(xc, shift=1, axis=1))
+        east = jnp.where(col == n - 1, 0.0,
+                         pltpu.roll(xc, shift=-1, axis=1))
         o_ref[...] = (c_ref[0] * xc + c_ref[1] * north + c_ref[2] * south
                       + c_ref[3] * west + c_ref[4] * east)
 

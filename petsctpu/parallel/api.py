@@ -79,11 +79,12 @@ def par_ksp_solve(mesh: Mesh, A: ShardedAIJ, b, x0=None, pc=None,
     from dataclasses import replace
     cfg = replace(cfg or KSPConfig(), **kw) if (kw or cfg is None) else cfg
     axis = A.axis
-    lay = Layout(A.shape[0], A.nshards)   # shape already padded
     if isinstance(b, np.ndarray) or (hasattr(b, "shape")
                                      and b.shape[0] != A.shape[0]):
-        b = shard_vector(mesh, axis, np.asarray(b),
-                         Layout(np.asarray(b).shape[0], A.nshards))
+        bh = np.asarray(b)
+        bp = np.zeros(A.shape[0], bh.dtype)
+        bp[: len(bh)] = bh                 # pad to the operator's padded size
+        b = jax.device_put(jnp.asarray(bp), NamedSharding(mesh, P(axis)))
     if x0 is None:
         x0 = jnp.zeros_like(b)
     run = _compiled_par(cfg.ksp_type, cfg, axis, _MeshKey(mesh))
