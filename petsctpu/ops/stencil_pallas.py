@@ -113,7 +113,7 @@ def stencil5_mult_pallas(coeffs: jax.Array, x: jax.Array,
         col = jax.lax.broadcasted_iota(jnp.int32, (TR, n), 1)
         west = jnp.where(col == 0, 0.0, pltpu.roll(xc, shift=1, axis=1))
         east = jnp.where(col == n - 1, 0.0,
-                         pltpu.roll(xc, shift=-1, axis=1))
+                         pltpu.roll(xc, shift=n - 1, axis=1))
         o_ref[...] = (c_ref[0] * xc + c_ref[1] * north + c_ref[2] * south
                       + c_ref[3] * west + c_ref[4] * east)
 

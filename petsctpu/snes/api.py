@@ -181,6 +181,56 @@ def snes_solve(F: Callable, x0: jax.Array, jac: Union[str, ColoredJacobian,
                       out["history"])
 
 
+def snes_ksponly(F, x0, jac=None, pc_builder=None, ksp_cfg=None,
+                 cfg=None, axis=None, **kw) -> SNESResult:
+    """One full-step Newton iteration (src/snes/impls/ksponly): for
+    problems already linear(ized) — solve J dx = F once, take the step."""
+    cfg = replace(cfg or SNESConfig(), **kw, maxits=1, linesearch="basic")
+    return snes_solve(F, x0, jac=jac, pc_builder=pc_builder,
+                      ksp_cfg=ksp_cfg, cfg=cfg, axis=axis)
+
+
+def snes_nrichardson(F, x0, cfg: SNESConfig = None, axis=None,
+                     damping: float = 1.0, **kw) -> SNESResult:
+    """Nonlinear Richardson x ← x − λ·F(x) with bt line search
+    (src/snes/impls/richardson)."""
+    cfg = replace(cfg or SNESConfig(), **kw) if kw else (cfg or SNESConfig())
+
+    x = x0
+    Fx = F(x)
+    fnorm = ops.norm(Fx, axis)
+    fnorm0 = fnorm
+    history = jnp.full((cfg.maxits + 1,), jnp.nan, x.dtype).at[0].set(fnorm)
+    _monitor(cfg, 0, fnorm)
+    reason = _check(fnorm, fnorm0, jnp.zeros((), x.dtype),
+                    ops.norm(x, axis), jnp.int32(0), cfg)
+
+    def cond(c):
+        return c["reason"] == SNESConvergedReason.ITERATING
+
+    def body(c):
+        x, Fx, fnorm, its = c["x"], c["F"], c["fnorm"], c["its"]
+        dx = damping * Fx
+        xn, Fn, fn, lam, ls_ok = _linesearch_bt(F, x, dx, Fx, fnorm, cfg,
+                                                axis)
+        its = its + 1
+        history = c["history"].at[its].set(fn)
+        _monitor(cfg, its, fn)
+        reason = _check(fn, fnorm0, ops.norm(xn - x, axis),
+                        ops.norm(xn, axis), its, cfg)
+        reason = jnp.where((reason == 0) & ~ls_ok,
+                           jnp.int32(SNESConvergedReason.DIVERGED_LINE_SEARCH),
+                           reason)
+        return dict(x=xn, F=Fn, fnorm=fn, its=its, history=history,
+                    reason=reason)
+
+    out = lax.while_loop(cond, body, dict(x=x, F=Fx, fnorm=fnorm,
+                                          its=jnp.int32(0), history=history,
+                                          reason=reason))
+    return SNESResult(out["x"], out["its"], out["reason"], out["fnorm"],
+                      out["history"])
+
+
 class SNES:
     """Stateful wrapper mirroring the reference SNES lifecycle."""
 
