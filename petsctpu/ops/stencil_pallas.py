@@ -1,17 +1,21 @@
 """Pallas TPU kernel for the 2-D 5-point stencil SpMV (the hot op).
 
 The jnp pad+slice formulation (mat/stencil.py) materializes a padded
-copy of x on every apply — ~30% extra HBM traffic on the dominant
-kernel. This kernel strip-mines rows:
+copy of x on every apply — ~25% extra HBM traffic on the dominant
+kernel. This kernel reads each operand exactly once (compulsory
+traffic only):
 
-  * the 5 coefficient planes (5/7 of compulsory traffic) stream
-    through the normal Pallas pipeline (double-buffered BlockSpecs);
-  * the x slab [TR+2, n] is fetched by three explicit DMAs per strip
-    (center rows + one halo row above/below) into VMEM scratch, with
-    boundary strips zero-filling the missing halo row;
-  * column shifts happen in-register on the VPU (no HBM traffic).
+  * grid steps walk row strips with the OUTPUT DELAYED BY ONE STEP:
+    step i loads x-strip i and computes/writes y-strip i−1, so the
+    south halo row of strip i−1 is simply row 0 of the freshly loaded
+    strip — no second read, no halo DMA;
+  * the previous strip and its north halo row persist in VMEM scratch
+    across the sequential grid (TPU grids execute in order);
+  * all ±1 row/column shifts are value-level `pltpu.roll`s with
+    boundary masks — Mosaic permits only 8-aligned memref slices, so
+    the kernel never slices refs at unaligned offsets.
 
-Result: compulsory-traffic-only SpMV, no padded-array materialization.
+Traffic: 5 coeff planes + x + y = the 7·4·n² compulsory bytes.
 """
 
 from __future__ import annotations
@@ -45,7 +49,7 @@ def stencil5_mult_pallas(coeffs: jax.Array, x: jax.Array,
     """y = A x for a 5-point star stencil.
 
     coeffs: [5, m, n] for offsets ((0,0),(-1,0),(1,0),(0,-1),(0,1))
-    x:      [m, n] grid-shaped operand (n should be lane-friendly).
+    x:      [m, n] grid-shaped operand (n should be a lane multiple).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -53,7 +57,7 @@ def stencil5_mult_pallas(coeffs: jax.Array, x: jax.Array,
     D, m, n = coeffs.shape
     assert D == 5 and x.shape == (m, n)
     TR = _pick_tile(m)
-    if TR == 0:
+    if TR == 0 or n % 128 != 0:
         from petsctpu.mat.stencil import StencilMat
         S = StencilMat(coeffs, ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)),
                        (m, n))
@@ -61,74 +65,57 @@ def stencil5_mult_pallas(coeffs: jax.Array, x: jax.Array,
 
     nsteps = m // TR
 
-    def kernel(c_ref, x_ref, o_ref, xs_ref, sems):
+    def kernel(c_ref, x_ref, o_ref, prev_ref, nrow_ref):
         i = pl.program_id(0)
-        nprog = pl.num_programs(0)
-        first = i == 0
-        last = i == nprog - 1
+        cur = x_ref[...]                          # x strip min(i, last)
 
-        center = pltpu.make_async_copy(
-            x_ref.at[pl.ds(i * TR, TR), :], xs_ref.at[pl.ds(1, TR), :],
-            sems.at[0])
-        center.start()
-
-        @pl.when(~first)
+        @pl.when(i > 0)
         def _():
-            pltpu.make_async_copy(
-                x_ref.at[pl.ds(jnp.maximum(i * TR - 1, 0), 1), :],
-                xs_ref.at[pl.ds(0, 1), :], sems.at[1]).start()
+            j = i - 1                             # strip being computed
+            X = prev_ref[...]                     # [TR, n] strip j
+            row = jax.lax.broadcasted_iota(jnp.int32, (TR, n), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (TR, n), 1)
+            # north: rows shifted +1 (value roll); row 0 from carry
+            north = pltpu.roll(X, shift=1, axis=0)
+            nhalo = nrow_ref[0:1, :]              # aligned (1,n) read
+            first_strip = j == 0
+            north = jnp.where(row == 0,
+                              jnp.where(first_strip, 0.0, nhalo), north)
+            # south: rows shifted -1; last row from cur (or 0 at bottom)
+            south = pltpu.roll(X, shift=TR - 1, axis=0)
+            last_strip = j == pl.num_programs(0) - 2
+            shalo = cur[0:1, :]
+            south = jnp.where(row == TR - 1,
+                              jnp.where(last_strip, 0.0, shalo), south)
+            west = jnp.where(col == 0, 0.0, pltpu.roll(X, shift=1, axis=1))
+            east = jnp.where(col == n - 1, 0.0,
+                             pltpu.roll(X, shift=n - 1, axis=1))
+            o_ref[...] = (c_ref[0] * X + c_ref[1] * north + c_ref[2] * south
+                          + c_ref[3] * west + c_ref[4] * east)
 
-        @pl.when(~last)
+        @pl.when(i == 0)
         def _():
-            pltpu.make_async_copy(
-                x_ref.at[pl.ds(jnp.minimum(i * TR + TR, m - 1), 1), :],
-                xs_ref.at[pl.ds(TR + 1, 1), :], sems.at[2]).start()
+            o_ref[...] = jnp.zeros_like(o_ref)    # overwritten at step 1
 
-        @pl.when(first)
-        def _():
-            xs_ref[0, :] = jnp.zeros((n,), xs_ref.dtype)
+        # carry: north halo for the NEXT computed strip = last row of prev
+        nrow_ref[...] = jnp.broadcast_to(
+            pltpu.roll(prev_ref[...], shift=1, axis=0)[0:1, :], (8, n))
+        prev_ref[...] = cur
 
-        @pl.when(last)
-        def _():
-            xs_ref[TR + 1, :] = jnp.zeros((n,), xs_ref.dtype)
-
-        center.wait()
-
-        @pl.when(~first)
-        def _():
-            pltpu.make_async_copy(x_ref.at[pl.ds(0, 1), :],
-                                  xs_ref.at[pl.ds(0, 1), :],
-                                  sems.at[1]).wait()
-
-        @pl.when(~last)
-        def _():
-            pltpu.make_async_copy(x_ref.at[pl.ds(0, 1), :],
-                                  xs_ref.at[pl.ds(TR + 1, 1), :],
-                                  sems.at[2]).wait()
-
-        xc = xs_ref[pl.ds(1, TR), :]
-        north = xs_ref[pl.ds(0, TR), :]
-        south = xs_ref[pl.ds(2, TR), :]
-        # column shifts: lane-roll + boundary mask (Mosaic-friendly)
-        col = jax.lax.broadcasted_iota(jnp.int32, (TR, n), 1)
-        west = jnp.where(col == 0, 0.0, pltpu.roll(xc, shift=1, axis=1))
-        east = jnp.where(col == n - 1, 0.0,
-                         pltpu.roll(xc, shift=n - 1, axis=1))
-        o_ref[...] = (c_ref[0] * xc + c_ref[1] * north + c_ref[2] * south
-                      + c_ref[3] * west + c_ref[4] * east)
-
+    last = nsteps - 1
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
-        grid=(nsteps,),
+        grid=(nsteps + 1,),
         in_specs=[
-            pl.BlockSpec((5, TR, n), lambda i: (0, i, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),     # x stays in HBM
+            pl.BlockSpec((5, TR, n),
+                         lambda i: (0, jnp.maximum(i - 1, 0), 0)),
+            pl.BlockSpec((TR, n), lambda i: (jnp.minimum(i, last), 0)),
         ],
-        out_specs=pl.BlockSpec((TR, n), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((TR, n), lambda i: (jnp.maximum(i - 1, 0), 0)),
         scratch_shapes=[
-            pltpu.VMEM((TR + 2, n), x.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((TR, n), x.dtype),
+            pltpu.VMEM((8, n), x.dtype),
         ],
         interpret=interpret,
     )(coeffs, x)

@@ -36,18 +36,41 @@ def unshard_vector(x, layout: Layout) -> np.ndarray:
 
 
 def _local(tree):
-    return None if tree is None else jax.tree.map(lambda a: a[0], tree)
+    if tree is None:
+        return None
+    if hasattr(tree, "local"):
+        return tree.local()
+    return jax.tree.map(lambda a: a[0], tree)
 
 
-@functools.lru_cache(maxsize=128)
-def _compiled_par(ksp_type: str, cfg: KSPConfig, axis: str, mesh_key):
+def _pc_specs(pc, axis):
+    """Spec pytree for a PC argument: stacked leaves shard on axis 0;
+    PCs with mixed layouts (e.g. DistMGPC's replicated coarse
+    hierarchy) declare their own via `shard_specs(axis)`."""
+    if pc is None:
+        return None
+    if hasattr(pc, "shard_specs"):
+        return pc.shard_specs(axis)
+    return jax.tree.map(lambda _: P(axis), pc)
+
+
+_PAR_CACHE: dict = {}
+
+
+def _compiled_par(ksp_type: str, cfg: KSPConfig, axis: str, mesh_key,
+                  pc_spec):
+    spec_leaves, spec_def = jax.tree.flatten(pc_spec)
+    key = (ksp_type, cfg, axis, mesh_key, tuple(map(str, spec_leaves)),
+           str(spec_def))
+    if key in _PAR_CACHE:
+        return _PAR_CACHE[key]
     mesh = mesh_key.mesh
     fn = KSP_REGISTRY[ksp_type]
 
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis), pc_spec),
         out_specs=SolveResult(P(axis), P(), P(), P(), P()),
         check_vma=False)
     def run(A_st, b_loc, x0_loc, pc_st):
@@ -55,6 +78,7 @@ def _compiled_par(ksp_type: str, cfg: KSPConfig, axis: str, mesh_key):
         pc = _local(pc_st)
         return fn(A, b_loc, x0_loc, pc, cfg, axis)
 
+    _PAR_CACHE[key] = run
     return run
 
 
@@ -87,7 +111,8 @@ def par_ksp_solve(mesh: Mesh, A: ShardedAIJ, b, x0=None, pc=None,
         b = jax.device_put(jnp.asarray(bp), NamedSharding(mesh, P(axis)))
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    run = _compiled_par(cfg.ksp_type, cfg, axis, _MeshKey(mesh))
+    run = _compiled_par(cfg.ksp_type, cfg, axis, _MeshKey(mesh),
+                        _pc_specs(pc, axis))
     return run(A, b, x0, pc)
 
 
