@@ -36,9 +36,12 @@ def pallas_available() -> bool:
         return False
 
 
-def _pick_tile(m: int) -> int:
-    for tr in (256, 128, 64, 32, 16, 8):
-        if m % tr == 0:
+def _pick_tile(m: int, n: int, itemsize: int = 4,
+               vmem_budget: int = 12 * 1024 * 1024) -> int:
+    """Largest row tile whose live VMEM (coeff block + x + out + scratch,
+    double-buffered) fits the budget."""
+    for tr in (512, 256, 128, 64, 32, 16, 8):
+        if m % tr == 0 and 9 * tr * n * itemsize * 2 <= vmem_budget:
             return tr
     return 0
 
@@ -56,7 +59,7 @@ def stencil5_mult_pallas(coeffs: jax.Array, x: jax.Array,
 
     D, m, n = coeffs.shape
     assert D == 5 and x.shape == (m, n)
-    TR = _pick_tile(m)
+    TR = _pick_tile(m, n, np.dtype(x.dtype).itemsize)
     if TR == 0 or n % 128 != 0:
         from petsctpu.mat.stencil import StencilMat
         S = StencilMat(coeffs, ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)),
@@ -117,6 +120,8 @@ def stencil5_mult_pallas(coeffs: jax.Array, x: jax.Array,
             pltpu.VMEM((TR, n), x.dtype),
             pltpu.VMEM((8, n), x.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(coeffs, x)
     return out

@@ -1,0 +1,280 @@
+"""Additional nonlinear solvers: NEWTONTR, NGMRES (Anderson), QN.
+
+Reference: src/snes/impls/tr (trust region), src/snes/impls/ngmres
+(Anderson-type nonlinear GMRES), src/snes/impls/qn (L-BFGS).
+All are single `lax.while_loop` programs with static-window histories.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from petsctpu.core.errors import SNESConvergedReason
+from petsctpu.snes.api import SNESConfig, SNESResult, _check, _monitor
+from petsctpu.vec import ops
+
+
+def snes_newtontr(F: Callable, x0: jax.Array, cfg: SNESConfig = None,
+                  axis: Optional[str] = None, delta0: float = 0.2,
+                  delta_max: float = 1e10, eta: float = 1e-4,
+                  cg_maxits: int = 50, cg_rtol: float = 1e-8,
+                  **kw) -> SNESResult:
+    """Gauss-Newton trust region with Steihaug-CG subproblem solves.
+
+    Minimizes φ(x)=½‖F‖² with model Hessian JᵀJ (products via AD
+    jvp/vjp); the CG iteration stops at the trust boundary or on
+    negative curvature (impossible for JᵀJ but kept for generality) —
+    the reference's NASH/STCG role (src/snes/impls/tr)."""
+    cfg = replace(cfg or SNESConfig(), **kw) if kw else (cfg or SNESConfig())
+    dtype = x0.dtype
+
+    def phi(x):
+        r = F(x)
+        return 0.5 * ops.dot(r, r, axis).real, r
+
+    def Hv(x, v):
+        # JᵀJ v via jvp then vjp
+        _, Jv = jax.jvp(F, (x,), (v,))
+        return jax.vjp(F, x)[1](Jv)[0]
+
+    def steihaug(x, g, delta):
+        """min gᵀp + ½pᵀHp  s.t. ‖p‖≤Δ."""
+        p0 = jnp.zeros_like(x)
+        r0 = -g
+        d0 = r0
+        rr0 = ops.dot(r0, r0, axis).real
+
+        def cond(c):
+            return (~c["done"]) & (c["k"] < cg_maxits)
+
+        def body(c):
+            p, r, d, rr, k = c["p"], c["r"], c["d"], c["rr"], c["k"]
+            Hd = Hv(x, d)
+            dHd = ops.dot(d, Hd, axis).real
+            alpha = rr / dHd
+            p_new = p + alpha * d
+            # hit the boundary → step to it
+            pn = ops.norm(p_new, axis)
+            over = pn >= delta
+            # tau solving ‖p + τd‖ = Δ
+            pd = ops.dot(p, d, axis).real
+            dd = ops.dot(d, d, axis).real
+            pp = ops.dot(p, p, axis).real
+            disc = jnp.maximum(pd * pd - dd * (pp - delta * delta), 0.0)
+            tau = (-pd + jnp.sqrt(disc)) / jnp.where(dd > 0, dd, 1.0)
+            p_bd = p + tau * d
+            neg_curv = dHd <= 0
+            p_out = jnp.where(neg_curv | over, p_bd, p_new)
+            r_new = r - alpha * Hd
+            rr_new = ops.dot(r_new, r_new, axis).real
+            done = neg_curv | over | (jnp.sqrt(rr_new)
+                                      <= cg_rtol * jnp.sqrt(rr0))
+            beta = rr_new / rr
+            d_new = r_new + beta * d
+            return dict(p=p_out, r=r_new, d=d_new, rr=rr_new, k=k + 1,
+                        done=done)
+
+        out = lax.while_loop(cond, body,
+                             dict(p=p0, r=r0, d=d0, rr=rr0,
+                                  k=jnp.int32(0), done=rr0 == 0))
+        return out["p"]
+
+    f0, r0 = phi(x0)
+    fnorm = jnp.sqrt(2.0 * f0)
+    fnorm0 = fnorm
+    history = jnp.full((cfg.maxits + 1,), jnp.nan, dtype).at[0].set(fnorm)
+    _monitor(cfg, 0, fnorm)
+    reason = _check(fnorm, fnorm0, jnp.zeros((), dtype),
+                    ops.norm(x0, axis), jnp.int32(0), cfg)
+
+    def cond(c):
+        return c["reason"] == SNESConvergedReason.ITERATING
+
+    def body(c):
+        x, its, delta = c["x"], c["its"], c["delta"]
+        fval, r = phi(x)
+        g = jax.vjp(F, x)[1](r)[0]          # ∇φ = JᵀF
+        p = steihaug(x, g, delta)
+        fnew, _ = phi(x + p)
+        # model decrease: −gᵀp − ½pᵀHp
+        pred = -(ops.dot(g, p, axis).real
+                 + 0.5 * ops.dot(p, Hv(x, p), axis).real)
+        ared = fval - fnew
+        rho = ared / jnp.where(pred > 0, pred, 1e-30)
+        accept = rho > eta
+        x_new = jnp.where(accept, x + p, x)
+        pn = ops.norm(p, axis)
+        delta = jnp.where(rho < 0.25, 0.25 * delta,
+                          jnp.where((rho > 0.75) & (pn >= 0.99 * delta),
+                                    jnp.minimum(2.0 * delta, delta_max),
+                                    delta))
+        fn = jnp.sqrt(2.0 * jnp.where(accept, fnew, fval))
+        its = its + 1
+        history = c["history"].at[its].set(fn)
+        _monitor(cfg, its, fn)
+        reason = _check(fn, fnorm0, pn, ops.norm(x_new, axis), its, cfg)
+        reason = jnp.where((reason == 0) & (delta < 1e-14),
+                           jnp.int32(SNESConvergedReason.DIVERGED_LINE_SEARCH),
+                           reason)
+        return dict(x=x_new, its=its, delta=delta, history=history,
+                    reason=reason)
+
+    out = lax.while_loop(cond, body,
+                         dict(x=x0, its=jnp.int32(0),
+                              delta=jnp.asarray(delta0, dtype),
+                              history=history, reason=reason))
+    fn_final = ops.norm(F(out["x"]), axis)
+    return SNESResult(out["x"], out["its"], out["reason"], fn_final,
+                      out["history"])
+
+
+def snes_anderson(F: Callable, x0: jax.Array, window: int = 5,
+                  beta: float = 1.0, cfg: SNESConfig = None,
+                  axis: Optional[str] = None, **kw) -> SNESResult:
+    """Anderson mixing / nonlinear GMRES (src/snes/impls/ngmres).
+
+    Keeps a window of (x, F) pairs; each step solves the small
+    least-squares problem min‖F_k + Σαᵢ(Fᵢ−F_k)‖ and combines."""
+    cfg = replace(cfg or SNESConfig(), **kw) if kw else (cfg or SNESConfig())
+    dtype = x0.dtype
+    n = x0.shape[0]
+    w = window
+
+    Fx = F(x0)
+    fnorm = ops.norm(Fx, axis)
+    fnorm0 = fnorm
+    history = jnp.full((cfg.maxits + 1,), jnp.nan, dtype).at[0].set(fnorm)
+    _monitor(cfg, 0, fnorm)
+    reason = _check(fnorm, fnorm0, jnp.zeros((), dtype),
+                    ops.norm(x0, axis), jnp.int32(0), cfg)
+
+    def cond(c):
+        return c["reason"] == SNESConvergedReason.ITERATING
+
+    def body(c):
+        x, Fx, its = c["x"], c["F"], c["its"]
+        Xh, Fh = c["Xh"], c["Fh"]
+        k = jnp.minimum(its, w)
+        slot = its % w
+        Xh = Xh.at[slot].set(x)
+        Fh = Fh.at[slot].set(Fx)
+        # differences vs current: solve min ‖Fx − D α‖, D = Fx − Fᵢ
+        valid = (jnp.arange(w) < k) & (jnp.arange(w) != slot) | \
+            ((jnp.arange(w) == slot) & (k == w))
+        D = Fx[None, :] - Fh                      # [w, n]
+        Dm = jnp.where(valid[:, None], D, 0.0)
+        # small Gram system; under SPMD the contractions psum globally
+        G_l = Dm @ Dm.T
+        rhs_l = Dm @ Fx
+        if axis is not None:
+            G_l = lax.psum(G_l, axis)
+            rhs_l = lax.psum(rhs_l, axis)
+        G = G_l + 1e-12 * jnp.eye(w, dtype=dtype)
+        alpha = jnp.linalg.solve(G, rhs_l)
+        alpha = jnp.where(valid, alpha, 0.0)
+        x_mix = x + (Xh - x[None, :]).T @ alpha
+        F_mix = Fx - Dm.T @ alpha
+        x_new = x_mix - beta * F_mix
+        Fn = F(x_new)
+        fn = ops.norm(Fn, axis)
+        its = its + 1
+        history = c["history"].at[its].set(fn)
+        _monitor(cfg, its, fn)
+        reason = _check(fn, fnorm0, ops.norm(x_new - x, axis),
+                        ops.norm(x_new, axis), its, cfg)
+        return dict(x=x_new, F=Fn, its=its, Xh=Xh, Fh=Fh,
+                    history=history, reason=reason)
+
+    init = dict(x=x0, F=Fx, its=jnp.int32(0),
+                Xh=jnp.zeros((w, n), dtype), Fh=jnp.zeros((w, n), dtype),
+                history=history, reason=reason)
+    out = lax.while_loop(cond, body, init)
+    return SNESResult(out["x"], out["its"], out["reason"],
+                      ops.norm(F(out["x"]), axis), out["history"])
+
+
+def snes_qn(F: Callable, x0: jax.Array, history_len: int = 10,
+            cfg: SNESConfig = None, axis: Optional[str] = None,
+            **kw) -> SNESResult:
+    """L-BFGS quasi-Newton on F (src/snes/impls/qn): two-loop recursion
+    over a static secant window, bt line search."""
+    from petsctpu.snes.api import _linesearch_bt
+
+    cfg = replace(cfg or SNESConfig(), **kw) if kw else (cfg or SNESConfig())
+    dtype = x0.dtype
+    n = x0.shape[0]
+    hmax = history_len
+
+    Fx = F(x0)
+    fnorm = ops.norm(Fx, axis)
+    fnorm0 = fnorm
+    history = jnp.full((cfg.maxits + 1,), jnp.nan, dtype).at[0].set(fnorm)
+    _monitor(cfg, 0, fnorm)
+    reason = _check(fnorm, fnorm0, jnp.zeros((), dtype),
+                    ops.norm(x0, axis), jnp.int32(0), cfg)
+
+    def two_loop(q, S, Y, rhov, k):
+        def bwd(i, carry):
+            q, al = carry
+            j = (k - 1 - i) % hmax
+            a = rhov[j] * ops.dot(S[j], q, axis)
+            a = jnp.where(i < k, a, 0.0)
+            q = q - a * Y[j]
+            return (q, al.at[j].set(a))
+
+        q, al = lax.fori_loop(0, hmax, bwd, (q, jnp.zeros(hmax, dtype)))
+
+        # initial-Hessian scaling γ = sᵀy / yᵀy from the latest pair
+        jl = (k - 1) % hmax
+        yy = ops.dot(Y[jl], Y[jl], axis)
+        sy = ops.dot(S[jl], Y[jl], axis)
+        gamma = jnp.where((k > 0) & (yy > 0), sy / jnp.where(yy > 0, yy, 1.0),
+                          1.0)
+        q = q * gamma
+
+        def fwd(i, q):
+            j = (k - jnp.minimum(k, hmax) + i) % hmax
+            b = rhov[j] * ops.dot(Y[j], q, axis)
+            b = jnp.where(i < jnp.minimum(k, hmax), b, 0.0)
+            return q + (al[j] - b) * S[j]
+
+        return lax.fori_loop(0, hmax, fwd, q)
+
+    def cond(c):
+        return c["reason"] == SNESConvergedReason.ITERATING
+
+    def body(c):
+        x, Fx, its = c["x"], c["F"], c["its"]
+        dx = two_loop(Fx, c["S"], c["Y"], c["rho"], jnp.minimum(its, hmax))
+        xn, Fn, fn, lam, ls_ok = _linesearch_bt(F, x, dx, Fx, c["fnorm"],
+                                                cfg, axis)
+        s = xn - x
+        y = Fn - Fx
+        sy = ops.dot(s, y, axis)
+        slot = its % hmax
+        ok_pair = jnp.abs(sy) > 1e-30
+        S = c["S"].at[slot].set(jnp.where(ok_pair, s, 0.0))
+        Y = c["Y"].at[slot].set(jnp.where(ok_pair, y, 0.0))
+        rhov = c["rho"].at[slot].set(jnp.where(ok_pair, 1.0 / sy, 0.0))
+        its = its + 1
+        history = c["history"].at[its].set(fn)
+        _monitor(cfg, its, fn)
+        reason = _check(fn, fnorm0, ops.norm(s, axis), ops.norm(xn, axis),
+                        its, cfg)
+        reason = jnp.where((reason == 0) & ~ls_ok,
+                           jnp.int32(SNESConvergedReason.DIVERGED_LINE_SEARCH),
+                           reason)
+        return dict(x=xn, F=Fn, fnorm=fn, its=its, S=S, Y=Y, rho=rhov,
+                    history=history, reason=reason)
+
+    init = dict(x=x0, F=Fx, fnorm=fnorm, its=jnp.int32(0),
+                S=jnp.zeros((hmax, n), dtype), Y=jnp.zeros((hmax, n), dtype),
+                rho=jnp.zeros(hmax, dtype), history=history, reason=reason)
+    out = lax.while_loop(cond, body, init)
+    return SNESResult(out["x"], out["its"], out["reason"], out["fnorm"],
+                      out["history"])

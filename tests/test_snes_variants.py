@@ -1,0 +1,90 @@
+import jax.numpy as jnp
+import numpy as np
+
+from petsctpu.dm import DA
+from petsctpu.models.bratu import bratu_initial_guess, bratu_residual
+from petsctpu.snes.variants import snes_anderson, snes_newtontr, snes_qn
+
+
+def quad(n=15, seed=0):
+    rng = np.random.default_rng(seed)
+    a = jnp.asarray(rng.uniform(1.0, 3.0, n))
+
+    def F(x):
+        return x * x - a
+
+    return F, jnp.sqrt(a)
+
+
+class TestNewtonTR:
+    def test_quadratic(self):
+        F, xstar = quad()
+        res = snes_newtontr(F, jnp.ones(15) * 2.0, rtol=1e-10, maxits=60)
+        assert res.converged, int(res.reason)
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(xstar),
+                                   atol=1e-7)
+
+    def test_bratu(self):
+        da = DA((13, 13))
+        F = bratu_residual(da, 5.0)
+        res = snes_newtontr(F, bratu_initial_guess(da, 5.0), rtol=1e-9,
+                            maxits=60, delta0=1.0)
+        assert res.converged
+        assert float(jnp.linalg.norm(F(res.x))) < 1e-7
+
+    def test_hard_start_where_newton_fails(self):
+        """arctan from far away: plain Newton diverges, TR converges."""
+        def F(x):
+            return jnp.arctan(x)
+
+        res = snes_newtontr(F, jnp.asarray([10.0]), rtol=1e-10, maxits=80)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x), [0.0], atol=1e-8)
+
+
+class TestAnderson:
+    def test_linear_fixed_point(self):
+        rng = np.random.default_rng(1)
+        M = rng.standard_normal((12, 12))
+        M = 0.3 * M / np.abs(np.linalg.eigvals(M)).max()
+        b = rng.standard_normal(12)
+
+        def F(x):
+            return x - (jnp.asarray(M) @ x + jnp.asarray(b))
+
+        res = snes_anderson(F, jnp.zeros(12), rtol=1e-10, maxits=100)
+        assert res.converged
+        xref = np.linalg.solve(np.eye(12) - M, b)
+        np.testing.assert_allclose(np.asarray(res.x), xref, atol=1e-7)
+
+    def test_accelerates_picard(self):
+        """Anderson should beat damped Richardson on the same problem
+        (AA stagnates near machine-level without restarts, so compare
+        at a moderate tolerance)."""
+        from petsctpu.snes.api import snes_nrichardson
+
+        da = DA((9, 9))
+        F = bratu_residual(da, 4.0)
+        x0 = bratu_initial_guess(da, 4.0)
+        ra = snes_anderson(F, x0, window=6, beta=0.5, rtol=1e-4, maxits=300)
+        assert ra.converged, int(ra.reason)
+        rr = snes_nrichardson(F, x0, damping=0.8, rtol=1e-4, maxits=300)
+        assert rr.converged
+        assert int(ra.its) < int(rr.its)
+
+
+class TestQN:
+    def test_quadratic(self):
+        F, xstar = quad()
+        res = snes_qn(F, jnp.ones(15) * 2.0, rtol=1e-10, maxits=100)
+        assert res.converged, int(res.reason)
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(xstar),
+                                   atol=1e-7)
+
+    def test_bratu(self):
+        da = DA((9, 9))
+        F = bratu_residual(da, 4.0)
+        res = snes_qn(F, bratu_initial_guess(da, 4.0), rtol=1e-8,
+                      maxits=200, history_len=15)
+        assert res.converged
+        assert float(jnp.linalg.norm(F(res.x))) < 1e-6
