@@ -1,0 +1,57 @@
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from petsctpu.models import laplacian_2d
+from petsctpu.snes.vi import snes_vinewtonrsls
+
+
+class TestVI:
+    def test_obstacle_problem(self):
+        """1-D obstacle: -u'' = f with u >= psi; complementarity holds."""
+        n = 40
+        h = 1.0 / (n + 1)
+        A = sp.diags([-np.ones(n - 1), 2 * np.ones(n), -np.ones(n - 1)],
+                     [-1, 0, 1]).tocsr() / h ** 2
+        xs = np.linspace(h, 1 - h, n)
+        f = -8.0 * np.ones(n)                      # pushes u down
+        psi = -0.2 + 0.4 * (xs - 0.5) ** 2         # obstacle from below
+        Ad = jnp.asarray(A.toarray())
+
+        def F(u):
+            return Ad @ u - jnp.asarray(f)
+
+        res = snes_vinewtonrsls(F, jnp.zeros(n), lb=jnp.asarray(psi),
+                                ub=jnp.full(n, 1e20), rtol=1e-10, maxits=50)
+        assert res.converged, int(res.reason)
+        u = np.asarray(res.x)
+        Fu = A @ u - f
+        # feasibility
+        assert np.all(u >= psi - 1e-9)
+        # complementarity: contact → F >= 0; free → F ≈ 0
+        contact = u <= psi + 1e-8
+        assert contact.any() and (~contact).any()   # mixed active set
+        assert np.all(Fu[contact] >= -1e-7)
+        np.testing.assert_allclose(Fu[~contact], 0.0, atol=1e-7)
+
+    def test_reduces_to_newton_when_unconstrained(self):
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.uniform(1.0, 2.0, 10))
+
+        def F(x):
+            return x * x - a
+
+        res = snes_vinewtonrsls(F, jnp.ones(10), lb=-1e20, ub=1e20,
+                                rtol=1e-12)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x),
+                                   np.sqrt(np.asarray(a)), atol=1e-9)
+
+    def test_upper_bound(self):
+        def F(x):
+            return x - 5.0       # wants x = 5
+
+        res = snes_vinewtonrsls(F, jnp.zeros(4), lb=-1e20, ub=2.0,
+                                rtol=1e-10)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x), 2.0, atol=1e-9)
