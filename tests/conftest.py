@@ -17,3 +17,41 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+
+# ---------------------------------------------------------------------------
+# Per-configuration suite gating (the reference gates its test lists per
+# build config too — TESTEXAMPLES_C vs _MPIUNI etc., SURVEY.md §4).
+# Through the axon dev tunnel every distinct jit costs ~10-60 s of remote
+# compile, so that configuration runs a smoke subset: golden-output
+# parity, kernels-vs-scipy, host-side plan code. The FULL suite runs in
+# any normal environment (CPU mesh via scripts/test_cpu.sh, real TPU
+# pods, CI).
+# ---------------------------------------------------------------------------
+# the tunnel advertises platform "tpu"; the remote-compile env flag plus
+# an actually-selected tpu backend marks the slow-compile configuration
+# (the CPU-mesh runs inherit the env var but select the cpu backend)
+_ON_AXON_TUNNEL = (os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1"
+                   and jax.default_backend() == "tpu")
+
+_AXON_SMOKE_FILES = {
+    "test_core.py", "test_golden.py", "test_mat.py", "test_stencil.py",
+    "test_io.py", "test_native.py", "test_vec.py", "test_datafiles.py",
+}
+
+# debug-callback streams deadlock through the tunnel's io path
+_AXON_SKIP_NAMES = ("exact_output_text",)
+
+
+def pytest_collection_modifyitems(config, items):
+    if not _ON_AXON_TUNNEL:
+        return
+    import pytest
+
+    skip = pytest.mark.skip(
+        reason="axon tunnel: remote-compile-heavy; covered by the full "
+               "suite under scripts/test_cpu.sh and by dryrun_multichip")
+    for item in items:
+        name_hit = any(s in item.name for s in _AXON_SKIP_NAMES)
+        if (os.path.basename(str(item.fspath)) not in _AXON_SMOKE_FILES
+                or name_hit):
+            item.add_marker(skip)
