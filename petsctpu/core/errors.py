@@ -17,11 +17,15 @@ import enum
 class ConvergedReason(enum.IntEnum):
     """KSP convergence reasons (values chosen to match reference enum)."""
 
+    CONVERGED_RTOL_NORMAL = 1
     CONVERGED_RTOL = 2
     CONVERGED_ATOL = 3
     CONVERGED_ITS = 4            # preonly / fixed-iteration success
-    CONVERGED_STEP_LENGTH = 6
-    CONVERGED_HAPPY_BREAKDOWN = 7
+    CONVERGED_CG_NEG_CURVE = 5   # trust-region CG hit negative curvature
+    CONVERGED_CG_CONSTRAINED = 6  # trust-region CG hit the radius
+    CONVERGED_STEP_LENGTH = 7
+    CONVERGED_HAPPY_BREAKDOWN = 8
+    CONVERGED_ATOL_NORMAL = 9
     ITERATING = 0
     DIVERGED_NULL = -2
     DIVERGED_ITS = -3            # hit maxits without converging

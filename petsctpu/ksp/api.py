@@ -25,8 +25,20 @@ from petsctpu.ksp.bcgs import solve_bcgs, solve_cgsq, solve_bicg
 from petsctpu.ksp.cheby import solve_chebyshev, solve_richardson, solve_preonly
 from petsctpu.ksp.minres import solve_minres, solve_lsqr
 from petsctpu.ksp.extra import solve_cr, solve_tfqmr, solve_cgne, solve_fbcgs
+from petsctpu.ksp.more import (
+    solve_symmlq, solve_gcr, solve_bcgsl, solve_stcg, solve_lgmres,
+)
 
 KSP_REGISTRY = {
+    "symmlq": solve_symmlq,
+    "gcr": solve_gcr,
+    "bcgsl": solve_bcgsl,
+    "lgmres": solve_lgmres,
+    "stcg": solve_stcg,
+    "nash": solve_stcg,        # same TR-CG interface; boundary step to sphere
+    "gltr": solve_stcg,
+    "qcg": solve_stcg,
+    "pgmres": solve_gmres,     # CGS orth already fuses to ONE reduction/iter
     "cr": solve_cr,
     "pipecr": solve_cr,        # fused-reduction CR (same TPU structure)
     "tfqmr": solve_tfqmr,
@@ -88,6 +100,9 @@ def config_from_options(opts: Options, defaults: KSPConfig = None) -> KSPConfig:
         cheby_emax=opts.get_real("ksp_chebyshev_emax", cfg.cheby_emax),
         guess_nonzero=opts.get_bool("ksp_initial_guess_nonzero",
                                     cfg.guess_nonzero),
+        radius=opts.get_real("ksp_cg_radius", cfg.radius),
+        aug_dim=opts.get_int("ksp_lgmres_augment", cfg.aug_dim),
+        bcgsl_ell=opts.get_int("ksp_bcgsl_ell", cfg.bcgsl_ell),
     )
     return cfg
 

@@ -42,6 +42,9 @@ class KSPConfig:
     cheby_emin: float = 0.0             # 0 -> auto-estimate
     cheby_emax: float = 0.0
     guess_nonzero: bool = False
+    radius: float = 0.0                 # trust-region radius (stcg/nash/gltr; 0 -> unconstrained)
+    aug_dim: int = 2                    # LGMRES augmentation dimension
+    bcgsl_ell: int = 2                  # BiCGStab(l) polynomial degree
 
 
 class SolveResult(NamedTuple):

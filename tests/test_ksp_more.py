@@ -1,0 +1,165 @@
+"""Tests for the second batch of Krylov methods (ksp/more.py):
+SYMMLQ, GCR, BiCGStab(l), trust-region CG (STCG/NASH/GLTR), LGMRES."""
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from petsctpu.core.errors import ConvergedReason
+from petsctpu.ksp import ksp_solve
+from petsctpu.mat import aij_from_scipy
+from petsctpu.models import ex2_system, laplacian_2d
+from petsctpu.pc import make_pc
+
+
+def _nonsym(n=8):
+    A = laplacian_2d(n, n).tolil()
+    for i in range(n * n - 1):
+        A[i, i + 1] += 0.4
+    return A.tocsr()
+
+
+class TestSymmlq:
+    def test_spd(self):
+        A, b, u = ex2_system(8, 8)
+        Ad = aij_from_scipy(A)
+        res = ksp_solve(Ad, jnp.asarray(b), ksp_type="symmlq", rtol=1e-12,
+                        maxits=500)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x), u, atol=1e-7)
+
+    def test_spd_jacobi_pc(self):
+        A, b, u = ex2_system(8, 8)
+        Ad = aij_from_scipy(A)
+        res = ksp_solve(Ad, jnp.asarray(b), pc=make_pc("jacobi", A=Ad),
+                        ksp_type="symmlq", rtol=1e-12, maxits=500)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x), u, atol=1e-7)
+
+    def test_indefinite(self):
+        """SYMMLQ's raison d'être: symmetric INDEFINITE systems."""
+        A = (laplacian_2d(6, 6) - 3.0 * sp.eye(36)).tocsr()
+        Ad = aij_from_scipy(A)
+        xex = np.random.default_rng(1).standard_normal(36)
+        res = ksp_solve(Ad, jnp.asarray(A @ xex), ksp_type="symmlq",
+                        rtol=1e-11, maxits=800)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x), xex, atol=1e-5)
+
+
+class TestGCR:
+    def test_nonsymmetric(self):
+        A = _nonsym(8)
+        Ad = aij_from_scipy(A)
+        b = np.ones(64)
+        res = ksp_solve(Ad, jnp.asarray(b), pc=make_pc("jacobi", A=Ad),
+                        ksp_type="gcr", rtol=1e-10, maxits=300)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x), spla.spsolve(A, b),
+                                   atol=1e-6)
+
+    def test_flexible_inner_ksp(self):
+        """GCR is flexible: inner-KSP preconditioner is legal."""
+        A, b, u = ex2_system(8, 8)
+        Ad = aij_from_scipy(A)
+        pc = make_pc("ksp", A=Ad, A_host=A)
+        res = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="gcr", rtol=1e-9)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x), u, atol=1e-6)
+
+    def test_restart_window(self):
+        A = _nonsym(8)
+        Ad = aij_from_scipy(A)
+        b = np.ones(64)
+        res = ksp_solve(Ad, jnp.asarray(b), ksp_type="gcr", restart=10,
+                        rtol=1e-10, maxits=500)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x), spla.spsolve(A, b),
+                                   atol=1e-6)
+
+
+class TestBCGSL:
+    def test_nonsymmetric_l2(self):
+        A = _nonsym(8)
+        Ad = aij_from_scipy(A)
+        b = np.ones(64)
+        res = ksp_solve(Ad, jnp.asarray(b), pc=make_pc("jacobi", A=Ad),
+                        ksp_type="bcgsl", rtol=1e-8, maxits=200)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x), spla.spsolve(A, b),
+                                   atol=1e-6)
+
+    def test_ell4(self):
+        A = _nonsym(8)
+        Ad = aij_from_scipy(A)
+        b = np.ones(64)
+        res = ksp_solve(Ad, jnp.asarray(b), ksp_type="bcgsl", bcgsl_ell=4,
+                        rtol=1e-10, maxits=200)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x), spla.spsolve(A, b),
+                                   atol=1e-6)
+
+
+class TestTrustRegionCG:
+    def test_unconstrained_matches_cg(self):
+        A, b, u = ex2_system(8, 8)
+        Ad = aij_from_scipy(A)
+        res = ksp_solve(Ad, jnp.asarray(b), ksp_type="stcg", rtol=1e-10)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x), u, atol=1e-7)
+
+    def test_radius_constrains_step(self):
+        A, b, u = ex2_system(8, 8)
+        Ad = aij_from_scipy(A)
+        unorm = float(np.linalg.norm(u))
+        radius = 0.25 * unorm
+        res = ksp_solve(Ad, jnp.asarray(b), ksp_type="stcg", rtol=1e-10,
+                        radius=radius)
+        assert int(res.reason) == ConvergedReason.CONVERGED_CG_CONSTRAINED
+        np.testing.assert_allclose(float(jnp.linalg.norm(res.x)), radius,
+                                   rtol=1e-10)
+
+    def test_negative_curvature_stops_on_boundary(self):
+        A = (-1.0 * sp.eye(16)).tocsr()      # negative definite
+        Ad = aij_from_scipy(A)
+        b = np.ones(16)
+        res = ksp_solve(Ad, jnp.asarray(b), ksp_type="gltr", radius=2.0,
+                        rtol=1e-10)
+        assert int(res.reason) == ConvergedReason.CONVERGED_CG_NEG_CURVE
+        np.testing.assert_allclose(float(jnp.linalg.norm(res.x)), 2.0,
+                                   rtol=1e-10)
+
+
+class TestLGMRES:
+    def test_aug0_is_exactly_gmres(self):
+        """With no augmentation the cycle machinery must reproduce plain
+        restarted GMRES iteration-for-iteration."""
+        A = _nonsym(10)
+        Ad = aij_from_scipy(A)
+        b = np.ones(100)
+        plain = ksp_solve(Ad, jnp.asarray(b), ksp_type="gmres", restart=8,
+                          rtol=1e-9, maxits=400)
+        aug0 = ksp_solve(Ad, jnp.asarray(b), ksp_type="lgmres", restart=8,
+                         aug_dim=0, rtol=1e-9, maxits=400)
+        assert int(aug0.its) == int(plain.its)
+        np.testing.assert_allclose(np.asarray(aug0.x), np.asarray(plain.x),
+                                   atol=1e-12)
+
+    def test_augmented_converges(self):
+        A = _nonsym(10)
+        Ad = aij_from_scipy(A)
+        b = np.ones(100)
+        aug = ksp_solve(Ad, jnp.asarray(b), ksp_type="lgmres", restart=10,
+                        aug_dim=2, rtol=1e-10, maxits=400)
+        assert aug.converged
+        np.testing.assert_allclose(np.asarray(aug.x), spla.spsolve(A, b),
+                                   atol=1e-6)
+
+    def test_with_pc(self):
+        A, b, u = ex2_system(8, 8)
+        Ad = aij_from_scipy(A)
+        res = ksp_solve(Ad, jnp.asarray(b), pc=make_pc("jacobi", A=Ad),
+                        ksp_type="lgmres", restart=8, rtol=1e-10, maxits=300)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x), u, atol=1e-7)
