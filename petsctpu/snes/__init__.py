@@ -1,5 +1,10 @@
 from petsctpu.snes.api import SNES, snes_solve, SNESConfig, SNESResult
 from petsctpu.snes.fdjac import ColoredJacobian, jvp_operator, mffd_operator
+from petsctpu.snes.fas import (
+    FASLevel, fas_levels_from_da, ngs_sweep, snes_fas, snes_ncg, snes_ngs,
+)
 
 __all__ = ["SNES", "snes_solve", "SNESConfig", "SNESResult",
-           "ColoredJacobian", "jvp_operator", "mffd_operator"]
+           "ColoredJacobian", "jvp_operator", "mffd_operator",
+           "FASLevel", "fas_levels_from_da", "ngs_sweep", "snes_fas",
+           "snes_ncg", "snes_ngs"]

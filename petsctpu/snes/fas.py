@@ -1,0 +1,289 @@
+"""FAS nonlinear multigrid, colored nonlinear Gauss-Seidel, and
+nonlinear CG.
+
+Reference: SNESFAS (src/snes/impls/fas/fas.c — full approximation
+scheme V-cycles with nonlinear smoothers and a Newton coarse solve),
+SNESGS (src/snes/impls/gs — pointwise nonlinear Gauss-Seidel; the
+reference sweeps points, we sweep stencil COLORS so each color's
+pointwise Newton updates run data-parallel on the VPU), SNESNCG
+(src/snes/impls/ncg — Fletcher-Reeves/PRP nonlinear CG with a
+critical-point secant line search).
+
+TPU mapping: a colored NGS sweep is 2 residual evaluations per color
+(probe + update), fully vectorized; the FAS V-cycle is a static
+Python recursion over levels (XLA sees straight-line code), with the
+outer iteration a `lax.while_loop`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from petsctpu.core.errors import SNESConvergedReason
+from petsctpu.ksp.common import KSPConfig
+from petsctpu.mat.coloring import stencil_coloring
+from petsctpu.snes.api import SNESConfig, SNESResult, _check, _monitor, snes_solve
+from petsctpu.vec import ops
+
+
+# ---------------------------------------------------------------------------
+# Colored nonlinear Gauss-Seidel
+# ---------------------------------------------------------------------------
+
+def ngs_sweep(F: Callable, x: jax.Array, b, colors: jax.Array, ncolors: int,
+              omega: float = 1.0, h: float = None):
+    """One nonlinear Gauss-Seidel sweep over stencil colors.
+
+    For each color c: one residual eval + one probe along the color's
+    indicator vector yields the Jacobian diagonal on that color (same-
+    colored points don't interact at distance-2 coloring), then all
+    points of the color take a damped pointwise Newton step at once."""
+    dtype = x.dtype
+    hval = jnp.asarray(h if h is not None
+                       else np.sqrt(np.finfo(np.dtype(dtype)).eps), dtype)
+    for c in range(ncolors):
+        Fx = F(x)
+        r = Fx - b if b is not None else Fx
+        d = (colors == c).astype(dtype)
+        diag = (F(x + hval * d) - Fx) / hval
+        safe = jnp.where(jnp.abs(diag) > 1e-30, diag,
+                         jnp.ones_like(diag))
+        x = x - jnp.where(colors == c, omega * r / safe, 0.0)
+    return x
+
+
+def snes_ngs(F: Callable, x0: jax.Array, colors: np.ndarray,
+             ncolors: int = None, omega: float = 1.0,
+             cfg: SNESConfig = None, axis: Optional[str] = None,
+             **kw) -> SNESResult:
+    """Standalone nonlinear Gauss-Seidel solver (SNESGS analog)."""
+    cfg = replace(cfg or SNESConfig(), **kw) if kw else (cfg or SNESConfig())
+    colors_j = jnp.asarray(colors)
+    nc = ncolors if ncolors is not None else int(np.max(colors)) + 1
+
+    Fx = F(x0)
+    fnorm = ops.norm(Fx, axis)
+    fnorm0 = fnorm
+    history = jnp.full((cfg.maxits + 1,), jnp.nan, x0.dtype).at[0].set(fnorm)
+    _monitor(cfg, 0, fnorm)
+    reason = _check(fnorm, fnorm0, jnp.zeros((), x0.dtype),
+                    ops.norm(x0, axis), jnp.int32(0), cfg)
+
+    def cond(c):
+        return c["reason"] == SNESConvergedReason.ITERATING
+
+    def body(c):
+        x = ngs_sweep(F, c["x"], None, colors_j, nc, omega)
+        fn = ops.norm(F(x), axis)
+        its = c["its"] + 1
+        history = c["history"].at[its].set(fn)
+        _monitor(cfg, its, fn)
+        reason = _check(fn, fnorm0, ops.norm(x - c["x"], axis),
+                        ops.norm(x, axis), its, cfg)
+        return dict(x=x, its=its, history=history, reason=reason)
+
+    out = lax.while_loop(cond, body, dict(x=x0, its=jnp.int32(0),
+                                          history=history, reason=reason))
+    return SNESResult(out["x"], out["its"], out["reason"],
+                      ops.norm(F(out["x"]), axis), out["history"])
+
+
+# ---------------------------------------------------------------------------
+# FAS — full approximation scheme
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class FASLevel:
+    """One level of the FAS hierarchy (fine→coarse list order).
+
+    F       residual function on this level
+    colors  distance-2 coloring (NGS smoother plan)
+    ncolors number of colors
+    interp  Q1Interp fine←coarse (None on the coarsest level)
+    inject  int index array restricting fine states to the coarse grid
+            (None on the coarsest level)
+    """
+
+    F: Callable
+    colors: np.ndarray
+    ncolors: int
+    interp: object = None
+    inject: np.ndarray = None
+
+
+def fas_levels_from_da(da, make_residual: Callable, nlevels: int
+                       ) -> Sequence[FASLevel]:
+    """Build a FAS hierarchy from a DA and a residual factory
+    `make_residual(da) -> F` (e.g. models.bratu_residual)."""
+    levels = []
+    cur = da
+    for l in range(nlevels):
+        offs = cur.stencil_offsets()
+        colors = stencil_coloring(cur.grid, offs)
+        nc = int(colors.max()) + 1
+        interp = inject = None
+        if l < nlevels - 1:
+            coarse = cur.coarsen()
+            interp = cur.interpolation(coarse)
+            idx = np.arange(int(np.prod(cur.grid))).reshape(cur.grid)
+            inject = idx[tuple(slice(None, None, 2) for _ in cur.grid)
+                         ].reshape(-1).copy()
+            levels.append(FASLevel(make_residual(cur), colors, nc, interp,
+                                   inject))
+            cur = coarse
+        else:
+            levels.append(FASLevel(make_residual(cur), colors, nc))
+    return levels
+
+
+def snes_fas(levels: Sequence[FASLevel], x0: jax.Array,
+             cfg: SNESConfig = None, npre: int = 2, npost: int = 2,
+             omega: float = 0.9, coarse_cfg: SNESConfig = None,
+             coarse_ksp: KSPConfig = None, axis: Optional[str] = None,
+             **kw) -> SNESResult:
+    """FAS V-cycle iteration (SNESFAS, fas.c).
+
+    Each outer iteration runs one V-cycle: colored-NGS presmooth,
+    restrict state (injection) and residual (Pᵀ), form the coarse FAS
+    right-hand side b_c = F_c(R x) + R(b − F(x)), recurse, prolong the
+    coarse CORRECTION, postsmooth. The coarsest level is solved by
+    Newton-Krylov (reference default: SNESNEWTONLS on level 0)."""
+    cfg = replace(cfg or SNESConfig(), **kw) if kw else (cfg or SNESConfig())
+    coarse_cfg = coarse_cfg or SNESConfig(maxits=12, rtol=1e-10,
+                                          linesearch="bt")
+    coarse_ksp = coarse_ksp or KSPConfig(ksp_type="gmres", rtol=1e-8,
+                                         maxits=200)
+    nlev = len(levels)
+    colors_j = [jnp.asarray(L.colors) for L in levels]
+    inject_j = [jnp.asarray(L.inject) if L.inject is not None else None
+                for L in levels]
+
+    def smooth(l, x, b, sweeps):
+        for _ in range(sweeps):
+            x = ngs_sweep(levels[l].F, x, b, colors_j[l], levels[l].ncolors,
+                          omega)
+        return x
+
+    def vcycle(l, x, b):
+        L = levels[l]
+        if l == nlev - 1:
+            res = snes_solve(lambda y: L.F(y) - b, x, jac="jvp",
+                             ksp_cfg=coarse_ksp, cfg=coarse_cfg, axis=axis)
+            return res.x
+        x = smooth(l, x, b, npre)
+        r = b - L.F(x)
+        xc0 = x[inject_j[l]]
+        bc = levels[l + 1].F(xc0) + L.interp.multT(r)
+        xc = vcycle(l + 1, xc0, bc)
+        x = x + L.interp.mult(xc - xc0)
+        x = smooth(l, x, b, npost)
+        return x
+
+    F0 = levels[0].F
+    Fx = F0(x0)
+    fnorm = ops.norm(Fx, axis)
+    fnorm0 = fnorm
+    history = jnp.full((cfg.maxits + 1,), jnp.nan, x0.dtype).at[0].set(fnorm)
+    _monitor(cfg, 0, fnorm)
+    reason = _check(fnorm, fnorm0, jnp.zeros((), x0.dtype),
+                    ops.norm(x0, axis), jnp.int32(0), cfg)
+    zero_b = jnp.zeros_like(x0)
+
+    def cond(c):
+        return c["reason"] == SNESConvergedReason.ITERATING
+
+    def body(c):
+        x = vcycle(0, c["x"], zero_b)
+        fn = ops.norm(F0(x), axis)
+        its = c["its"] + 1
+        history = c["history"].at[its].set(fn)
+        _monitor(cfg, its, fn)
+        reason = _check(fn, fnorm0, ops.norm(x - c["x"], axis),
+                        ops.norm(x, axis), its, cfg)
+        return dict(x=x, its=its, history=history, reason=reason)
+
+    out = lax.while_loop(cond, body, dict(x=x0, its=jnp.int32(0),
+                                          history=history, reason=reason))
+    return SNESResult(out["x"], out["its"], out["reason"],
+                      ops.norm(F0(out["x"]), axis), out["history"])
+
+
+# ---------------------------------------------------------------------------
+# Nonlinear CG
+# ---------------------------------------------------------------------------
+
+def snes_ncg(F: Callable, x0: jax.Array, beta_type: str = "prp",
+             ls_its: int = 5, cfg: SNESConfig = None,
+             axis: Optional[str] = None, **kw) -> SNESResult:
+    """Nonlinear conjugate gradients (SNESNCG, src/snes/impls/ncg).
+
+    Directions p = F + β p with β from Fletcher-Reeves ("fr") or
+    Polak-Ribière-Polyak ("prp", reference default, with max(β,0)
+    restart). Step length from the reference's default "cp" line
+    search: secant iteration on g(λ) = F(x−λp)·p = 0."""
+    cfg = replace(cfg or SNESConfig(), **kw) if kw else (cfg or SNESConfig())
+    dtype = x0.dtype
+
+    Fx = F(x0)
+    fnorm = ops.norm(Fx, axis)
+    fnorm0 = fnorm
+    history = jnp.full((cfg.maxits + 1,), jnp.nan, dtype).at[0].set(fnorm)
+    _monitor(cfg, 0, fnorm)
+    reason = _check(fnorm, fnorm0, jnp.zeros((), dtype),
+                    ops.norm(x0, axis), jnp.int32(0), cfg)
+
+    def cp_linesearch(x, p):
+        """Secant on g(λ) = F(x−λp)·p (linesearch/impls/cp)."""
+        lam0 = jnp.asarray(0.0, dtype)
+        lam1 = jnp.asarray(1.0, dtype)
+        g0 = ops.dot(F(x), p, axis)
+
+        def body(i, carry):
+            lam0, lam1, g0 = carry
+            g1 = ops.dot(F(x - lam1 * p), p, axis)
+            denom = g1 - g0
+            lam2 = jnp.where(jnp.abs(denom) > 1e-30,
+                             lam1 - g1 * (lam1 - lam0) / denom,
+                             0.5 * lam1)
+            lam2 = jnp.clip(lam2, -10.0, 10.0)
+            return (lam1, lam2, g1)
+
+        _, lam, _ = lax.fori_loop(0, ls_its, body, (lam0, lam1, g0))
+        return lam
+
+    def body(c):
+        x, Fx, p, its = c["x"], c["F"], c["p"], c["its"]
+        lam = cp_linesearch(x, p)
+        xn = x - lam * p
+        Fn = F(xn)
+        fn = ops.norm(Fn, axis)
+        if beta_type == "fr":
+            beta = (fn * fn) / jnp.maximum(c["fnorm"] ** 2, 1e-300)
+        else:                                   # PRP+ (reference default)
+            num_l = jnp.vdot(Fn, Fn - Fx)
+            num = ops.psum(num_l, axis)
+            beta = jnp.maximum(num / jnp.maximum(c["fnorm"] ** 2, 1e-300),
+                               0.0)
+        pn = Fn + beta * p
+        its = its + 1
+        history = c["history"].at[its].set(fn)
+        _monitor(cfg, its, fn)
+        reason = _check(fn, fnorm0, ops.norm(xn - x, axis),
+                        ops.norm(xn, axis), its, cfg)
+        return dict(x=xn, F=Fn, p=pn, fnorm=fn, its=its, history=history,
+                    reason=reason)
+
+    def cond(c):
+        return c["reason"] == SNESConvergedReason.ITERATING
+
+    out = lax.while_loop(cond, body, dict(x=x0, F=Fx, p=Fx, fnorm=fnorm,
+                                          its=jnp.int32(0), history=history,
+                                          reason=reason))
+    return SNESResult(out["x"], out["its"], out["reason"], out["fnorm"],
+                      out["history"])

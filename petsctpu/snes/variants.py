@@ -135,11 +135,17 @@ def snes_newtontr(F: Callable, x0: jax.Array, cfg: SNESConfig = None,
 
 def snes_anderson(F: Callable, x0: jax.Array, window: int = 5,
                   beta: float = 1.0, cfg: SNESConfig = None,
-                  axis: Optional[str] = None, **kw) -> SNESResult:
+                  axis: Optional[str] = None,
+                  npc: Optional[Callable] = None, **kw) -> SNESResult:
     """Anderson mixing / nonlinear GMRES (src/snes/impls/ngmres).
 
     Keeps a window of (x, F) pairs; each step solves the small
-    least-squares problem min‖F_k + Σαᵢ(Fᵢ−F_k)‖ and combines."""
+    least-squares problem min‖F_k + Σαᵢ(Fᵢ−F_k)‖ and combines.
+
+    npc: optional nonlinear preconditioner x → x' (an inner-solver
+    application — the reference's snes->pc, e.g. a few NGS sweeps or
+    one FAS cycle); the accelerated point is passed through it each
+    iteration (right-preconditioned NGMRES)."""
     cfg = replace(cfg or SNESConfig(), **kw) if kw else (cfg or SNESConfig())
     dtype = x0.dtype
     n = x0.shape[0]
@@ -180,6 +186,8 @@ def snes_anderson(F: Callable, x0: jax.Array, window: int = 5,
         x_mix = x + (Xh - x[None, :]).T @ alpha
         F_mix = Fx - Dm.T @ alpha
         x_new = x_mix - beta * F_mix
+        if npc is not None:
+            x_new = npc(x_new)
         Fn = F(x_new)
         fn = ops.norm(Fn, axis)
         its = its + 1
