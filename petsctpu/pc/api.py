@@ -106,6 +106,44 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
         # multi-host meshes
         _require_host(A_host, "redundant")
         return make_lu(A_host, dtype=dt)
+    if pc_type == "eisenstat":
+        _require_host(A_host, "eisenstat")
+        from petsctpu.pc.extra import make_eisenstat
+        return make_eisenstat(A_host,
+                              omega=opts.get_real("pc_eisenstat_omega", 1.0),
+                              dtype=dt)
+    if pc_type == "galerkin":
+        _require_host(A_host, "galerkin")
+        from petsctpu.pc.extra import make_galerkin
+        P = opts.get("pc_galerkin_interpolation")
+        if P is None:
+            raise ValueError("pc_type=galerkin needs options key "
+                             "'pc_galerkin_interpolation' (device op) and "
+                             "'pc_galerkin_interpolation_host' (scipy)")
+        return make_galerkin(A_host, P,
+                             P_host=opts.get("pc_galerkin_interpolation_host"),
+                             dtype=dt)
+    if pc_type == "redistribute":
+        _require_host(A_host, "redistribute")
+        from petsctpu.pc.extra import make_redistribute
+        return make_redistribute(A_host, dtype=dt)
+    if pc_type == "lsc":
+        from petsctpu.pc.extra import make_lsc
+        A00 = opts.get("pc_lsc_a00")
+        B = opts.get("pc_lsc_b")
+        if A00 is None or B is None:
+            raise ValueError("pc_type=lsc needs options keys 'pc_lsc_a00' "
+                             "and 'pc_lsc_b' (scipy blocks)")
+        return make_lsc(A00, B, dtype=dt)
+    if pc_type == "svd":
+        _require_host(A_host, "svd")
+        from petsctpu.pc.extra import make_svd
+        return make_svd(A_host, dtype=dt,
+                        rtol=opts.get_real("pc_svd_monitor_rtol", 1e-12))
+    if pc_type == "cp":
+        _require_host(A_host, "cp")
+        from petsctpu.pc.extra import make_cp
+        return make_cp(A_host, dtype=dt)
     if pc_type == "sor":
         _require_host(A_host, "sor")
         return make_sor(

@@ -1,3 +1,7 @@
-from petsctpu.ts.steppers import TS, TSConfig, TSResult, ts_solve
+from petsctpu.ts.steppers import (
+    TS, TSConfig, TSResult, ts_alpha, ts_pseudo, ts_solve,
+)
+from petsctpu.ts.imex import ts_arkimex, ts_rosw
 
-__all__ = ["TS", "TSConfig", "TSResult", "ts_solve"]
+__all__ = ["TS", "TSConfig", "TSResult", "ts_alpha", "ts_pseudo",
+           "ts_solve", "ts_arkimex", "ts_rosw"]

@@ -44,6 +44,8 @@ class TSConfig:
     adapt_rtol: float = 1e-4
     adapt_atol: float = 1e-4
     adapt_clip: tuple = (0.1, 10.0)
+    cfl_safety: float = 0.9         # TSAdapt 'cfl' safety factor
+    alpha_radius: float = 0.5       # generalized-α spectral radius ρ∞
     monitor: bool = False
     # pseudo-timestepping
     pseudo_max_dt: float = 1e12
@@ -69,8 +71,13 @@ def _monitor(cfg, step, t, u):
 
 
 def ts_solve(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
-             axis: Optional[str] = None, **kw) -> TSResult:
-    """Integrate u' = rhs(t, u) from t0 until max_time/max_steps."""
+             axis: Optional[str] = None, cfl_fn: Optional[Callable] = None,
+             **kw) -> TSResult:
+    """Integrate u' = rhs(t, u) from t0 until max_time/max_steps.
+
+    cfl_fn: optional (t, u) -> max stable dt; when given, the step size
+    is capped at cfl_safety·cfl_fn each step (TSAdapt 'cfl',
+    src/ts/adapt/impls/cfl)."""
     cfg = replace(cfg or TSConfig(), **kw) if kw else (cfg or TSConfig())
     t_type = cfg.ts_type
     if t_type == "beuler":
@@ -145,6 +152,8 @@ def ts_solve(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
     def body(c):
         t, u, dt, step = c
         dt_eff = jnp.minimum(dt, cfg.max_time - t)
+        if cfl_fn is not None:
+            dt_eff = jnp.minimum(dt_eff, cfg.cfl_safety * cfl_fn(t, u))
         un, dt_used, dt_next = stepper(t, u, dt_eff)
         t = t + dt_used
         step = step + 1
@@ -153,6 +162,53 @@ def ts_solve(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
 
     t, u, dt, step = lax.while_loop(
         cond, body, (jnp.asarray(cfg.t0, dtype), u0,
+                     jnp.asarray(cfg.dt, dtype), jnp.int32(0)))
+    return TSResult(u, t, step, dt)
+
+
+def ts_alpha(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
+             axis: Optional[str] = None, **kw) -> TSResult:
+    """Generalized-α for first-order systems (TSALPHA,
+    src/ts/impls/alpha/alpha.c — Jansen, Whiting & Hulbert).
+
+    Parameters from the spectral radius ρ∞ (alpha_radius):
+    α_m = ½(3−ρ)/(1+ρ), α_f = 1/(1+ρ), γ = ½ + α_m − α_f — second-order
+    accurate, user-controlled high-frequency damping. Each step solves
+    G(v₁) = v_n + α_m(v₁−v_n) − rhs(t+α_f·dt, u_n + α_f·dt((1−γ)v_n +
+    γv₁)) = 0 for the new rate v₁, then u₁ = u_n + dt((1−γ)v_n + γv₁).
+    """
+    cfg = replace(cfg or TSConfig(), **kw) if kw else (cfg or TSConfig())
+    rho = cfg.alpha_radius
+    am = 0.5 * (3.0 - rho) / (1.0 + rho)
+    af = 1.0 / (1.0 + rho)
+    gamma = 0.5 + am - af
+    dtype = u0.dtype
+    v0 = rhs(jnp.asarray(cfg.t0, dtype), u0)       # consistent initial rate
+
+    def cond(c):
+        t, u, v, dt, step = c
+        return (step < cfg.max_steps) & (t < cfg.max_time - 1e-14)
+
+    def body(c):
+        t, u, v, dt, step = c
+        dt_eff = jnp.minimum(dt, cfg.max_time - t)
+
+        def G(v1):
+            ua = u + af * dt_eff * ((1.0 - gamma) * v + gamma * v1)
+            va = v + am * (v1 - v)
+            return va - rhs(t + af * dt_eff, ua)
+
+        res = snes_solve(G, v, jac="jvp", cfg=cfg.snes, ksp_cfg=cfg.ksp,
+                         axis=axis)
+        v1 = res.x
+        un = u + dt_eff * ((1.0 - gamma) * v + gamma * v1)
+        t = t + dt_eff
+        step = step + 1
+        _monitor(cfg, step, t, un)
+        return (t, un, v1, dt, step)
+
+    t, u, v, dt, step = lax.while_loop(
+        cond, body, (jnp.asarray(cfg.t0, dtype), u0, v0,
                      jnp.asarray(cfg.dt, dtype), jnp.int32(0)))
     return TSResult(u, t, step, dt)
 

@@ -1,0 +1,132 @@
+"""Specialty PCs: galerkin, redistribute, lsc, svd, cp, eisenstat."""
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from petsctpu.core.options import Options
+from petsctpu.dm.da import DA
+from petsctpu.ksp import ksp_solve
+from petsctpu.mat import aij_from_scipy
+from petsctpu.models import ex2_system, laplacian_2d
+from petsctpu.pc import make_pc
+
+
+class TestSVD:
+    def test_exact_in_one_iteration(self):
+        A, b, u = ex2_system(6, 6)
+        Ad = aij_from_scipy(A)
+        pc = make_pc("svd", A=Ad, A_host=A)
+        res = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="richardson",
+                        rtol=1e-12, maxits=10)
+        assert res.converged and int(res.its) <= 2
+        np.testing.assert_allclose(np.asarray(res.x), u, atol=1e-9)
+
+    def test_rank_deficient(self):
+        """Singular system: SVD PC drops the null space (svd.c cutoff)."""
+        A = sp.diags([0.0, 1.0, 2.0, 3.0]).tocsr()
+        pc = make_pc("svd", A_host=A)
+        y = pc.apply(jnp.asarray([1.0, 1.0, 1.0, 1.0]))
+        np.testing.assert_allclose(np.asarray(y), [0.0, 1.0, 0.5, 1 / 3],
+                                   atol=1e-12)
+
+
+class TestRedistribute:
+    def test_dirichlet_rows_stripped(self):
+        """Laplacian with identity boundary rows: the reduced interior
+        is solved, boundary comes straight from the rhs."""
+        da = DA((7, 7))
+        A = da.create_matrix()
+        # build 2-D Laplacian with identity boundary rows on host
+        n = 7
+        Ah = sp.lil_matrix((49, 49))
+        for i in range(n):
+            for j in range(n):
+                k = i * n + j
+                if i in (0, n - 1) or j in (0, n - 1):
+                    Ah[k, k] = 1.0
+                else:
+                    Ah[k, k] = 4.0
+                    Ah[k, k - 1] = Ah[k, k + 1] = -1.0
+                    Ah[k, k - n] = Ah[k, k + n] = -1.0
+        Ah = Ah.tocsr()
+        rng = np.random.default_rng(3)
+        xex = rng.standard_normal(49)
+        b = Ah @ xex
+        pc = make_pc("redistribute", A_host=Ah)
+        x = pc.apply(jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(x), xex, atol=1e-10)
+
+
+class TestGalerkin:
+    def test_coarse_projection_pc(self):
+        A, b, u = ex2_system(9, 9)
+        Ad = aij_from_scipy(A)
+        da = DA((9, 9))
+        coarse = da.coarsen()
+        P = da.interpolation(coarse)
+        from petsctpu.dm.da import q1_interp_scipy
+        Ph = q1_interp_scipy(da.grid, coarse.grid)
+        pc = make_pc("galerkin", A=Ad, A_host=A, options=Options({
+            "pc_galerkin_interpolation": P,
+            "pc_galerkin_interpolation_host": Ph}))
+        res = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="fgmres",
+                        rtol=1e-8, maxits=300)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x), u, atol=1e-5)
+
+
+class TestCP:
+    def test_nonsymmetric(self):
+        A = laplacian_2d(6, 6).tolil()
+        for i in range(35):
+            A[i, i + 1] += 0.3
+        A = A.tocsr()
+        Ad = aij_from_scipy(A)
+        b = np.ones(36)
+        pc = make_pc("cp", A=Ad, A_host=A)
+        res = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="fgmres",
+                        rtol=1e-9, maxits=300)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x), spla.spsolve(A, b),
+                                   atol=1e-6)
+
+
+class TestEisenstat:
+    def test_matches_ssor_history(self):
+        """Eisenstat = SSOR preconditioning: identical iteration count."""
+        A, b, u = ex2_system(8, 8)
+        Ad = aij_from_scipy(A)
+        r1 = ksp_solve(Ad, jnp.asarray(b),
+                       pc=make_pc("eisenstat", A=Ad, A_host=A),
+                       ksp_type="cg", rtol=1e-10)
+        r2 = ksp_solve(Ad, jnp.asarray(b),
+                       pc=make_pc("sor", A=Ad, A_host=A,
+                                  options=Options({"pc_sor_symmetric":
+                                                   "true"})),
+                       ksp_type="cg", rtol=1e-10)
+        assert int(r1.its) == int(r2.its)
+        np.testing.assert_allclose(np.asarray(r1.x), u, atol=1e-8)
+
+
+class TestLSC:
+    def test_stokes_schur(self):
+        """Small Stokes-like saddle point: fieldsplit-Schur with an LSC
+        inner approximation converges on the pressure block."""
+        rng = np.random.default_rng(0)
+        nv, npr = 24, 8
+        A00 = (laplacian_2d(6, 4) + 0.5 * sp.eye(24)).tocsr()
+        B = sp.csr_matrix(rng.standard_normal((npr, nv)) * 0.5)
+        # Schur complement S = B A00^{-1} B^T (SPD here)
+        S = B @ np.linalg.inv(A00.toarray()) @ B.T
+        pc = make_pc("lsc", options=Options({"pc_lsc_a00": A00,
+                                             "pc_lsc_b": B}))
+        from petsctpu.mat.dense import Dense
+        Sd = Dense(jnp.asarray(S))
+        bb = rng.standard_normal(npr)
+        res = ksp_solve(Sd, jnp.asarray(bb), pc=pc, ksp_type="fgmres",
+                        rtol=1e-10, maxits=200)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x),
+                                   np.linalg.solve(S, bb), atol=1e-7)
