@@ -7,6 +7,12 @@ from petsctpu.mat.base import (
 )
 from petsctpu.mat.coo import ell_from_coo
 from petsctpu.mat.stencil import StencilMat, stencil_from_scipy, stencil_to_scipy
+from petsctpu.mat.sbaij import SBAIJ, sbaij_from_scipy
+from petsctpu.mat.maij import MAIJ
+from petsctpu.mat.matis import MatIS, matis_from_subdomains
+from petsctpu.mat.partition import (
+    MatPartitioning, edge_cut, partition_rcb, partition_rcm,
+)
 
 __all__ = [
     "AIJ", "aij_from_scipy", "aij_from_dense", "aij_to_scipy",
@@ -14,4 +20,6 @@ __all__ = [
     "Shell", "Transpose", "Normal", "NormalHermitian", "ShiftScale",
     "Composite", "LRC", "Diagonal", "Identity", "ell_from_coo",
     "StencilMat", "stencil_from_scipy", "stencil_to_scipy",
+    "SBAIJ", "sbaij_from_scipy", "MAIJ", "MatIS", "matis_from_subdomains",
+    "MatPartitioning", "edge_cut", "partition_rcb", "partition_rcm",
 ]
