@@ -106,6 +106,14 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
         # multi-host meshes
         _require_host(A_host, "redundant")
         return make_lu(A_host, dtype=dt)
+    if pc_type in ("nn", "bddc"):
+        from petsctpu.mat.matis import MatIS
+        from petsctpu.pc.nn import make_nn
+        if not isinstance(A, MatIS):
+            raise ValueError(f"pc_type={pc_type} needs a MatIS operator "
+                             "(unassembled local Neumann matrices)")
+        return make_nn(A, dtype=dt,
+                       balanced=opts.get_bool("pc_nn_balanced", True))
     if pc_type == "eisenstat":
         _require_host(A_host, "eisenstat")
         from petsctpu.pc.extra import make_eisenstat
