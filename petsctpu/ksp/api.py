@@ -187,6 +187,10 @@ class KSP:
                         cfg=self.cfg)
         if self.opts.get_bool("ksp_view", False):
             print(self.view())
+        if self.opts.get_bool("ksp_monitor_draw", False):
+            from petsctpu.core.draw import monitor_draw
+            monitor_draw(res,
+                         save=self.opts.get("ksp_monitor_draw_save"))
         return res
 
     def view(self) -> str:
