@@ -112,7 +112,7 @@ def ksp_solve(A, b, x0=None, pc=None, axis: Optional[str] = None,
     """Solve A x = b. kw overrides KSPConfig fields (e.g. ksp_type="cg")."""
     cfg = replace(cfg or KSPConfig(), **kw) if (kw or cfg is None) else cfg
     if x0 is None:
-        x0 = jnp.zeros(A.shape[1], b.dtype)
+        x0 = jnp.zeros_like(b)      # preserves b's (possibly grid) shape
     run = _compiled(cfg.ksp_type, cfg, axis)
     with log_event(f"KSPSolve[{cfg.ksp_type}]"):
         res = run(A, b, x0, pc)
