@@ -28,8 +28,13 @@ from petsctpu.ksp.extra import solve_cr, solve_tfqmr, solve_cgne, solve_fbcgs
 from petsctpu.ksp.more import (
     solve_symmlq, solve_gcr, solve_bcgsl, solve_stcg, solve_lgmres,
 )
+from petsctpu.ksp.lcd_tcqmr import solve_lcd, solve_tcqmr
+from petsctpu.ksp.ibcgs import solve_ibcgs
 
 KSP_REGISTRY = {
+    "lcd": solve_lcd,
+    "tcqmr": solve_tcqmr,
+    "ibcgs": solve_ibcgs,
     "symmlq": solve_symmlq,
     "gcr": solve_gcr,
     "bcgsl": solve_bcgsl,

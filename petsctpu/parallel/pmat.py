@@ -82,6 +82,37 @@ class ShardedAIJ:
         y = y + jnp.sum(self.off_vals * g[self.off_cols], axis=1)
         return y
 
+    def multT(self, x_local: jax.Array) -> jax.Array:
+        """y_local = (Aᵀ x)_local — MatMultTranspose_MPIAIJ analog.
+
+        The diag block transposes locally (scatter-add over ELL slots);
+        the off-diag block's contributions land on GHOST slots and ride
+        the halo plan in REVERSE (the reference's scatter-reverse,
+        VecScatterBegin(...,SCATTER_REVERSE) in mpiaij.c MatMultTranspose):
+        alltoall style inverts the pack/exchange/gather pipeline,
+        allgather style scatters into global positions and psums."""
+        dt = x_local.dtype
+        xw = (self.diag_vals * x_local[:, None]).reshape(-1)
+        y = jnp.zeros(self.nloc, dt).at[self.diag_cols.reshape(-1)].add(xw)
+        if self.nshards == 1:
+            return y
+        gmax = self.ghost_src.shape[-1]
+        gbuf = jnp.zeros(gmax + 1, dt)          # +1 = sentinel pad slot
+        ow = (self.off_vals * x_local[:, None]).reshape(-1)
+        gbuf = gbuf.at[self.off_cols.reshape(-1)].add(ow)
+        gbuf = gbuf[:gmax]
+        if self.style == "allgather":
+            contrib = jnp.zeros(self.shape[0], dt).at[self.ghost_gidx].add(
+                gbuf)
+            tot = lax.psum(contrib, self.axis)
+            i = lax.axis_index(self.axis)
+            return y + lax.dynamic_slice(tot, (i * self.nloc,), (self.nloc,))
+        P, smax = self.send_idx.shape
+        rbuf = jnp.zeros(P * smax, dt).at[self.ghost_src].add(gbuf)
+        back = lax.all_to_all(rbuf.reshape(P, smax), self.axis,
+                              split_axis=0, concat_axis=0)
+        return y.at[self.send_idx.reshape(-1)].add(back.reshape(-1))
+
     def diagonal(self) -> jax.Array:
         rows = jnp.arange(self.nloc, dtype=self.diag_cols.dtype)[:, None]
         return jnp.sum(jnp.where(self.diag_cols == rows, self.diag_vals, 0),

@@ -131,6 +131,56 @@ class TestTrustRegionCG:
                                    rtol=1e-10)
 
 
+class TestLCDTCQMR:
+    def test_lcd_spd(self):
+        A, b, u = ex2_system(8, 8)
+        Ad = aij_from_scipy(A)
+        res = ksp_solve(Ad, jnp.asarray(b), pc=make_pc("jacobi", A=Ad),
+                        ksp_type="lcd", rtol=1e-8, maxits=500)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x), u, atol=1e-7)
+
+    def test_lcd_nonsymmetric_with_restart(self):
+        A = _nonsym(8)
+        Ad = aij_from_scipy(A)
+        b = np.ones(64)
+        res = ksp_solve(Ad, jnp.asarray(b), ksp_type="lcd", restart=10,
+                        rtol=1e-8, maxits=800)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x), spla.spsolve(A, b),
+                                   atol=1e-5)
+
+    def test_tcqmr_nonsymmetric(self):
+        A = _nonsym(8)
+        Ad = aij_from_scipy(A)
+        b = np.ones(64)
+        res = ksp_solve(Ad, jnp.asarray(b), pc=make_pc("jacobi", A=Ad),
+                        ksp_type="tcqmr", rtol=1e-8, maxits=500)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x), spla.spsolve(A, b),
+                                   atol=1e-6)
+
+
+class TestIBCGS:
+    def test_spd(self):
+        A, b, u = ex2_system(8, 8)
+        Ad = aij_from_scipy(A)
+        res = ksp_solve(Ad, jnp.asarray(b), pc=make_pc("jacobi", A=Ad),
+                        ksp_type="ibcgs", rtol=1e-8, maxits=500)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x), u, atol=1e-7)
+
+    def test_nonsymmetric(self):
+        A = _nonsym(8)
+        Ad = aij_from_scipy(A)
+        b = np.ones(64)
+        res = ksp_solve(Ad, jnp.asarray(b), ksp_type="ibcgs", rtol=1e-8,
+                        maxits=500)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x), spla.spsolve(A, b),
+                                   atol=1e-6)
+
+
 class TestLGMRES:
     def test_aug0_is_exactly_gmres(self):
         """With no augmentation the cycle machinery must reproduce plain

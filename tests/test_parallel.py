@@ -83,6 +83,28 @@ class TestShardedMult:
             np.testing.assert_allclose(y, A @ x, rtol=1e-12,
                                        err_msg=style)
 
+    def test_multT_matches_serial(self):
+        """Transpose SpMV: off-diag contributions ride the halo plan in
+        REVERSE (MatMultTranspose_MPIAIJ / scatter-reverse analog)."""
+        mesh = mesh_1d()
+        Pn = mesh.devices.size
+        A = laplacian_2d(9, 7).tolil()
+        for i in range(62):
+            A[i, i + 1] += 0.3          # nonsymmetric so A.T != A
+        A = A.tocsr()
+        for style in ("alltoall", "allgather"):
+            Ash, part = sharded_aij_from_scipy(A, Pn, style=style)
+            lay = part.layout
+            x = np.random.default_rng(2).standard_normal(lay.n)
+            xs = shard_vector(mesh, "rows", x, lay)
+            f = jax.jit(shard_map(
+                lambda M, v: M.local().multT(v), mesh=mesh,
+                in_specs=(P("rows"), P("rows")), out_specs=P("rows"),
+                check_vma=False))
+            y = unshard_vector(f(Ash, xs), lay)
+            np.testing.assert_allclose(y, A.T @ x, rtol=1e-12,
+                                       err_msg=style)
+
 
 @multidev
 class TestParallelSolve:
