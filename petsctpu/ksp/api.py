@@ -30,8 +30,14 @@ from petsctpu.ksp.more import (
 )
 from petsctpu.ksp.lcd_tcqmr import solve_lcd, solve_tcqmr
 from petsctpu.ksp.ibcgs import solve_ibcgs
+from petsctpu.ksp.dgmres import solve_dgmres
+
+# host-driven solvers (between-cycle LAPACK work): never wrapped in jit
+HOST_DRIVEN = {"dgmres", "agmres"}
 
 KSP_REGISTRY = {
+    "dgmres": solve_dgmres,
+    "agmres": solve_dgmres,    # augmented/deflated restart family
     "lcd": solve_lcd,
     "tcqmr": solve_tcqmr,
     "ibcgs": solve_ibcgs,
@@ -78,6 +84,8 @@ def _compiled(ksp_type: str, cfg: KSPConfig, axis: Optional[str]):
         return fn(A, b, x0, pc, cfg, axis)
 
     # Inside shard_map (axis set) the caller controls jit; serial path jits.
+    if ksp_type in HOST_DRIVEN:
+        return run
     return run if axis is not None else jax.jit(run)
 
 

@@ -85,6 +85,56 @@ def snes_nasm(F: Callable, x0: jax.Array, subdomains: Sequence,
                       ops.norm(F(out["x"]), axis), out["history"])
 
 
+def snes_multiblock(F: Callable, x0: jax.Array, fields: Sequence,
+                    mode: str = "multiplicative", inner_its: int = 3,
+                    cfg: SNESConfig = None, axis: Optional[str] = None,
+                    **kw) -> SNESResult:
+    """SNES multiblock (src/snes/impls/multiblock): per-FIELD nonlinear
+    solves, combined additively or multiplicatively — the nonlinear
+    counterpart of PCFieldSplit. fields: list of index arrays (e.g.
+    DMComposite.global_iss() indices)."""
+    cfg = replace(cfg or SNESConfig(), **kw) if kw else (cfg or SNESConfig())
+    if mode == "additive":
+        return snes_nasm(F, x0, fields, damping=1.0, inner_its=inner_its,
+                         cfg=cfg, axis=axis)
+    subs = [jnp.asarray(np.asarray(s, np.int32)) for s in fields]
+    inner_cfg = SNESConfig(maxits=inner_its, rtol=1e-8, linesearch="bt")
+    inner_ksp = KSPConfig(ksp_type="gmres", rtol=1e-6, maxits=100)
+
+    Fx = F(x0)
+    fnorm = ops.norm(Fx, axis)
+    fnorm0 = fnorm
+    history = jnp.full((cfg.maxits + 1,), jnp.nan, x0.dtype).at[0].set(fnorm)
+    _monitor(cfg, 0, fnorm)
+    reason = _check(fnorm, fnorm0, jnp.zeros((), x0.dtype),
+                    ops.norm(x0, axis), jnp.int32(0), cfg)
+
+    def cond(c):
+        return c["reason"] == SNESConvergedReason.ITERATING
+
+    def body(c):
+        x = c["x"]
+        for idx in subs:                       # Gauss-Seidel over fields
+            def Fi(xi, x=x, idx=idx):
+                return F(x.at[idx].set(xi))[idx]
+
+            res = snes_solve(Fi, x[idx], jac="jvp", cfg=inner_cfg,
+                             ksp_cfg=inner_ksp)
+            x = x.at[idx].set(res.x)
+        fn = ops.norm(F(x), axis)
+        its = c["its"] + 1
+        history = c["history"].at[its].set(fn)
+        _monitor(cfg, its, fn)
+        reason = _check(fn, fnorm0, ops.norm(x - c["x"], axis),
+                        ops.norm(x, axis), its, cfg)
+        return dict(x=x, its=its, history=history, reason=reason)
+
+    out = lax.while_loop(cond, body, dict(x=x0, its=jnp.int32(0),
+                                          history=history, reason=reason))
+    return SNESResult(out["x"], out["its"], out["reason"],
+                      ops.norm(F(out["x"]), axis), out["history"])
+
+
 # Multi-stage schemes: name -> (betasub stage coefficients, damping)
 # (ms.c SNESMSRegisterAll: euler, jameson83, vltp21..61)
 MS_SCHEMES = {

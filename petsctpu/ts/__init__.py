@@ -2,6 +2,8 @@ from petsctpu.ts.steppers import (
     TS, TSConfig, TSResult, ts_alpha, ts_pseudo, ts_solve,
 )
 from petsctpu.ts.imex import ts_arkimex, ts_rosw
+from petsctpu.ts.characteristic import characteristic_step, ts_characteristic
 
 __all__ = ["TS", "TSConfig", "TSResult", "ts_alpha", "ts_pseudo",
-           "ts_solve", "ts_arkimex", "ts_rosw"]
+           "ts_solve", "ts_arkimex", "ts_rosw", "ts_characteristic",
+           "characteristic_step"]

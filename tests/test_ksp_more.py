@@ -161,6 +161,33 @@ class TestLCDTCQMR:
                                    atol=1e-6)
 
 
+class TestDGMRES:
+    def test_deflation_beats_plain_restart(self):
+        """Shifted Laplacian (small outlier eigenvalues): deflating the
+        Ritz vectors at restarts must substantially cut iterations —
+        the reason KSPDGMRES exists."""
+        A = (laplacian_2d(12, 12) - 0.55 * sp.eye(144)).tocsr()
+        Ad = aij_from_scipy(A)
+        b = np.ones(144)
+        g = ksp_solve(Ad, jnp.asarray(b), ksp_type="gmres", restart=15,
+                      rtol=1e-8, maxits=2000)
+        d = ksp_solve(Ad, jnp.asarray(b), ksp_type="dgmres", restart=15,
+                      rtol=1e-8, maxits=2000)
+        assert d.converged
+        np.testing.assert_allclose(np.asarray(d.x), spla.spsolve(A, b),
+                                   atol=1e-4)
+        assert int(d.its) < 0.7 * int(g.its)
+
+    def test_with_pc(self):
+        A, b, u = ex2_system(8, 8)
+        Ad = aij_from_scipy(A)
+        res = ksp_solve(Ad, jnp.asarray(b), pc=make_pc("jacobi", A=Ad),
+                        ksp_type="dgmres", restart=10, rtol=1e-9,
+                        maxits=500)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x), u, atol=1e-6)
+
+
 class TestIBCGS:
     def test_spd(self):
         A, b, u = ex2_system(8, 8)
