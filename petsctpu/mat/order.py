@@ -29,14 +29,45 @@ def get_ordering(A, kind: str = "natural") -> np.ndarray:
         from scipy.sparse.csgraph import reverse_cuthill_mckee
         return np.asarray(reverse_cuthill_mckee(S), dtype=np.int64)
     if kind == "nd":
-        # nested-dissection proxy: COLAMD column ordering of AᵀA
-        from scipy.sparse.linalg import splu
-        lu = splu(A.tocsc(), permc_spec="NATURAL")
-        del lu
-        from scipy.sparse.csgraph import reverse_cuthill_mckee
         S = ((A + A.T) != 0).astype(np.int8).tocsr()
-        return np.asarray(reverse_cuthill_mckee(S), dtype=np.int64)
+        return nested_dissection(S)
     raise ValueError(f"unknown ordering {kind!r} (natural|rcm|nd)")
+
+
+def nested_dissection(S, leaf: int = 24) -> np.ndarray:
+    """Recursive nested dissection (gennd.c analog): bisect the graph
+    along an RCM-band cut, peel the vertex separator off the second
+    half, recurse on the halves, number the separator LAST — the
+    ordering whose elimination tree direct solvers want."""
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    S = sp.csr_matrix(S)
+
+    def rec(idx: np.ndarray) -> np.ndarray:
+        if idx.size <= leaf:
+            sub = S[idx][:, idx]
+            return idx[np.asarray(reverse_cuthill_mckee(sub),
+                                  dtype=np.int64)]
+        sub = S[idx][:, idx].tocsr()
+        order = np.asarray(reverse_cuthill_mckee(sub), dtype=np.int64)
+        half = idx.size // 2
+        a_loc, b_loc = order[:half], order[half:]
+        in_a = np.zeros(idx.size, bool)
+        in_a[a_loc] = True
+        # separator: b-side vertices adjacent to the a side
+        rows_b = sub[b_loc]
+        touches_a = np.asarray(
+            (rows_b[:, a_loc].getnnz(axis=1) > 0)).ravel()
+        sep_loc = b_loc[touches_a]
+        rest_loc = b_loc[~touches_a]
+        parts = [rec(idx[a_loc])]
+        if rest_loc.size:
+            parts.append(rec(idx[rest_loc]))
+        if sep_loc.size:
+            parts.append(idx[sep_loc])
+        return np.concatenate(parts)
+
+    return rec(np.arange(S.shape[0], dtype=np.int64))
 
 
 def permute_symmetric(A, perm: np.ndarray):

@@ -124,11 +124,21 @@ class ShardedAIJ:
 
 def sharded_aij_from_scipy(A, nshards: int, dtype=None,
                            style: str = "alltoall",
-                           axis: str = "rows") -> tuple:
+                           axis: str = "rows", perm=None) -> tuple:
     """Build a ShardedAIJ (stacked host arrays → device) + PartitionedCSR.
 
     Returns (mat, part) — `part` keeps the host-side per-shard scipy
-    blocks for PC setup (bjacobi/ILU need them)."""
+    blocks for PC setup (bjacobi/ILU need them).
+
+    perm: optional row/column permutation applied BEFORE the contiguous
+    row split — the MatPartitioning→distribution hook (SURVEY P12):
+    pass np.argsort(partition_rcm(A, nshards), kind="stable") so each
+    contiguous shard holds one graph partition (small halo). Vectors
+    must be permuted consistently (x_perm = x[perm])."""
+    import scipy.sparse as sp
+    if perm is not None:
+        perm = np.asarray(perm)
+        A = sp.csr_matrix(A)[perm][:, perm]
     part = partition_csr(A, nshards)
     lay = part.layout
     P, s = nshards, lay.shard_size

@@ -100,6 +100,26 @@ class TestMatIS:
         np.testing.assert_allclose(np.asarray(M.diagonal()), [3.0, 6.0, 3.0])
 
 
+class TestNestedDissection:
+    def test_nd_beats_rcm_fill(self):
+        """Real nested dissection: LU fill below RCM (and far below
+        natural) on a 2-D Laplacian — the gennd.c property."""
+        from scipy.sparse.linalg import splu
+        from petsctpu.mat.order import get_ordering
+        A = laplacian_2d(24, 24).tocsc()
+
+        def fill(kind):
+            perm = get_ordering(A, kind)
+            assert sorted(perm) == list(range(576))
+            Ap = sp.csc_matrix(A[perm][:, perm])
+            lu = splu(Ap, permc_spec="NATURAL", diag_pivot_thresh=0.0,
+                      options=dict(SymmetricMode=True))
+            return lu.L.nnz + lu.U.nnz
+
+        f_nat, f_rcm, f_nd = fill("natural"), fill("rcm"), fill("nd")
+        assert f_nd < f_rcm < f_nat
+
+
 class TestPartitioning:
     def test_rcm_balanced(self):
         """On a SCRAMBLED numbering (where naive contiguous splits are
