@@ -36,6 +36,7 @@ class EventStats:
 class _LogState:
     enabled: bool = False
     sync: bool = True
+    trace: bool = False
     events: dict = field(default_factory=dict)     # (stage, name) -> EventStats
     stages: list = field(default_factory=lambda: ["Main"])
     t0: float = 0.0
@@ -54,6 +55,14 @@ def log_begin(sync: bool = True) -> None:
 
 def log_enabled() -> bool:
     return _state.enabled
+
+
+def log_trace(flag: bool = True) -> None:
+    """-log_trace analog (plog.c:368): stream every event begin/end for
+    hang diagnosis. Implies logging enabled."""
+    if flag and not _state.enabled:
+        log_begin()
+    _state.trace = flag
 
 
 def stage_push(name: str) -> None:
@@ -82,9 +91,15 @@ def log_event(name: str, flops: float = 0.0, bytes: float = 0.0):
         return
     _sync()
     t = time.perf_counter()
+    if _state.trace:
+        print(f"Event begin: {name} [{_state.stages[-1]}] "
+              f"t={t - _state.t0:.6f}", flush=True)
     yield
     _sync()
     dt = time.perf_counter() - t
+    if _state.trace:
+        print(f"Event end:   {name} [{_state.stages[-1]}] dt={dt:.6f}",
+              flush=True)
     key = (_state.stages[-1], name)
     ev = _state.events.setdefault(key, EventStats())
     ev.count += 1
