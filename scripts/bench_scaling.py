@@ -84,7 +84,17 @@ def main():
             r["efficiency"] = round(t1 / r["s_per_iter"], 3)
         else:
             r["efficiency"] = round(t1 / (r["s_per_iter"] * r["nshards"]), 3)
-    print(json.dumps({"mode": args.mode, "results": results}))
+    import jax
+    note = None
+    if jax.devices()[0].platform == "cpu":
+        note = ("CPU-mesh numbers validate plumbing only: virtual devices "
+                "SHARE one host's DRAM bandwidth, so per-device bandwidth "
+                "falls ~1/N and 'efficiency' is bandwidth-bound, not "
+                "communication-bound. Real weak-scaling targets (>=80%) "
+                "apply to multi-chip ICI meshes where each chip brings its "
+                "own HBM.")
+    print(json.dumps({"mode": args.mode, "results": results,
+                      **({"note": note} if note else {})}))
 
 
 if __name__ == "__main__":
