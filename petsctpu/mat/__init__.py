@@ -10,6 +10,8 @@ from petsctpu.mat.stencil import StencilMat, stencil_from_scipy, stencil_to_scip
 from petsctpu.mat.sbaij import SBAIJ, sbaij_from_scipy
 from petsctpu.mat.maij import MAIJ
 from petsctpu.mat.matis import MatIS, matis_from_subdomains
+from petsctpu.mat.dia import DiaMat, dia_fill, dia_from_scipy
+from petsctpu.mat.band import BandMat, band_from_scipy
 from petsctpu.mat.partition import (
     MatPartitioning, edge_cut, partition_rcb, partition_rcm,
 )
@@ -22,4 +24,5 @@ __all__ = [
     "StencilMat", "stencil_from_scipy", "stencil_to_scipy",
     "SBAIJ", "sbaij_from_scipy", "MAIJ", "MatIS", "matis_from_subdomains",
     "MatPartitioning", "edge_cut", "partition_rcb", "partition_rcm",
+    "DiaMat", "dia_fill", "dia_from_scipy", "BandMat", "band_from_scipy",
 ]
