@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from petsctpu.core.options import Options
 from petsctpu.io import load_any_matrix, petsc_binary_read_vec, load_vec
 from petsctpu.ksp import KSP
-from petsctpu.mat import aij_from_scipy
+from petsctpu.mat import mat_from_options
 
 
 def main(argv):
@@ -40,11 +40,19 @@ def main(argv):
             petsc_binary_read_vec(rhs)
     else:
         b = A @ np.ones(A.shape[1])          # ex10's default: b = A·1
-    Ad = aij_from_scipy(A)
+    Ad, perm = mat_from_options(A, opts)     # -mat_type aij|band|dia|...
+    import scipy.sparse as sp
+    A_solve = sp.csr_matrix(A)[perm][:, perm] if perm is not None else A
+    b_solve = np.asarray(b)[perm] if perm is not None else np.asarray(b)
     ksp = KSP(options=opts)
-    ksp.set_operators(Ad, A_host=A)
-    res = ksp.solve(jnp.asarray(b))
-    rnorm = np.linalg.norm(np.asarray(b) - A @ np.asarray(res.x))
+    ksp.set_operators(Ad, A_host=A_solve)
+    res = ksp.solve(jnp.asarray(b_solve))
+    x = np.asarray(res.x)
+    if perm is not None:                     # back to application ordering
+        xa = np.empty_like(x)
+        xa[perm] = x
+        x = xa
+    rnorm = np.linalg.norm(np.asarray(b) - A @ x)
     print(f"Number of iterations = {int(res.its):3d}")
     print(f"Residual norm {rnorm:.4e}")
     return 0

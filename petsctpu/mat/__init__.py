@@ -12,6 +12,7 @@ from petsctpu.mat.maij import MAIJ
 from petsctpu.mat.matis import MatIS, matis_from_subdomains
 from petsctpu.mat.dia import DiaMat, dia_fill, dia_from_scipy
 from petsctpu.mat.band import BandMat, band_from_scipy
+from petsctpu.mat.factory import mat_from_options
 from petsctpu.mat.partition import (
     MatPartitioning, edge_cut, partition_rcb, partition_rcm,
 )
@@ -24,5 +25,5 @@ __all__ = [
     "StencilMat", "stencil_from_scipy", "stencil_to_scipy",
     "SBAIJ", "sbaij_from_scipy", "MAIJ", "MatIS", "matis_from_subdomains",
     "MatPartitioning", "edge_cut", "partition_rcb", "partition_rcm",
-    "DiaMat", "dia_fill", "dia_from_scipy", "BandMat", "band_from_scipy",
+    "DiaMat", "dia_fill", "dia_from_scipy", "BandMat", "band_from_scipy", "mat_from_options",
 ]
