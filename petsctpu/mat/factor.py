@@ -212,3 +212,97 @@ def make_sptrsv_plan(T, lower: bool, unit_diag: bool, dtype=None,
     dinv = (1.0 / diag).astype(dtype)
     return SpTRSVPlan(jnp.asarray(level_rows), jnp.asarray(cols),
                       jnp.asarray(vals), jnp.asarray(dinv), n, nlev)
+
+
+# ---------------------------------------------------------------------------
+# Banded triangular solve — MXU-tiled back-substitution
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BandTRSVPlan:
+    """Blocked banded back-substitution: x = T⁻¹ b.
+
+    Level-scheduled SpTRSV (above) issues one gather round per
+    dependency level — fine on CPUs, latency-dominated on TPU (the
+    reference's MatSolve event is the one place the 1996 numbers were
+    competitive). For BANDED triangles (natural after RCM), this plan
+    instead inverts each [T,T] diagonal tile densely at setup and runs
+    ONE `lax.scan` over the band:
+
+        x_t = Dinv_t (b_t − Off_t @ x_window)
+
+    — two small matmuls per tile, no gathers, ~nt sequential steps
+    instead of nlev. Off_t covers the W = ceil(B/T)·T columns left of
+    (lower) / right of (upper) the tile; the scan carries that window.
+    """
+
+    dinv_tiles: jax.Array            # [nt, T, T] inverted diagonal tiles
+    off_tiles: jax.Array             # [nt, T, W]
+    lower: bool = field(metadata=dict(static=True), default=True)
+    tile: int = field(metadata=dict(static=True), default=128)
+    n: int = field(metadata=dict(static=True), default=0)
+
+    def solve(self, b: jax.Array) -> jax.Array:
+        T = self.tile
+        nt, _, W = self.off_tiles.shape
+        bt = jnp.zeros((nt * T,), b.dtype).at[:self.n].set(b).reshape(nt, T)
+        tiles = (self.dinv_tiles, self.off_tiles, bt)
+        if not self.lower:
+            tiles = jax.tree.map(lambda a: a[::-1], tiles)
+
+        def step(win, t):
+            dinv, off, bb = t
+            acc = off @ win
+            xt = dinv @ (bb - acc)
+            if self.lower:
+                win = jnp.concatenate([win[T:], xt])
+            else:
+                win = jnp.concatenate([xt, win[:W - T]])
+            return win, xt
+
+        _, xs = jax.lax.scan(step, jnp.zeros((W,), b.dtype), tiles)
+        if not self.lower:
+            xs = xs[::-1]
+        return xs.reshape(-1)[:self.n]
+
+
+def make_band_trsv_plan(Tmat, lower: bool, unit_diag: bool, dtype=None,
+                        tile: int = 128) -> BandTRSVPlan:
+    """Build a banded back-substitution plan from a scipy triangle."""
+    Tmat = sp.csr_matrix(Tmat)
+    n = Tmat.shape[0]
+    coo = Tmat.tocoo()
+    T = tile
+    nt = max(-(-n // T), 1)
+    # bandwidth of the strictly off-tile part
+    toff = coo.col - (coo.row // T) * T          # col offset within tile row
+    outside = (toff < 0) if lower else (toff >= T)
+    B = int(np.abs(toff[outside] - (0 if lower else T - 1)).max()) \
+        if outside.any() else 1
+    W = max(-(-B // T), 1) * T
+    dtiles = np.zeros((nt, T, T), dtype or Tmat.dtype)
+    otiles = np.zeros((nt, T, W), dtype or Tmat.dtype)
+    t_of = coo.row // T
+    i_of = coo.row % T
+    for t, i, j, v in zip(t_of, i_of, coo.col, coo.data):
+        base = t * T
+        if base <= j < base + T:
+            dtiles[t, i, j - base] = v
+        elif lower:
+            otiles[t, i, j - (base - W)] = v
+        else:
+            otiles[t, i, j - (base + T)] = v
+    eye = np.eye(T, dtype=dtiles.dtype)
+    for t in range(nt):
+        d = dtiles[t]
+        if unit_diag:
+            np.fill_diagonal(d, 1.0)
+        else:
+            # pad rows beyond n with identity so the tile is invertible
+            for k in range(T):
+                if d[k, k] == 0:
+                    d[k, k] = 1.0
+        dtiles[t] = np.linalg.solve(d, eye)
+    return BandTRSVPlan(jnp.asarray(dtiles), jnp.asarray(otiles),
+                        lower, T, n)

@@ -50,7 +50,8 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
         return make_ilu(A_host, dtype=dt,
                         levels=opts.get_int("pc_factor_levels", 0),
                         ordering=opts.get_str("pc_factor_mat_ordering_type",
-                                              "natural"))
+                                              "natural"),
+                        tri=opts.get_str("pc_factor_tri_solve", "level"))
     if pc_type in ("lu", "cholesky", "icc"):
         _require_host(A_host, pc_type)
         return make_lu(A_host, dtype=dt)
