@@ -153,6 +153,21 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
         _require_host(A_host, "cp")
         from petsctpu.pc.extra import make_cp
         return make_cp(A_host, dtype=dt)
+    if pc_type == "fft":
+        from petsctpu.mat.fft import make_poisson_fft
+        dims = opts.get("pc_fft_dims")
+        if dims is None:
+            raise ValueError("pc_type=fft needs options key 'pc_fft_dims' "
+                             "(grid shape of the Dirichlet Laplacian)")
+        return make_poisson_fft(tuple(dims), dtype=dt,
+                                scale=opts.get_real("pc_fft_scale", 1.0),
+                                shift=opts.get_real("pc_fft_shift", 0.0))
+    if pc_type == "spai":
+        _require_host(A_host, "spai")
+        from petsctpu.pc.spai import make_spai
+        return make_spai(A_host, dtype=dt,
+                         pattern_power=opts.get_int("pc_spai_nbsteps", 1),
+                         max_pattern=opts.get_int("pc_spai_max", 64))
     if pc_type == "sor":
         _require_host(A_host, "sor")
         return make_sor(
