@@ -153,6 +153,10 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
         _require_host(A_host, "cp")
         from petsctpu.pc.extra import make_cp
         return make_cp(A_host, dtype=dt)
+    if pc_type == "asa":
+        _require_host(A_host, "asa")
+        from petsctpu.pc.asa import make_asa
+        return make_asa(A_host, dtype=dt, options=opts)
     if pc_type == "fft":
         from petsctpu.mat.fft import make_poisson_fft
         dims = opts.get("pc_fft_dims")
