@@ -70,6 +70,35 @@ class TestGoldenOutputs:
         # 5th residual is exact-convergence tiny ("< 1.e-11" in golden)
         assert float(r.history[5]) < 1e-11
 
+    def test_ex1_2_gmres_ssor(self):
+        """output/ex1_2.out: tridiagonal n=10, GMRES + symmetric SOR
+        (makefile:300-301: -pc_type sor -pc_sor_symmetric), rtol 1e-5."""
+        A, b, u = tridiag_ex1()
+        Ad = aij_from_scipy(A)
+        pc = make_pc("sor", A=Ad, A_host=A,
+                     options=Options({"pc_sor_symmetric": None}))
+        r = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="gmres",
+                      rtol=1e-5, atol=1e-50, cgs_refine="always")
+        golden = [0.968764, 0.361001, 0.247329, 0.0808915, 0.01289,
+                  0.00375064, 0.000294092, 1.40861e-05, 3.48863e-07]
+        assert int(r.its) == 8
+        np.testing.assert_allclose(np.asarray(r.history[:9]), golden,
+                                   rtol=2e-5)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(r.x) - u),
+                                   4.10316e-07, rtol=1e-3)
+
+    def test_ex2_fbcgs_ilu(self):
+        """output/ex2_fbcgs.out (makefile:394-395: -ksp_type fbcgs
+        -pc_type ilu on the default 8x7 grid): 4 its, err 0.000319503."""
+        A, b, u = ex2_system(8, 7)
+        Ad = aij_from_scipy(A)
+        pc = make_pc("ilu", A=Ad, A_host=A)
+        r = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="fbcgs",
+                      rtol=1e-2 / 72, atol=1e-50)
+        assert int(r.its) == 4
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(r.x) - u),
+                                   0.000319503, rtol=1e-3)
+
     def test_ex2_1_exact_output_text(self, capsys):
         """Character-level diff of the monitor stream vs output/ex2_1.out
         (the reference's own regression check)."""
