@@ -121,11 +121,21 @@ def config_from_options(opts: Options, defaults: KSPConfig = None) -> KSPConfig:
 
 
 def ksp_solve(A, b, x0=None, pc=None, axis: Optional[str] = None,
-              cfg: KSPConfig = None, **kw) -> SolveResult:
-    """Solve A x = b. kw overrides KSPConfig fields (e.g. ksp_type="cg")."""
+              cfg: KSPConfig = None, nullspace=None, **kw) -> SolveResult:
+    """Solve A x = b. kw overrides KSPConfig fields (e.g. ksp_type="cg").
+
+    nullspace: optional NullSpace of a singular-but-consistent A
+    (MatSetNullSpace + KSP_RemoveNullSpace analog): projected out of
+    b, out of every preconditioned residual, and out of x."""
     cfg = replace(cfg or KSPConfig(), **kw) if (kw or cfg is None) else cfg
     if x0 is None:
         x0 = jnp.zeros_like(b)      # preserves b's (possibly grid) shape
+    if nullspace is not None:
+        from petsctpu.mat.nullspace import _NullSpacePC
+        from petsctpu.pc.simple import NonePC
+        b = nullspace.remove(b)
+        x0 = nullspace.remove(x0)
+        pc = _NullSpacePC(pc if pc is not None else NonePC(), nullspace)
     run = _compiled(cfg.ksp_type, cfg, axis)
     with log_event(f"KSPSolve[{cfg.ksp_type}]"):
         res = run(A, b, x0, pc)
@@ -162,6 +172,8 @@ class KSP:
         self.A_host = None
         self.pc = None
         self.axis = None
+        self.guess = None            # KSPFischerGuess state
+        self.nullspace = None        # MatNullSpace of the operator
         self._setup = False
 
     def set_operators(self, A, A_host=None):
@@ -193,11 +205,31 @@ class KSP:
         self._setup = True
         return self
 
+    def set_use_fischer_guess(self, model: int = 1, size: int = 10):
+        """KSPSetUseFischerGuess analog (itfunc.c:371 lifecycle: form
+        before each solve, update after)."""
+        from petsctpu.ksp.guess import make_fischer_guess
+        n = self.A.shape[0]
+        dt = getattr(self.A, "dtype", None)
+        self.guess = make_fischer_guess(n, size=size, model=model, dtype=dt)
+        return self
+
+    def set_nullspace(self, nullspace):
+        """MatSetNullSpace analog: projected during every solve."""
+        self.nullspace = nullspace
+        return self
+
     def solve(self, b, x0=None) -> SolveResult:
         self.set_from_options()
         self.setup()
+        if x0 is None and self.guess is not None:
+            x0 = self.guess.form(b)
+            if self.cfg.ksp_type not in ("preonly",):
+                self.cfg = replace(self.cfg, guess_nonzero=True)
         res = ksp_solve(self.A, b, x0=x0, pc=self.pc, axis=self.axis,
-                        cfg=self.cfg)
+                        cfg=self.cfg, nullspace=self.nullspace)
+        if self.guess is not None:
+            self.guess = self.guess.update(res.x, self.A.mult(res.x))
         if self.opts.get_bool("ksp_view", False):
             print(self.view())
         if self.opts.get_bool("ksp_monitor_draw", False):
