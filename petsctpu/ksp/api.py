@@ -64,6 +64,9 @@ KSP_REGISTRY = {
     "cgs": solve_cgsq,
     "bicg": solve_bicg,
     "chebyshev": solve_chebyshev,
+    "specest": solve_chebyshev,  # KSPSPECEST: auto spectral-bound wrapper —
+                                 # cheby.py's power-iteration estimate IS the
+                                 # specest path (src/ksp/ksp/impls/cheby)
     "richardson": solve_richardson,
     "preonly": solve_preonly,
     "minres": solve_minres,

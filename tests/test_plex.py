@@ -72,3 +72,45 @@ class TestP1Poisson:
         res = ksp_solve(Ad, b, pc=pc, ksp_type="cg", rtol=1e-8, maxits=60)
         assert res.converged
         assert int(res.its) < 25
+
+
+class TestPlex3D:
+    def test_box_mesh_topology_and_volume(self):
+        from petsctpu.dm.plex import Plex3D, _simplex_measures
+        px = Plex3D.create_box_mesh(3, 3, 3)
+        assert px.num_cells == 6 * 27
+        assert px.num_vertices == 4 ** 3
+        vols = _simplex_measures(px.coords, px.cells)
+        assert (vols > 0).all()
+        np.testing.assert_allclose(vols.sum(), 1.0, rtol=1e-12)
+        # boundary of the unit cube: all vertices on a face
+        bnd = px.boundary_vertices()
+        on_face = ((px.coords == 0.0) | (px.coords == 1.0)).any(axis=1)
+        np.testing.assert_array_equal(np.sort(bnd), np.where(on_face)[0])
+
+    def test_refine_preserves_volume(self):
+        from petsctpu.dm.plex import Plex3D, _simplex_measures
+        px = Plex3D.create_box_mesh(2, 2, 2)
+        rf = px.refine()
+        assert rf.num_cells == 8 * px.num_cells
+        vols = _simplex_measures(rf.coords, rf.cells)
+        assert (vols > 1e-15).all()          # no degenerate tets
+        np.testing.assert_allclose(vols.sum(), 1.0, rtol=1e-12)
+
+    def test_manufactured_solution_3d(self):
+        """−Δu = 3π² sin(πx)sin(πy)sin(πz): P1 tets converge ~O(h²)."""
+        from petsctpu.dm.plex import Plex3D
+        errs = []
+        for nx in (4, 8):
+            px = Plex3D.create_box_mesh(nx, nx, nx)
+
+            def f(c):
+                return 3 * np.pi ** 2 * np.prod(np.sin(np.pi * c))
+
+            Ad, Ah, b = p1_assemble_poisson(px, f)
+            res = ksp_solve(Ad, b, pc=make_pc("ilu", A=Ad, A_host=Ah),
+                            ksp_type="cg", rtol=1e-10, maxits=800)
+            assert res.converged
+            exact = np.prod(np.sin(np.pi * px.coords), axis=1)
+            errs.append(np.abs(np.asarray(res.x) - exact).max())
+        assert errs[0] / errs[1] > 2.5       # ~O(h²) under refinement
