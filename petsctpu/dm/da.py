@@ -33,6 +33,17 @@ class DA:
     grid: Tuple[int, ...]           # global dims, natural ordering
     stencil_width: int = 1
     stencil_type: str = "star"      # star | box
+    # per-axis DMDABoundaryType (da2.c:870 wrap args): "none"|"periodic";
+    # a bare string applies to every axis
+    boundary: Tuple[str, ...] = ()
+
+    def boundary_types(self) -> Tuple[str, ...]:
+        b = self.boundary
+        if not b:
+            return ("none",) * self.ndim
+        if isinstance(b, str):
+            return (b,) * self.ndim
+        return tuple(b)
 
     @property
     def ndim(self):
@@ -54,9 +65,21 @@ class DA:
 
     def local_with_ghosts(self, x, fill=0.0):
         """Ghosted view: grid array padded by stencil_width (the
-        DMGlobalToLocal analog for one process)."""
-        return jnp.pad(self.to_grid(x), self.stencil_width,
-                       constant_values=fill)
+        DMGlobalToLocal analog for one process). Periodic axes wrap;
+        "none" axes take `fill` (ghosted-boundary value)."""
+        xg = self.to_grid(x)
+        w = self.stencil_width
+        bts = self.boundary_types()
+        if all(b == "none" for b in bts):
+            return jnp.pad(xg, w, constant_values=fill)
+        for ax, b in enumerate(bts):
+            pad = [(0, 0)] * xg.ndim
+            pad[ax] = (w, w)
+            xg = jnp.pad(xg, pad, mode="wrap" if b == "periodic"
+                         else "constant",
+                         **({} if b == "periodic"
+                            else dict(constant_values=fill)))
+        return xg
 
     # ---- stencil offsets ----------------------------------------------
     def stencil_offsets(self):
@@ -75,11 +98,14 @@ class DA:
         return tuple(offs)
 
     def create_matrix(self, dtype=jnp.float64):
-        """Empty StencilMat with this grid's stencil pattern."""
+        """Empty StencilMat with this grid's stencil pattern (and this
+        grid's boundary types: periodic axes wrap in the operator)."""
         from petsctpu.mat.stencil import StencilMat
         offs = self.stencil_offsets()
         coeffs = jnp.zeros((len(offs),) + self.grid, dtype)
-        return StencilMat(coeffs, offs, self.grid)
+        bts = self.boundary_types()
+        return StencilMat(coeffs, offs, self.grid,
+                          () if all(b == "none" for b in bts) else bts)
 
     # ---- hierarchy -----------------------------------------------------
     def coarsen(self) -> "DA":
@@ -94,7 +120,10 @@ class DA:
                   self.stencil_type)
 
     def can_coarsen(self) -> bool:
-        return all((g + 1) // 2 >= 2 and (g % 2 == 1) for g in self.grid)
+        # the 2x−1 vertex-centered hierarchy is for non-periodic grids;
+        # periodic operators go through GAMG instead
+        return all(b == "none" for b in self.boundary_types()) and \
+            all((g + 1) // 2 >= 2 and (g % 2 == 1) for g in self.grid)
 
     def interpolation(self, coarse: "DA") -> "Q1Interp":
         assert coarse.grid == tuple((g + 1) // 2 for g in self.grid), \

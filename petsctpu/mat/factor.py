@@ -268,12 +268,17 @@ class BandTRSVPlan:
 
 
 def make_band_trsv_plan(Tmat, lower: bool, unit_diag: bool, dtype=None,
-                        tile: int = 128) -> BandTRSVPlan:
-    """Build a banded back-substitution plan from a scipy triangle."""
+                        tile: int = None) -> BandTRSVPlan:
+    """Build a banded back-substitution plan from a scipy triangle.
+
+    tile=None auto-selects: each scan step is launch-latency-bound, so
+    fewer/larger tiles win until per-step matvec work overtakes the
+    latency (measured on v5e: 128→446, 256→942, 512→693 MFlop/s on the
+    n=10800 medium triangle) — 256 for all but tiny systems."""
     Tmat = sp.csr_matrix(Tmat)
     n = Tmat.shape[0]
     coo = Tmat.tocoo()
-    T = tile
+    T = tile if tile is not None else (256 if n > 1536 else 128)
     nt = max(-(-n // T), 1)
     # bandwidth of the strictly off-tile part
     toff = coo.col - (coo.row // T) * T          # col offset within tile row

@@ -27,8 +27,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _shift(xg: jax.Array, off: tuple) -> jax.Array:
-    """Return array s with s[idx] = xg[idx + off], zero outside."""
+def _shift(xg: jax.Array, off: tuple, boundary: tuple = ()) -> jax.Array:
+    """Return array s with s[idx] = xg[idx + off]; outside the grid the
+    value is zero ("none" boundary) or wraps (DMDA_BOUNDARY_PERIODIC)."""
+    if boundary:
+        rolls = [(-int(o), ax) for ax, (o, b) in enumerate(zip(off, boundary))
+                 if b == "periodic" and int(o) != 0]
+        if rolls:
+            xg = jnp.roll(xg, [r for r, _ in rolls], [a for _, a in rolls])
+            off = tuple(0 if b == "periodic" else o
+                        for o, b in zip(off, boundary))
     pads = []
     slices = []
     for o, dim in zip(off, xg.shape):
@@ -39,6 +47,8 @@ def _shift(xg: jax.Array, off: tuple) -> jax.Array:
         else:
             pads.append((-o, 0))
             slices.append(slice(0, dim))
+    if all(p == (0, 0) for p in pads):
+        return xg
     return jnp.pad(xg, pads)[tuple(slices)]
 
 
@@ -48,6 +58,9 @@ class StencilMat:
     coeffs: jax.Array                                   # [D, *grid]
     offsets: tuple = field(metadata=dict(static=True))  # D grid-offset tuples
     grid: tuple = field(metadata=dict(static=True))
+    # per-axis boundary: "none" | "periodic" (DMDABoundaryType analog);
+    # () means all-none
+    boundary: tuple = field(metadata=dict(static=True), default=())
 
     @property
     def shape(self):
@@ -76,7 +89,7 @@ class StencilMat:
         xg = x.reshape(self.grid)
         y = jnp.zeros_like(xg)
         for d, off in enumerate(self.offsets):
-            y = y + self.coeffs[d] * _shift(xg, off)
+            y = y + self.coeffs[d] * _shift(xg, off, self.boundary)
         return y.reshape(x.shape)
 
     def mult_add(self, x, y):
@@ -86,7 +99,8 @@ class StencilMat:
         xg = x.reshape(self.grid)
         y = jnp.zeros_like(xg)
         for d, off in enumerate(self.offsets):
-            y = y + _shift(self.coeffs[d] * xg, tuple(-o for o in off))
+            y = y + _shift(self.coeffs[d] * xg, tuple(-o for o in off),
+                           self.boundary)
         return y.reshape(x.shape)
 
     def diagonal(self) -> jax.Array:
@@ -99,13 +113,14 @@ class StencilMat:
         return jnp.sum(self.coeffs, axis=0).reshape(-1)
 
     def scale(self, a) -> "StencilMat":
-        return StencilMat(self.coeffs * a, self.offsets, self.grid)
+        return StencilMat(self.coeffs * a, self.offsets, self.grid,
+                          self.boundary)
 
     def shift_diag(self, a) -> "StencilMat":
         for d, off in enumerate(self.offsets):
             if all(o == 0 for o in off):
                 return StencilMat(self.coeffs.at[d].add(a), self.offsets,
-                                  self.grid)
+                                  self.grid, self.boundary)
         raise ValueError("stencil has no diagonal offset")
 
     def flops_per_mult(self) -> float:
@@ -177,8 +192,12 @@ def stencil_to_scipy(S: StencilMat):
     multi = np.stack(np.unravel_index(rows_idx, grid), axis=1)
     rows, cols, vals = [], [], []
     C = np.asarray(S.coeffs)
+    bnd = S.boundary or ("none",) * len(grid)
+    periodic = np.array([b == "periodic" for b in bnd])
     for d, off in enumerate(S.offsets):
         tgt = multi + np.array(off)
+        for k in np.where(periodic)[0]:
+            tgt[:, k] %= grid[k]
         ok = np.all((tgt >= 0) & (tgt < np.array(grid)), axis=1)
         v = C[d].reshape(-1)
         keep = ok & (v != 0)

@@ -127,5 +127,7 @@ def make_gamg(A_host, dtype=None, options: Options = None):
     sm_its = opts.get_int("mg_levels_ksp_max_it", 2)
     As, Ps = gamg_hierarchy(A_host, theta=theta, coarse_n=coarse_n,
                             max_levels=max_levels, smooth=smooth)
-    return make_algebraic_mg_from_hierarchy(As, Ps, dtype=dtype,
-                                            sm_its=sm_its)
+    return make_algebraic_mg_from_hierarchy(
+        As, Ps, dtype=dtype, sm_its=sm_its,
+        cycles=2 if opts.get_str("pc_mg_cycle_type", "v") == "w" else 1,
+        mg_type=opts.get_str("pc_mg_type", "multiplicative"))

@@ -78,8 +78,16 @@ class MGPC:
     coarse: LUPC                 # exact solve on coarsest
     coarse_A: Any
     cycles: int = field(metadata=dict(static=True), default=1)  # 1=V 2=W
+    # PCMGType (mg.c PCMGSetType): multiplicative | additive | full | kaskade
+    mg_type: str = field(metadata=dict(static=True), default="multiplicative")
 
     def apply(self, b):
+        if self.mg_type == "full":
+            return self._full(0, b)
+        if self.mg_type == "kaskade":
+            return self._kaskade(0, b)
+        if self.mg_type == "additive":
+            return self._additive(b)
         return self._cycle(0, b)
 
     def _cycle(self, l, b):
@@ -93,6 +101,42 @@ class MGPC:
             xc = self._cycle(l + 1, rc)
             x = x + lev.P.mult(xc)
         x = lev.smoother.smooth(lev.A, b, x)
+        return x
+
+    def _full(self, l, b):
+        """F-cycle (PCMGFCycle_Private mg.c): solve coarse first, take
+        the interpolant as the initial guess, then one V-cycle."""
+        if l == len(self.levels):
+            return self.coarse.apply(b)
+        lev = self.levels[l]
+        x = lev.P.mult(self._full(l + 1, lev.P.multT(b)))
+        # V-cycle with nonzero initial guess
+        x = lev.smoother.smooth(lev.A, b, x)
+        r = b - lev.A.mult(x)
+        x = x + lev.P.mult(self._cycle(l + 1, lev.P.multT(r)))
+        x = lev.smoother.smooth(lev.A, b, x)
+        return x
+
+    def _kaskade(self, l, b):
+        """Kaskade (PCMGKCycle_Private): coarse solve, interpolate up,
+        post-smooth only — no downward residual correction."""
+        if l == len(self.levels):
+            return self.coarse.apply(b)
+        lev = self.levels[l]
+        x = lev.P.mult(self._kaskade(l + 1, lev.P.multT(b)))
+        return lev.smoother.smooth(lev.A, b, x)
+
+    def _additive(self, b):
+        """Additive MG (PCApply_MG additive branch): every level
+        smooths the restricted RHS independently; corrections sum."""
+        rs = [b]
+        for lev in self.levels:
+            rs.append(lev.P.multT(rs[-1]))
+        x = self.coarse.apply(rs[-1])
+        for l in range(len(self.levels) - 1, -1, -1):
+            lev = self.levels[l]
+            s = lev.smoother.smooth(lev.A, rs[l], jnp.zeros_like(rs[l]))
+            x = s + lev.P.mult(x)
         return x
 
 
@@ -137,6 +181,7 @@ def make_geometric_mg(A_host, da, dtype=None, options: Options = None):
     coarse_n = opts.get_int("pc_mg_coarse_size", 65)
     sm_its = opts.get_int("mg_levels_ksp_max_it", 2)
     cycles = 2 if opts.get_str("pc_mg_cycle_type", "v") == "w" else 1
+    mg_type = opts.get_str("pc_mg_type", "multiplicative")
 
     levels = []
     Ah = sp.csr_matrix(A_host)
@@ -153,11 +198,12 @@ def make_geometric_mg(A_host, da, dtype=None, options: Options = None):
     coarse_pc = make_lu(Ah, dtype=dtype)
     from petsctpu.mat.stencil import stencil_from_scipy as s2
     coarse_A = s2(Ah, cur.grid, dtype=dtype)
-    return MGPC(tuple(levels), coarse_pc, coarse_A, cycles)
+    return MGPC(tuple(levels), coarse_pc, coarse_A, cycles, mg_type)
 
 
 def make_algebraic_mg_from_hierarchy(As, Ps, dtype=None, sm_its: int = 2,
-                                     cycles: int = 1):
+                                     cycles: int = 1,
+                                     mg_type: str = "multiplicative"):
     """Assemble an MGPC from explicit (A_l, P_l) scipy hierarchies —
     used by GAMG (pc/gamg.py) after aggregation builds the transfers."""
     from petsctpu.mat.ell import aij_from_scipy
@@ -170,4 +216,4 @@ def make_algebraic_mg_from_hierarchy(As, Ps, dtype=None, sm_its: int = 2,
         levels.append(MGLevel(Ad, Pd, _cheby_smoother(As[l], dtype, sm_its)))
     coarse_pc = make_lu(As[-1], dtype=dtype)
     coarse_A = aij_from_scipy(As[-1], dtype=dtype)
-    return MGPC(tuple(levels), coarse_pc, coarse_A, cycles)
+    return MGPC(tuple(levels), coarse_pc, coarse_A, cycles, mg_type)

@@ -163,3 +163,34 @@ class TestGAMG:
         res = ksp_solve(Ad, b, pc=pc, ksp_type="cg", rtol=1e-8, maxits=100)
         assert res.converged
         np.testing.assert_allclose(np.asarray(res.x), xex, atol=1e-5)
+
+
+class TestMGTypes:
+    """PCMGType variants (mg.c PCMGSetType): full, kaskade, additive."""
+
+    def _solve(self, mg_type, ksp_type="gmres"):
+        from petsctpu.core.options import Options
+        from petsctpu.dm.da import DA
+        A = laplacian_2d(33, 33)
+        da = DA((33, 33))
+        pc = make_pc("mg", A=None, A_host=A,
+                     options=Options({"pc_mg_da": da,
+                                      "pc_mg_type": mg_type}))
+        Ad = aij_from_scipy(A)
+        b = jnp.asarray(np.ones(A.shape[0]))
+        res = ksp_solve(Ad, b, pc=pc, ksp_type=ksp_type, rtol=1e-10,
+                        maxits=120)
+        assert res.converged, mg_type
+        x = np.asarray(res.x)
+        np.testing.assert_allclose(A @ x, 1.0, atol=1e-6)
+        return int(res.its)
+
+    def test_full_cycle(self):
+        # F-cycle is at least as strong as V per iteration
+        assert self._solve("full") <= self._solve("multiplicative")
+
+    def test_kaskade(self):
+        assert self._solve("kaskade") < 40
+
+    def test_additive(self):
+        assert self._solve("additive") < 60
