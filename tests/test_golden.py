@@ -122,3 +122,35 @@ class TestGoldenOutputs:
             "  4 KSP Residual norm 0.000387275 \n"
             "Norm of error 0.000392701 iterations 4\n")
         assert out == golden
+
+
+class TestGoldenSNES:
+    def test_snes_ex3_newton_history(self):
+        """snes/examples/tutorials/output/ex3_1.out: 1-D BVP
+        u'' + u^2 = 6x + x^6 on [0,1], u(0)=0, u(1)=1 (exact u = x^3),
+        N=5, initial guess 0.5: function norms 5.41468, 0.295258,
+        0.000450229, 1.38967e-09; 3 Newton its; err 1.49752e-10."""
+        from petsctpu.snes import snes_solve
+        from petsctpu.ksp.common import KSPConfig
+
+        N = 5
+        h = 1.0 / (N - 1)
+        xs = np.linspace(0.0, 1.0, N)
+        FF = jnp.asarray(6.0 * xs + (xs + 1e-12) ** 6)
+        d = 1.0 / (h * h)
+
+        def F(u):
+            interior = d * (u[:-2] - 2.0 * u[1:-1] + u[2:]) \
+                + u[1:-1] ** 2 - FF[1:-1]
+            return jnp.concatenate([u[:1], interior, u[-1:] - 1.0])
+
+        x0 = jnp.full(N, 0.5)
+        res = snes_solve(F, x0, jac="jvp", rtol=1e-8, atol=1e-50,
+                         ksp_cfg=KSPConfig(ksp_type="gmres", rtol=1e-5,
+                                           maxits=100))
+        golden = [5.41468, 0.295258, 0.000450229, 1.38967e-09]
+        assert int(res.its) == 3
+        np.testing.assert_allclose(np.asarray(res.history[:4]), golden,
+                                   rtol=1e-3)
+        err = np.linalg.norm(np.asarray(res.x) - xs ** 3)
+        assert err < 1e-8
