@@ -57,13 +57,29 @@ def _csr_entry_index(M: sp.csr_matrix):
 
 
 def _lookup(M: sp.csr_matrix, rows, cols):
-    """Flat data indices of entries (rows[k], cols[k]) — must exist."""
-    idx = np.empty(len(rows), dtype=np.int64)
-    for t, (r, c) in enumerate(zip(rows, cols)):
-        lo, hi = M.indptr[r], M.indptr[r + 1]
-        j = lo + np.searchsorted(M.indices[lo:hi], c)
-        idx[t] = j
-    return idx
+    """Flat data indices of entries (rows[k], cols[k]) — must exist.
+
+    Vectorized: a sorted CSR's data order is the sort order of the key
+    (row·ncols + col), so one global searchsorted resolves every query
+    (the scalar-loop version was the GAMG-setup bottleneck at scale)."""
+    ncols = M.shape[1]
+    m_rows = np.repeat(np.arange(M.shape[0], dtype=np.int64),
+                       np.diff(M.indptr))
+    keys = m_rows * ncols + M.indices
+    return np.searchsorted(keys, np.asarray(rows, np.int64) * ncols
+                           + np.asarray(cols, np.int64))
+
+
+def _segment_arange(starts, lengths):
+    """Concatenate [starts[i], starts[i]+lengths[i]) ranges, vectorized."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    seg = np.repeat(np.arange(len(lengths)), lengths)
+    first = np.zeros(len(lengths) + 1, np.int64)
+    np.cumsum(lengths, out=first[1:])
+    local = np.arange(total, dtype=np.int64) - first[seg]
+    return np.asarray(starts, np.int64)[seg] + local
 
 
 @jax.tree_util.register_dataclass
@@ -91,9 +107,7 @@ class SpGEMMPlan:
         # contributions: for each A entry (i,k) x each B entry (k,j)
         reps = np.diff(B.indptr)[A.indices]
         a_idx = np.repeat(np.arange(A.nnz), reps)
-        b_idx = np.concatenate([
-            np.arange(B.indptr[k], B.indptr[k + 1]) for k in A.indices
-        ]) if A.nnz else np.zeros(0, np.int64)
+        b_idx = _segment_arange(B.indptr[A.indices], reps)
         ci = np.repeat(a_rows, reps)
         cj = B.indices[b_idx]
         c_idx = _lookup(C, ci, cj)
@@ -135,21 +149,19 @@ class PtAPPlan:
         cnt_l = np.diff(P.indptr)[ls]
         reps = cnt_k * cnt_l
         a_idx = np.repeat(np.arange(A.nnz), reps)
-        ci_l, cj_l, w_l = [], [], []
-        for t in range(A.nnz):
-            k, l = ks[t], ls[t]
-            pk = slice(P.indptr[k], P.indptr[k + 1])
-            plc = slice(P.indptr[l], P.indptr[l + 1])
-            ii = P.indices[pk]
-            jj = P.indices[plc]
-            wi = P.data[pk]
-            wj = P.data[plc]
-            ci_l.append(np.repeat(ii, len(jj)))
-            cj_l.append(np.tile(jj, len(ii)))
-            w_l.append(np.outer(wi, wj).ravel())
-        ci = np.concatenate(ci_l) if ci_l else np.zeros(0, np.int64)
-        cj = np.concatenate(cj_l) if cj_l else np.zeros(0, np.int64)
-        w = np.concatenate(w_l) if w_l else np.zeros(0)
+        # vectorized outer products: contribution q under A-entry t maps
+        # to P-row-k slot (local // cnt_l) and P-row-l slot (local % cnt_l)
+        total = int(reps.sum())
+        t_of = np.repeat(np.arange(A.nnz), reps)
+        first = np.zeros(A.nnz + 1, np.int64)
+        np.cumsum(reps, out=first[1:])
+        local = np.arange(total, dtype=np.int64) - first[t_of]
+        denom = np.maximum(cnt_l[t_of], 1)
+        pk_idx = P.indptr[ks[t_of]] + local // denom
+        pl_idx = P.indptr[ls[t_of]] + local % denom
+        ci = P.indices[pk_idx].astype(np.int64)
+        cj = P.indices[pl_idx].astype(np.int64)
+        w = P.data[pk_idx] * P.data[pl_idx]
         c_idx = _lookup(C, ci, cj)
         tmpl = aij_from_scipy(C, dtype=dtype)
         ell_pos = _ell_positions(C, tmpl)

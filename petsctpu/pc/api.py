@@ -51,7 +51,10 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
                         levels=opts.get_int("pc_factor_levels", 0),
                         ordering=opts.get_str("pc_factor_mat_ordering_type",
                                               "natural"),
-                        tri=opts.get_str("pc_factor_tri_solve", "level"))
+                        tri=opts.get_str("pc_factor_tri_solve", "level"),
+                        drop_tol=opts.get_real("pc_factor_drop_tolerance",
+                                               0.0),
+                        fill_factor=opts.get_real("pc_factor_fill", 10.0))
     if pc_type in ("lu", "cholesky", "icc"):
         _require_host(A_host, pc_type)
         return make_lu(A_host, dtype=dt)

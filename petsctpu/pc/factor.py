@@ -48,10 +48,32 @@ class PermutedPC:
 
 
 def make_ilu(A_host, dtype=None, levels: int = 0,
-             ordering: str = "natural", tri: str = "level"):
+             ordering: str = "natural", tri: str = "level",
+             drop_tol: float = 0.0, fill_factor: float = 10.0):
     """tri: 'level' (level-scheduled SpTRSV) or 'band' (MXU-tiled
     blocked back-substitution — far faster on TPU for banded/RCM-
-    ordered factors; see mat/factor.BandTRSVPlan)."""
+    ordered factors; see mat/factor.BandTRSVPlan).
+
+    drop_tol > 0 selects drop-tolerance ILU (ILUTP via SuperLU, the
+    -pc_factor_drop_tolerance / MATSOLVERSUPERLU ILUT path of the
+    reference's factor PCs): threshold-based fill instead of ILU(k)
+    pattern powers."""
+    if drop_tol > 0.0:
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+        ilu = spla.spilu(sp.csc_matrix(A_host).astype(np.float64),
+                         drop_tol=drop_tol, fill_factor=fill_factor)
+        L = sp.csr_matrix(ilu.L)         # unit lower with stored diag 1
+        U = sp.csr_matrix(ilu.U)
+        mk = (make_band_trsv_plan if tri == "band" else make_sptrsv_plan)
+        inner = ILUPC(
+            mk(sp.tril(L, k=-1, format="csr"), lower=True, unit_diag=True,
+               dtype=dtype),
+            mk(U, lower=False, unit_diag=False, dtype=dtype))
+        # spilu permutes rows/cols: x = Pc U⁻¹ L⁻¹ Pr b (LUPC convention)
+        return LUPC(inner.Lplan, inner.Uplan,
+                    jnp.asarray(ilu.perm_r, jnp.int32),
+                    jnp.asarray(ilu.perm_c, jnp.int32))
     if ordering not in ("natural", ""):
         from petsctpu.mat.order import get_ordering, permute_symmetric
         perm = get_ordering(A_host, ordering)

@@ -134,3 +134,45 @@ class TestSOR:
         xref = spla.spsolve((D + U).tocsc(), b - L @ x1)
         np.testing.assert_allclose(np.asarray(pc.apply(jnp.asarray(b))), xref,
                                    rtol=1e-10)
+
+
+class TestILUDropTol:
+    """-pc_factor_drop_tolerance: threshold ILU (ILUTP via SuperLU)."""
+
+    def test_ilutp_solves_nonsymmetric(self):
+        from petsctpu.core.options import Options
+        from petsctpu.ksp import ksp_solve
+        rng = np.random.default_rng(7)
+        n = 400
+        A = (sp.random(n, n, density=0.02, random_state=rng)
+             + sp.diags(np.full(n, 4.0))).tocsr()
+        Ad = aij_from_scipy(A)
+        b = jnp.asarray(rng.standard_normal(n))
+        pct = make_pc("ilu", A=Ad, A_host=A,
+                      options=Options({"pc_factor_drop_tolerance": 1e-4}))
+        rt = ksp_solve(Ad, b, pc=pct, ksp_type="gmres", rtol=1e-10,
+                       maxits=200)
+        assert rt.converged
+        x = np.asarray(rt.x)
+        np.testing.assert_allclose(A @ x, np.asarray(b), atol=1e-7)
+
+    def test_drop_tol_controls_fill(self):
+        import scipy.sparse.linalg as spla
+        A = laplacian_2d(16, 16).tocsc()
+        loose = spla.spilu(A, drop_tol=1e-1, fill_factor=20.0)
+        tight = spla.spilu(A, drop_tol=1e-6, fill_factor=20.0)
+        assert tight.nnz > loose.nnz      # threshold drives the fill
+
+    def test_ilutp_tight_tol_is_exact(self):
+        from petsctpu.core.options import Options
+        from petsctpu.ksp import ksp_solve
+        A = laplacian_2d(10, 10)
+        Ad = aij_from_scipy(A)
+        b = jnp.asarray(np.ones(100))
+        pc = make_pc("ilu", A=Ad, A_host=A,
+                     options=Options({"pc_factor_drop_tolerance": 1e-14,
+                                      "pc_factor_fill": 100.0}))
+        r = ksp_solve(Ad, b, pc=pc, ksp_type="richardson", rtol=1e-10,
+                      maxits=5)
+        # drop_tol→0 is a complete LU: Richardson converges immediately
+        assert int(r.its) <= 2
