@@ -267,6 +267,122 @@ class BandTRSVPlan:
         return xs.reshape(-1)[:self.n]
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BandTRSVHierPlan:
+    """Two-phase blocked banded solve: sequential depth O(L+G) instead
+    of O(nt).
+
+    The banded back-substitution is the linear window recurrence
+        w_t = A_t w_{t-1} + c_t,   A_t = shift − E·(Dinv_t Off_t),
+        c_t = E·(Dinv_t b_t),
+    whose propagators A_t are CONSTANT per factorization — so group
+    products P_g = Π A and within-group prefixes Q_t are precomputed at
+    plan time. Runtime: (1) particular solutions per group with zero
+    inflow, batched over all G groups (L sequential steps of [G,·]
+    work); (2) boundary recurrence over G groups ([W,W] matvecs);
+    (3) one batched correction x_t += Q_t[last T rows] · v_g. This is
+    the latency-optimal shape for the MXU: ~L+G launches instead of nt.
+    """
+
+    dinv_tiles: jax.Array            # [L, G, T, T]
+    off_tiles: jax.Array             # [L, G, T, W]
+    Pg: jax.Array                    # [G, W, W] group propagators
+    R: jax.Array                     # [L, G, T, W] prefix last-T rows
+    lower: bool = field(metadata=dict(static=True), default=True)
+    tile: int = field(metadata=dict(static=True), default=128)
+    n: int = field(metadata=dict(static=True), default=0)
+    nt: int = field(metadata=dict(static=True), default=0)  # true tiles
+
+    def solve(self, b: jax.Array) -> jax.Array:
+        L, G, T, W = self.off_tiles.shape
+        # b in natural tile order → processed order (upper runs the
+        # baked-reversed chain), identity padding tiles get zeros
+        bt = jnp.zeros((self.nt * T,), b.dtype).at[:self.n].set(b)
+        bt = bt.reshape(self.nt, T)
+        if not self.lower:
+            bt = bt[::-1]
+        bb = jnp.concatenate(
+            [bt, jnp.zeros((L * G - self.nt, T), b.dtype)])
+        bb = bb.reshape(G, L, T).transpose(1, 0, 2)      # [L, G, T]
+
+        # phase 1: particular solutions, all groups in parallel
+        def step(win, t):
+            dinv, off, bv = t                            # [G,T,T],[G,T,W],[G,T]
+            xt = jnp.einsum("gij,gj->gi", dinv,
+                            bv - jnp.einsum("giw,gw->gi", off, win))
+            win = jnp.concatenate([win[:, T:], xt], axis=1)
+            return win, xt
+
+        w0 = jnp.zeros((G, W), b.dtype)
+        wend, x0 = jax.lax.scan(
+            step, w0, (self.dinv_tiles, self.off_tiles, bb))
+
+        # phase 2: boundary windows v_g (entry window of each group)
+        def bstep(v, t):
+            P, pe = t
+            vn = P @ v + pe
+            return vn, v
+
+        _, vs = jax.lax.scan(bstep, jnp.zeros((W,), b.dtype),
+                             (self.Pg, wend))            # vs: [G, W]
+
+        # phase 3: batched correction
+        x = x0 + jnp.einsum("lgtw,gw->lgt", self.R, vs)
+        x = x.transpose(1, 0, 2).reshape(-1)[:self.nt * T]  # processed order
+        if not self.lower:
+            x = x.reshape(self.nt, T)[::-1].reshape(-1)
+        return x[:self.n]
+
+
+def make_band_trsv_hier_plan(Tmat, lower: bool, unit_diag: bool, dtype=None,
+                             tile: int = None,
+                             group_len: int = None) -> BandTRSVHierPlan:
+    """Build the two-phase plan from a scipy triangle. Reuses the flat
+    plan's tiling, then precomputes propagator products on host.
+
+    tile default is 128 (measured best for the two-phase shape on
+    v5e: 1096 MFlop/s vs 987 at 256 on the medium ILU factors — the
+    batched phase-1/3 ops amortize launches, so smaller tiles win)."""
+    base = make_band_trsv_plan(Tmat, lower, unit_diag, dtype=dtype,
+                               tile=tile or 128)
+    dinv = np.asarray(base.dinv_tiles)
+    off = np.asarray(base.off_tiles)
+    if not lower:
+        # the flat plan reverses tiles at runtime; bake the reversal in
+        # so the hier recurrence is always "lower-style"
+        dinv, off = dinv[::-1].copy(), off[::-1].copy()
+    nt, T, W = off.shape
+    L = group_len or max(int(np.ceil(np.sqrt(nt))), 1)
+    G = -(-nt // L)
+    pad = L * G - nt
+    if pad:
+        # identity steps producing x=0: dinv=I, off=0 (appended at end)
+        dinv = np.concatenate([dinv, np.tile(np.eye(T, dtype=dinv.dtype),
+                                             (pad, 1, 1))])
+        off = np.concatenate([off, np.zeros((pad, T, W), off.dtype)])
+    # propagators A_t = S − E (dinv_t off_t)
+    S = np.zeros((W, W), dinv.dtype)
+    S[np.arange(W - T), np.arange(W - T) + T] = 1.0
+    Pg = np.empty((G, W, W), dinv.dtype)
+    R = np.empty((L * G, T, W), dinv.dtype)
+    for g in range(G):
+        Q = np.eye(W, dtype=dinv.dtype)
+        for l in range(L):
+            t = g * L + l
+            A = S.copy()
+            A[W - T:, :] = -dinv[t] @ off[t]
+            Q = A @ Q
+            R[t] = Q[W - T:, :]
+        Pg[g] = Q
+    dinv_lg = dinv.reshape(G, L, T, T).transpose(1, 0, 2, 3)
+    off_lg = off.reshape(G, L, T, W).transpose(1, 0, 2, 3)
+    R_lg = R.reshape(G, L, T, W).transpose(1, 0, 2, 3)
+    return BandTRSVHierPlan(jnp.asarray(dinv_lg), jnp.asarray(off_lg),
+                            jnp.asarray(Pg), jnp.asarray(R_lg),
+                            lower, T, base.n, nt)
+
+
 def make_band_trsv_plan(Tmat, lower: bool, unit_diag: bool, dtype=None,
                         tile: int = None) -> BandTRSVPlan:
     """Build a banded back-substitution plan from a scipy triangle.

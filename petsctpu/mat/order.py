@@ -31,7 +31,37 @@ def get_ordering(A, kind: str = "natural") -> np.ndarray:
     if kind == "nd":
         S = ((A + A.T) != 0).astype(np.int8).tocsr()
         return nested_dissection(S)
-    raise ValueError(f"unknown ordering {kind!r} (natural|rcm|nd)")
+    if kind in ("qmd", "md"):
+        S = ((A + A.T) != 0).astype(np.int8).tocsr()
+        return minimum_degree(S)
+    raise ValueError(f"unknown ordering {kind!r} (natural|rcm|nd|qmd)")
+
+
+def minimum_degree(S: sp.csr_matrix) -> np.ndarray:
+    """Greedy minimum-degree elimination ordering (the role of
+    SPARSPAK's genqmd, src/mat/order/genqmd.c — quotient-graph
+    bookkeeping replaced by explicit elimination-graph sets, adequate
+    at plan time). At each step the minimum-degree node is eliminated
+    and its neighbors are clique-connected."""
+    n = S.shape[0]
+    # invariant: adj[u] holds only ALIVE neighbors of u
+    adj = [set(S.indices[S.indptr[i]:S.indptr[i + 1]]) - {i}
+           for i in range(n)]
+    perm = np.empty(n, np.int64)
+    deg = np.array([len(a) for a in adj], np.float64)
+    for k in range(n):
+        i = int(np.argmin(deg))
+        perm[k] = i
+        deg[i] = np.inf
+        nbrs = adj[i]
+        for u in nbrs:
+            adj[u].discard(i)
+        for u in nbrs:
+            adj[u] |= nbrs
+            adj[u].discard(u)
+            deg[u] = len(adj[u])
+        adj[i] = set()
+    return perm
 
 
 def nested_dissection(S, leaf: int = 24) -> np.ndarray:

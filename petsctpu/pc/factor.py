@@ -100,6 +100,13 @@ def _make_ilu_natural(A_host, dtype=None, levels: int = 0,
         L, U = ilu0(Awide)
     else:
         L, U = ilu0(A_host)
+    if tri == "band2":
+        from petsctpu.mat.factor import make_band_trsv_hier_plan
+        return ILUPC(
+            make_band_trsv_hier_plan(L, lower=True, unit_diag=True,
+                                     dtype=dtype),
+            make_band_trsv_hier_plan(U, lower=False, unit_diag=False,
+                                     dtype=dtype))
     if tri == "band":
         return ILUPC(
             make_band_trsv_plan(L, lower=True, unit_diag=True, dtype=dtype),

@@ -71,6 +71,47 @@ def aggregate(S: sp.csr_matrix) -> np.ndarray:
     return agg
 
 
+def aggregate_hem(S: sp.csr_matrix, rounds: int = 1) -> np.ndarray:
+    """Heavy-edge-matching coarsening (MatCoarsen HEM, src/mat/coarsen/
+    impls/hem): greedily match each vertex to its heaviest unmatched
+    neighbor; matched pairs form aggregates, leftovers become
+    singletons. `rounds` > 1 re-matches the pair graph for coarser
+    aggregates (aggregate size up to 2^rounds)."""
+    S = sp.csr_matrix(S)
+    n = S.shape[0]
+    agg = np.arange(n, dtype=np.int64)
+    for _ in range(rounds):
+        # build the current aggregate graph (weights summed)
+        na = int(agg.max()) + 1
+        C = sp.coo_matrix((np.abs(S.data),
+                           (agg[sp.coo_matrix(S).row],
+                            agg[sp.coo_matrix(S).col])),
+                          shape=(na, na)).tocsr()
+        C.setdiag(0)
+        C.eliminate_zeros()
+        matched = np.full(na, -1, np.int64)
+        # visit heaviest edges first: sort vertices by max incident weight
+        order = np.argsort(-np.asarray(C.max(axis=1).todense()).ravel())
+        for v in order:
+            if matched[v] != -1:
+                continue
+            lo, hi = C.indptr[v], C.indptr[v + 1]
+            nbrs, w = C.indices[lo:hi], C.data[lo:hi]
+            free = matched[nbrs] == -1
+            if not free.any():
+                matched[v] = v               # singleton
+                continue
+            u = nbrs[free][np.argmax(w[free])]
+            matched[v] = v
+            matched[u] = v
+        # compress to new aggregate ids
+        roots = np.unique(matched)
+        remap = np.empty(na, np.int64)
+        remap[roots] = np.arange(len(roots))
+        agg = remap[matched[agg]]
+    return agg
+
+
 def tentative_prolongator(agg: np.ndarray, nullspace: np.ndarray = None):
     """P0 from aggregates × near-null-space (constant vector by default),
     column-normalized (agg.c:1110)."""
@@ -97,15 +138,18 @@ def smooth_prolongator(A: sp.csr_matrix, P0: sp.csr_matrix) -> sp.csr_matrix:
 
 def gamg_hierarchy(A, theta: float = 0.0, coarse_n: int = 64,
                    max_levels: int = 10, smooth: bool = True,
-                   nullspace=None):
-    """Build (As, Ps): As[0]=A fine … As[-1] coarsest; Ps[l]: l+1 → l."""
+                   nullspace=None, coarsen: str = "mis"):
+    """Build (As, Ps): As[0]=A fine … As[-1] coarsest; Ps[l]: l+1 → l.
+    coarsen: 'mis' (MIS aggregation) or 'hem' (heavy-edge matching,
+    2 rounds ≈ size-4 aggregates)."""
     As = [sp.csr_matrix(A)]
     Ps = []
     nsp = nullspace
     while As[-1].shape[0] > coarse_n and len(As) < max_levels:
         Ac = As[-1]
         S = strength_graph(Ac, theta)
-        agg = aggregate(S)
+        agg = (aggregate_hem(Ac, rounds=2) if coarsen == "hem"
+               else aggregate(S))
         na = int(agg.max()) + 1
         if na >= Ac.shape[0]:        # no coarsening progress
             break
@@ -126,7 +170,9 @@ def make_gamg(A_host, dtype=None, options: Options = None):
     smooth = opts.get_int("pc_gamg_agg_nsmooths", 1) > 0
     sm_its = opts.get_int("mg_levels_ksp_max_it", 2)
     As, Ps = gamg_hierarchy(A_host, theta=theta, coarse_n=coarse_n,
-                            max_levels=max_levels, smooth=smooth)
+                            max_levels=max_levels, smooth=smooth,
+                            coarsen=opts.get_str("pc_gamg_coarsen_type",
+                                                 "mis"))
     return make_algebraic_mg_from_hierarchy(
         As, Ps, dtype=dtype, sm_its=sm_its,
         cycles=2 if opts.get_str("pc_mg_cycle_type", "v") == "w" else 1,

@@ -64,7 +64,7 @@ def main():
     Ab = baij_from_scipy_bsr(A, bs=3, dtype=dtype)
     from petsctpu.core.options import Options
     pc = make_pc("ilu", A=Ab, A_host=A,
-                 options=Options({"pc_factor_tri_solve": "band"}))
+                 options=Options({"pc_factor_tri_solve": "band2"}))
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal(n).astype(dtype))
     V = jnp.asarray(rng.standard_normal((31, n)).astype(dtype))
@@ -89,8 +89,10 @@ def main():
     event("VecNorm", 2.0 * n,
           lambda v: v * jnp.linalg.norm(v) / jnp.float32(n),
           lo=500, hi=10500)
+    # coefficients must depend on the carry or XLA hoists the V
+    # combination out of the timing loop entirely
     event("VecMAXPY", 2.0 * 31 * n,
-          lambda v: v + (jnp.ones(31, dtype) / 31.0) @ V * 1e-6,
+          lambda v: v + (v[:31] * np.float32(1e-9)) @ V,
           lo=500, hi=10500)
 
     # full GMRES(30)+ILU solve (the SLESSolve row). Per-iteration

@@ -194,3 +194,37 @@ class TestMGTypes:
 
     def test_additive(self):
         assert self._solve("additive") < 60
+
+
+class TestHEMAndQMD:
+    def test_hem_coarsening_gamg(self):
+        from petsctpu.core.options import Options
+        A = laplacian_2d(24, 24)
+        Ad = aij_from_scipy(A)
+        pc = make_pc("gamg", A=Ad, A_host=A,
+                     options=Options({"pc_gamg_coarsen_type": "hem"}))
+        b = jnp.asarray(np.ones(A.shape[0]))
+        r = ksp_solve(Ad, b, pc=pc, ksp_type="cg", rtol=1e-8, maxits=60)
+        assert r.converged and int(r.its) < 30
+
+    def test_hem_aggregate_sizes(self):
+        from petsctpu.pc.gamg import aggregate_hem
+        A = laplacian_2d(16, 16)
+        agg = aggregate_hem(A, rounds=2)
+        na = int(agg.max()) + 1
+        assert na < 256 // 2          # genuinely coarsens
+        sizes = np.bincount(agg)
+        assert sizes.max() <= 4       # 2 rounds of pairing
+
+    def test_qmd_ordering_reduces_fill(self):
+        import scipy.sparse.linalg as spla
+        from petsctpu.mat.order import get_ordering
+        A = laplacian_2d(14, 14).tocsc()
+        perm = get_ordering(A, "qmd")
+        assert np.array_equal(np.sort(perm), np.arange(196))
+        lu_nat = spla.splu(A, permc_spec="NATURAL",
+                           options=dict(SymmetricMode=True))
+        Ap = A[perm][:, perm].tocsc()
+        lu_md = spla.splu(Ap, permc_spec="NATURAL",
+                          options=dict(SymmetricMode=True))
+        assert lu_md.nnz < lu_nat.nnz  # min-degree reduces fill
