@@ -156,6 +156,10 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
         _require_host(A_host, "cp")
         from petsctpu.pc.extra import make_cp
         return make_cp(A_host, dtype=dt)
+    if pc_type == "supportgraph":
+        _require_host(A_host, "supportgraph")
+        from petsctpu.pc.supportgraph import make_supportgraph
+        return make_supportgraph(A_host, dtype=dt, options=opts)
     if pc_type == "asa":
         _require_host(A_host, "asa")
         from petsctpu.pc.asa import make_asa

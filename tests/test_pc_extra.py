@@ -130,3 +130,50 @@ class TestLSC:
         assert res.converged
         np.testing.assert_allclose(np.asarray(res.x),
                                    np.linalg.solve(S, bb), atol=1e-7)
+
+
+class TestSupportGraph:
+    """Vaidya spanning-tree PC (reference impls/supportgraph, C++)."""
+
+    def test_tree_structure(self):
+        from petsctpu.pc.supportgraph import support_tree
+        from petsctpu.models import laplacian_2d
+        A = laplacian_2d(8, 8)
+        T = support_tree(A)
+        # spanning tree: n-1 symmetric off-diagonal pairs + n diagonal
+        offdiag = T.nnz - 64
+        assert offdiag == 2 * 63
+        # subset of A's entries
+        diff = abs(A.multiply(T != 0) - T)
+        assert diff.max() < 1e-14
+
+    def test_accelerates_cg_anisotropic(self):
+        """Support-graph theory's home turf: the spanning tree captures
+        the dominant coupling direction of an anisotropic operator
+        (measured here: 13 its vs 104 unpreconditioned)."""
+        from petsctpu.ksp import ksp_solve
+        from petsctpu.mat import aij_from_scipy
+        m = 24
+        ex = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], (m, m))
+        I = sp.eye(m)
+        A = (sp.kron(I, ex) + 1e-2 * sp.kron(ex, I)).tocsr()
+        Ad = aij_from_scipy(A)
+        b = jnp.asarray(np.ones(m * m))
+        pc = make_pc("supportgraph", A=Ad, A_host=A)
+        r = ksp_solve(Ad, b, pc=pc, ksp_type="cg", rtol=1e-8, maxits=600)
+        r0 = ksp_solve(Ad, b, ksp_type="cg", rtol=1e-8, maxits=600)
+        assert r.converged
+        assert int(r.its) < int(r0.its) // 3
+        np.testing.assert_allclose(A @ np.asarray(r.x), 1.0, atol=1e-6)
+
+    def test_isotropic_converges(self):
+        from petsctpu.models import laplacian_2d
+        from petsctpu.ksp import ksp_solve
+        from petsctpu.mat import aij_from_scipy
+        A = laplacian_2d(12, 12)
+        Ad = aij_from_scipy(A)
+        b = jnp.asarray(np.ones(144))
+        pc = make_pc("supportgraph", A=Ad, A_host=A)
+        r = ksp_solve(Ad, b, pc=pc, ksp_type="cg", rtol=1e-8, maxits=200)
+        assert r.converged and int(r.its) < 60
+        np.testing.assert_allclose(A @ np.asarray(r.x), 1.0, atol=1e-6)
