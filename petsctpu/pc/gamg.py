@@ -161,18 +161,54 @@ def gamg_hierarchy(A, theta: float = 0.0, coarse_n: int = 64,
     return As, Ps
 
 
+def rigid_body_modes(coords: np.ndarray, dof: int = None) -> np.ndarray:
+    """Near-null space of elasticity from node coordinates
+    (PCSetCoordinates_AGG agg.c:246): 2-D → 3 modes (tx, ty, rot),
+    3-D → 6. Returns (ndof_total, nmodes)."""
+    coords = np.asarray(coords, np.float64)
+    n, dim = coords.shape
+    dof = dof or dim
+    if dim == 2:
+        B = np.zeros((n * dof, 3))
+        B[0::dof, 0] = 1.0
+        B[1::dof, 1] = 1.0
+        B[0::dof, 2] = -coords[:, 1]
+        B[1::dof, 2] = coords[:, 0]
+    else:
+        B = np.zeros((n * dof, 6))
+        for k in range(3):
+            B[k::dof, k] = 1.0
+        x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
+        B[1::dof, 3], B[2::dof, 3] = -z, y       # rot x
+        B[0::dof, 4], B[2::dof, 4] = z, -x       # rot y
+        B[0::dof, 5], B[1::dof, 5] = -y, x       # rot z
+    q, _ = np.linalg.qr(B)
+    return q
+
+
 def make_gamg(A_host, dtype=None, options: Options = None):
-    """PCGAMG factory (PCSetUp_GAMG analog)."""
+    """PCGAMG factory (PCSetUp_GAMG analog). Options key
+    'pc_gamg_coordinates' (node coords array) activates rigid-body-
+    mode candidates via the multi-candidate block prolongator
+    (PCSetCoordinates_AGG agg.c:246)."""
     opts = options or Options()
     theta = opts.get_real("pc_gamg_threshold", 0.0)
     coarse_n = opts.get_int("pc_gamg_coarse_eq_limit", 64)
     max_levels = opts.get_int("pc_mg_levels", 10)
     smooth = opts.get_int("pc_gamg_agg_nsmooths", 1) > 0
     sm_its = opts.get_int("mg_levels_ksp_max_it", 2)
-    As, Ps = gamg_hierarchy(A_host, theta=theta, coarse_n=coarse_n,
-                            max_levels=max_levels, smooth=smooth,
-                            coarsen=opts.get_str("pc_gamg_coarsen_type",
-                                                 "mis"))
+    coords = opts.get("pc_gamg_coordinates")
+    if coords is not None:
+        from petsctpu.pc.asa import asa_hierarchy
+        B = rigid_body_modes(np.asarray(coords),
+                             dof=opts.get_int("pc_gamg_dof", 0) or None)
+        As, Ps = asa_hierarchy(A_host, B, theta=theta, coarse_n=coarse_n,
+                               max_levels=max_levels, smooth=smooth)
+    else:
+        As, Ps = gamg_hierarchy(A_host, theta=theta, coarse_n=coarse_n,
+                                max_levels=max_levels, smooth=smooth,
+                                coarsen=opts.get_str("pc_gamg_coarsen_type",
+                                                     "mis"))
     return make_algebraic_mg_from_hierarchy(
         As, Ps, dtype=dtype, sm_its=sm_its,
         cycles=2 if opts.get_str("pc_mg_cycle_type", "v") == "w" else 1,
