@@ -71,6 +71,16 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
         _require_host(A_host, "gamg")
         from petsctpu.pc.gamg import make_gamg
         return make_gamg(A_host, dtype=dt, options=opts)
+    if pc_type == "bjacobi":
+        # serial block Jacobi = zero-overlap ASM on contiguous row
+        # blocks (PCSetUp_BJacobi bjacobi.c:14; the sharded variant
+        # lives in pc/parallel.py)
+        _require_host(A_host, "bjacobi")
+        from petsctpu.pc.asm import make_asm
+        return make_asm(A_host, dtype=dt,
+                        nblocks=opts.get_int("pc_bjacobi_blocks", 1),
+                        overlap=0, restricted=False,
+                        sub_pc=opts.get_str("sub_pc_type", "ilu"))
     if pc_type == "asm" or pc_type == "gasm":
         _require_host(A_host, "asm")
         from petsctpu.pc.asm import make_asm

@@ -154,3 +154,22 @@ class TestGoldenSNES:
                                    rtol=1e-3)
         err = np.linalg.norm(np.asarray(res.x) - xs ** 3)
         assert err < 1e-8
+
+    def test_ex2_2_bjacobi_two_ranks(self):
+        """output/ex2_2.out (makefile:322: mpiexec -n 2): the 2-rank
+        DEFAULT solver is GMRES + block-Jacobi with per-rank ILU(0) —
+        reproduced serially with pc bjacobi, 2 contiguous blocks
+        (13/12 rows, the PETSC_DECIDE split of -m 5 -n 5)."""
+        A, b, u = ex2_system(5, 5)
+        Ad = aij_from_scipy(A)
+        pc = make_pc("bjacobi", A=Ad, A_host=A,
+                     options=Options({"pc_bjacobi_blocks": 2}))
+        r = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="gmres",
+                      rtol=1e-2 / 36, atol=1e-50, cgs_refine="always")
+        golden = [2.73499, 0.795482, 0.261984, 0.0752998, 0.0230031,
+                  0.00521255, 0.00145783, 0.000277319]
+        assert int(r.its) == 7
+        np.testing.assert_allclose(np.asarray(r.history[:8]), golden,
+                                   rtol=2e-5)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(r.x) - u),
+                                   0.000292349, rtol=1e-3)
