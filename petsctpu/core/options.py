@@ -34,6 +34,7 @@ class Options:
         if _parent is None:
             self._d: dict = {}
             self._used: set = set()
+            self._queried: dict = {}     # full key -> (type, default)
             self._root: Options = self
         else:
             self._root = _parent._root
@@ -89,16 +90,22 @@ class Options:
             return self._root._d[full]
         return default
 
+    def _record(self, key: str, kind: str, default) -> None:
+        self._root._queried.setdefault(self._full(key), (kind, default))
+
     # -- typed getters (reference: PetscOptionsGetInt/Real/Bool/String) --
     def get_int(self, key: str, default: int = 0) -> int:
+        self._record(key, "int", default)
         v = self.get(key, default)
         return int(v)
 
     def get_real(self, key: str, default: float = 0.0) -> float:
+        self._record(key, "real", default)
         v = self.get(key, default)
         return float(v)
 
     def get_bool(self, key: str, default: bool = False) -> bool:
+        self._record(key, "bool", default)
         full = self._full(key)
         if full not in self._root._d:
             return default
@@ -116,6 +123,7 @@ class Options:
         raise ValueError(f"cannot interpret {v!r} as bool for -{full}")
 
     def get_str(self, key: str, default: str = "") -> str:
+        self._record(key, "str", default)
         v = self.get(key, default)
         return str(v) if v is not None else default
 
@@ -132,6 +140,20 @@ class Options:
     def unused(self) -> list:
         """Keys set but never queried (reference: -options_left)."""
         return sorted(k for k in self._root._d if k not in self._root._used)
+
+    def help_text(self) -> str:
+        """The -help analog: every option any component queried from
+        this database, with type, default, and current value (the
+        reference's self-documenting PetscOptionsBegin/End blocks,
+        aoptions.c:25 — here documentation is recorded at consumption
+        time, so it is always complete for the configuration built)."""
+        lines = ["Options consumed (type, default, current):"]
+        for k in sorted(self._root._queried):
+            kind, default = self._root._queried[k]
+            cur = self._root._d.get(k, "<default>")
+            lines.append(f"  -{k:42s} <{kind}> default={default!r} "
+                         f"current={cur!r}")
+        return "\n".join(lines)
 
     def items(self):
         return self._root._d.items()

@@ -235,6 +235,8 @@ class KSP:
             self.guess = self.guess.update(res.x, self.A.mult(res.x))
         if self.opts.get_bool("ksp_view", False):
             print(self.view())
+        if self.opts.get_bool("help", False):
+            print(self.opts.help_text())
         if self.opts.get_bool("ksp_monitor_draw", False):
             from petsctpu.core.draw import monitor_draw
             monitor_draw(res,

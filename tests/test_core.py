@@ -50,3 +50,35 @@ class TestLayout:
         xp = L.pad_vector(x)
         assert xp.shape == (12,) and xp[-1] == 0
         np.testing.assert_array_equal(L.unpad_vector(xp), x)
+
+
+class TestHelpSelfDocumentation:
+    """-help analog: options are documented at consumption time
+    (aoptions.c self-documenting blocks)."""
+
+    def test_help_records_queried_options(self):
+        from petsctpu.core.options import Options
+        o = Options({"ksp_rtol": 1e-7})
+        o.get_real("ksp_rtol", 1e-5)
+        o.get_int("ksp_max_it", 10000)
+        o.prefixed("mg_levels_").get_str("ksp_type", "chebyshev")
+        txt = o.help_text()
+        assert "-ksp_rtol" in txt and "default=1e-05" in txt
+        assert "current=1e-07" in txt or "current=1e-07" in txt.replace("'", "")
+        assert "-ksp_max_it" in txt
+        assert "-mg_levels_ksp_type" in txt and "<str>" in txt
+
+    def test_ksp_help_flag(self, capsys):
+        import jax.numpy as jnp
+        from petsctpu.core.options import Options
+        from petsctpu.ksp import KSP
+        from petsctpu.mat import aij_from_scipy
+        from petsctpu.models import ex2_system
+        A, b, u = ex2_system(5, 5)
+        ksp = KSP(Options({"ksp_type": "cg", "pc_type": "jacobi",
+                           "help": None}))
+        ksp.set_operators(aij_from_scipy(A), A)
+        ksp.solve(jnp.asarray(b))
+        out = capsys.readouterr().out
+        assert "Options consumed" in out
+        assert "-ksp_rtol" in out and "-pc_type" in out
