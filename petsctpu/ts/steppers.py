@@ -50,6 +50,7 @@ class TSConfig:
     # pseudo-timestepping
     pseudo_max_dt: float = 1e12
     pseudo_fnorm_rtol: float = 1e-8
+    pseudo_increment: float = 1.1   # TSPseudoSetTimeStepIncrement default
     # inner nonlinear/linear solve settings for implicit methods
     snes: SNESConfig = field(default_factory=lambda: SNESConfig(rtol=1e-8))
     ksp: KSPConfig = field(default_factory=lambda: KSPConfig(
@@ -61,6 +62,8 @@ class TSResult(NamedTuple):
     t: jax.Array
     steps: jax.Array
     dt_final: jax.Array
+    fnorm_history: jax.Array = None   # pseudo: ‖F‖ per step (0-padded)
+    dt_history: jax.Array = None      # pseudo: dt chosen after each step
 
 
 def _monitor(cfg, step, t, u):
@@ -217,33 +220,47 @@ def ts_pseudo(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
               axis: Optional[str] = None, **kw) -> TSResult:
     """Pseudo-transient continuation to steady state (src/ts/impls/
     pseudo): backward-Euler steps with SER dt growth
-    dt ← dt·‖F(u₀)‖/‖F(u)‖ until ‖F‖ drops by pseudo_fnorm_rtol."""
+    dt ← increment·dt·‖F(u_prev)‖/‖F(u)‖ (TSPseudoDefaultTimeStep,
+    increment default 1.1) until ‖F‖ drops by pseudo_fnorm_rtol.
+    fnorm/dt histories are recorded per step (the -ts_monitor_pseudo
+    stream)."""
     cfg = replace(cfg or TSConfig(), **kw) if kw else (cfg or TSConfig())
     dtype = u0.dtype
     f0 = ops.norm(rhs(0.0, u0), axis)
+    M = cfg.max_steps + 1
+    fh0 = jnp.zeros(M, f0.dtype).at[0].set(f0)
+    dh0 = jnp.zeros(M, dtype).at[0].set(jnp.asarray(cfg.dt, dtype))
 
+    # carry: (t, u, dt_prev, step, f_prev, f_prevprev, fh, dh) — the
+    # reference computes the step's dt BEFORE stepping from the ratio
+    # of the two PREVIOUS residual norms (TSStep_Pseudo: step 1 already
+    # uses increment·dt0), so dt lags the fnorm sequence by one.
     def cond(c):
-        t, u, dt, step, fnorm = c
-        return (step < cfg.max_steps) & (fnorm > cfg.pseudo_fnorm_rtol * f0)
+        t, u, dt, step, f_p, f_pp, fh, dh = c
+        return (step < cfg.max_steps) & (f_p > cfg.pseudo_fnorm_rtol * f0)
 
     def body(c):
-        t, u, dt, step, fnorm = c
+        t, u, dt, step, f_p, f_pp, fh, dh = c
+        dt_used = jnp.clip(cfg.pseudo_increment * dt
+                           * f_pp / jnp.maximum(f_p, 1e-30),
+                           0.0, cfg.pseudo_max_dt).astype(dtype)
 
         def G(v):
-            return (v - u) / dt - rhs(t + dt, v)
+            return (v - u) / dt_used - rhs(t + dt_used, v)
 
         res = snes_solve(G, u, jac="jvp", cfg=cfg.snes, ksp_cfg=cfg.ksp,
                          axis=axis)
         un = res.x
-        fn = ops.norm(rhs(t + dt, un), axis)
-        dt_next = jnp.clip(dt * fnorm / jnp.maximum(fn, 1e-30),
-                           0.0, cfg.pseudo_max_dt)
-        return (t + dt, un, dt_next.astype(dtype), step + 1, fn)
+        fn = ops.norm(rhs(t + dt_used, un), axis)
+        fh = fh.at[step + 1].set(fn)
+        dh = dh.at[step + 1].set(dt_used)
+        return (t + dt_used, un, dt_used, step + 1, fn, f_p, fh, dh)
 
-    t, u, dt, step, fnorm = lax.while_loop(
+    t, u, dt, step, f_p, f_pp, fh, dh = lax.while_loop(
         cond, body, (jnp.asarray(cfg.t0, dtype), u0,
-                     jnp.asarray(cfg.dt, dtype), jnp.int32(0), f0))
-    return TSResult(u, t, step, dt)
+                     jnp.asarray(cfg.dt, dtype), jnp.int32(0), f0, f0,
+                     fh0, dh0))
+    return TSResult(u, t, step, dt, fh, dh)
 
 
 class TS:

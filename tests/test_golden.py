@@ -173,3 +173,57 @@ class TestGoldenSNES:
                                    rtol=2e-5)
         np.testing.assert_allclose(np.linalg.norm(np.asarray(r.x) - u),
                                    0.000292349, rtol=1e-3)
+
+
+class TestGoldenTS:
+    def test_ts_ex1_pseudo_bratu(self):
+        """ts/examples/tutorials/output/ex1_1.out: Bratu 4x4 (lambda=6)
+        pseudo-timestepping, dt0=0.125, SER increment 1.1
+        (TSPseudoDefaultTimeStep): fnorm sequence 0.207564, 0.184718,
+        0.160569, ... and dt growth 0.125, 0.1375, 0.169957, ..."""
+        from petsctpu.ts.steppers import ts_pseudo, TSConfig
+
+        mx = my = 4
+        lam = 6.0
+        hx = hy = 1.0 / (mx - 1)
+        sc = hx * hy
+        hxdhy, hydhx = hx / hy, hy / hx
+
+        mask = np.zeros((my, mx), bool)
+        mask[1:-1, 1:-1] = True
+        maskj = jnp.asarray(mask.reshape(-1))
+
+        def F(t, xv):
+            X = xv.reshape(my, mx)
+            u = X[1:-1, 1:-1]
+            uxx = (-X[1:-1, 2:] + 2 * u - X[1:-1, :-2]) * hydhx
+            uyy = (-X[2:, 1:-1] + 2 * u - X[:-2, 1:-1]) * hxdhy
+            f_int = -uxx - uyy + sc * lam * jnp.exp(u)
+            out = xv.reshape(my, mx)
+            out = jnp.where(mask, 0.0, out)      # boundary rows: f = x
+            out = out.at[1:-1, 1:-1].set(f_int)
+            return out.reshape(-1)
+
+        # FormInitialGuess (ex1.c): lam/(lam+1)*sqrt(min(min(i,mx-1-i)hx,
+        #                                              min(j,my-1-j)hy))
+        temp1 = lam / (lam + 1.0)
+        u0 = np.zeros((my, mx))
+        for j in range(1, my - 1):
+            tj = min(j, my - 1 - j) * hy
+            for i in range(1, mx - 1):
+                u0[j, i] = temp1 * np.sqrt(min(min(i, mx - 1 - i) * hx, tj))
+        u0 = jnp.asarray(u0.reshape(-1))
+
+        res = ts_pseudo(F, u0, TSConfig(ts_type="pseudo", dt=0.125,
+                                        max_steps=12,
+                                        pseudo_fnorm_rtol=1e-10))
+        f_golden = [0.207564, 0.184718, 0.160569, 0.135283, 0.109165,
+                    0.0827478, 0.0569517, 0.03335, 0.0144859, 0.00341003,
+                    0.000212272]
+        dt_golden = [0.125, 0.1375, 0.169957, 0.215069, 0.280795,
+                     0.382774, 0.555471, 0.887776, 1.66766, 4.22328]
+        # dh[n] = dt USED in step n (the golden dt column at TS n)
+        fh = np.asarray(res.fnorm_history)
+        dh = np.asarray(res.dt_history)
+        np.testing.assert_allclose(fh[:11], f_golden, rtol=2e-3)
+        np.testing.assert_allclose(dh[:10], dt_golden, rtol=2e-3)
