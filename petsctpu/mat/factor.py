@@ -406,24 +406,20 @@ def make_band_trsv_plan(Tmat, lower: bool, unit_diag: bool, dtype=None,
     otiles = np.zeros((nt, T, W), dtype or Tmat.dtype)
     t_of = coo.row // T
     i_of = coo.row % T
-    for t, i, j, v in zip(t_of, i_of, coo.col, coo.data):
-        base = t * T
-        if base <= j < base + T:
-            dtiles[t, i, j - base] = v
-        elif lower:
-            otiles[t, i, j - (base - W)] = v
-        else:
-            otiles[t, i, j - (base + T)] = v
-    eye = np.eye(T, dtype=dtiles.dtype)
-    for t in range(nt):
-        d = dtiles[t]
-        if unit_diag:
-            np.fill_diagonal(d, 1.0)
-        else:
-            # pad rows beyond n with identity so the tile is invertible
-            for k in range(T):
-                if d[k, k] == 0:
-                    d[k, k] = 1.0
-        dtiles[t] = np.linalg.solve(d, eye)
+    base = t_of * T
+    in_diag = (coo.col >= base) & (coo.col < base + T)
+    dtiles[t_of[in_diag], i_of[in_diag],
+           (coo.col - base)[in_diag]] = coo.data[in_diag]
+    off = ~in_diag
+    ocol = (coo.col - (base - W)) if lower else (coo.col - (base + T))
+    otiles[t_of[off], i_of[off], ocol[off]] = coo.data[off]
+    diag_view = np.einsum("tkk->tk", dtiles)     # writable diagonal view
+    if unit_diag:
+        diag_view[:] = 1.0
+    else:
+        # pad rows beyond n with identity so the tile is invertible
+        diag_view[diag_view == 0] = 1.0
+    eye = np.broadcast_to(np.eye(T, dtype=dtiles.dtype), dtiles.shape)
+    dtiles = np.linalg.solve(dtiles, eye)        # one batched inversion
     return BandTRSVPlan(jnp.asarray(dtiles), jnp.asarray(otiles),
                         lower, T, n)
