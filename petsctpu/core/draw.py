@@ -80,3 +80,30 @@ def monitor_draw(result, save: str = None, echo: bool = True) -> str:
     if save:
         save_lg_png(result.history, save)
     return txt
+
+
+def ascii_contour(grid, width: int = 64, height: int = 24,
+                  chars: str = " .:-=+*#%@") -> str:
+    """ASCII contour map of a 2-D grid array (the VecView draw-contour
+    analog, src/sys/classes/draw contour plots): values binned into
+    density characters after bilinear resampling to the terminal box."""
+    import numpy as np
+
+    G = np.asarray(grid, float)
+    if G.ndim == 1:
+        n = int(np.sqrt(G.size))
+        G = G.reshape(n, -1)
+    ys = np.linspace(0, G.shape[0] - 1, height)
+    xs = np.linspace(0, G.shape[1] - 1, width)
+    yi, xi = np.floor(ys).astype(int), np.floor(xs).astype(int)
+    yf, xf = ys - yi, xs - xi
+    yi1 = np.minimum(yi + 1, G.shape[0] - 1)
+    xi1 = np.minimum(xi + 1, G.shape[1] - 1)
+    R = ((1 - yf)[:, None] * ((1 - xf) * G[yi][:, xi] + xf * G[yi][:, xi1])
+         + yf[:, None] * ((1 - xf) * G[yi1][:, xi] + xf * G[yi1][:, xi1]))
+    lo, hi = R.min(), R.max()
+    t = (R - lo) / (hi - lo) if hi > lo else R * 0
+    idx = np.minimum((t * len(chars)).astype(int), len(chars) - 1)
+    lines = ["".join(chars[k] for k in row) for row in idx[::-1]]
+    lines.append(f"min={lo:.4g} max={hi:.4g}")
+    return "\n".join(lines)

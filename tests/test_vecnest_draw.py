@@ -74,3 +74,22 @@ class TestDraw:
                         rtol=1e-8)
         txt = monitor_draw(res, echo=False)
         assert f"its={int(res.its)}" in txt
+
+
+class TestAsciiContour:
+    def test_contour_renders_peak(self):
+        from petsctpu.core.draw import ascii_contour
+        x = np.linspace(-2, 2, 40)
+        G = np.exp(-(x[:, None] ** 2 + x[None, :] ** 2))
+        s = ascii_contour(G, width=30, height=12)
+        lines = s.splitlines()
+        assert len(lines) == 13
+        # densest character appears mid-image (the peak), sparse at edges
+        assert "@" in lines[6]
+        assert "@" not in lines[0]
+        assert "min=" in lines[-1]
+
+    def test_flat_input_and_constant(self):
+        from petsctpu.core.draw import ascii_contour
+        s = ascii_contour(np.ones(64), width=10, height=4)
+        assert "min=1" in s
