@@ -126,3 +126,52 @@ def load_any_matrix(path: str):
         from scipy.io import mmread
         return sp.csr_matrix(mmread(path))
     return petsc_binary_read_mat(path)
+
+
+# ---------------------------------------------------------------------------
+# HDF5 viewer (PetscViewerHDF5: src/sys/classes/viewer/impls/hdf5;
+# VecView_HDF5 stores each object as a named dataset)
+# ---------------------------------------------------------------------------
+def hdf5_save_vec(path: str, name: str, x) -> None:
+    """VecView to an HDF5 dataset (appends/overwrites in the file)."""
+    import h5py
+
+    with h5py.File(path, "a") as f:
+        if name in f:
+            del f[name]
+        f.create_dataset(name, data=np.asarray(x))
+
+
+def hdf5_load_vec(path: str, name: str) -> np.ndarray:
+    """VecLoad from an HDF5 dataset."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        return np.asarray(f[name])
+
+
+def hdf5_save_mat(path: str, name: str, A) -> None:
+    """MatView: CSR triplet stored under a group (indptr/indices/data
+    + shape attribute)."""
+    import h5py
+
+    A = sp.csr_matrix(A)
+    with h5py.File(path, "a") as f:
+        if name in f:
+            del f[name]
+        g = f.create_group(name)
+        g.create_dataset("indptr", data=A.indptr)
+        g.create_dataset("indices", data=A.indices)
+        g.create_dataset("data", data=A.data)
+        g.attrs["shape"] = A.shape
+
+
+def hdf5_load_mat(path: str, name: str) -> sp.csr_matrix:
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        g = f[name]
+        return sp.csr_matrix((np.asarray(g["data"]),
+                              np.asarray(g["indices"]),
+                              np.asarray(g["indptr"])),
+                             shape=tuple(g.attrs["shape"]))

@@ -118,3 +118,26 @@ class TestResumeDeterminism:
                        ksp_type="cg", rtol=1e-10)
         assert int(r1.its) == int(r2.its)
         np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+
+
+class TestHDF5Viewer:
+    def test_vec_roundtrip(self, tmp_path):
+        from petsctpu.io.viewer import hdf5_save_vec, hdf5_load_vec
+        p = str(tmp_path / "v.h5")
+        x = np.random.default_rng(0).standard_normal(37)
+        hdf5_save_vec(p, "solution", x)
+        hdf5_save_vec(p, "rhs", x * 2)          # second object, same file
+        np.testing.assert_array_equal(hdf5_load_vec(p, "solution"), x)
+        np.testing.assert_array_equal(hdf5_load_vec(p, "rhs"), 2 * x)
+        hdf5_save_vec(p, "solution", x + 1)     # overwrite
+        np.testing.assert_array_equal(hdf5_load_vec(p, "solution"), x + 1)
+
+    def test_mat_roundtrip(self, tmp_path):
+        import scipy.sparse as sp
+        from petsctpu.io.viewer import hdf5_save_mat, hdf5_load_mat
+        from petsctpu.models import laplacian_2d
+        p = str(tmp_path / "m.h5")
+        A = laplacian_2d(6, 5)
+        hdf5_save_mat(p, "A", A)
+        B = hdf5_load_mat(p, "A")
+        assert (A != B).nnz == 0
