@@ -111,13 +111,17 @@ def snes_solve(F: Callable, x0: jax.Array, jac: Union[str, ColoredJacobian,
                                                       Callable] = None,
                pc_builder: Optional[Callable] = None,
                ksp_cfg: KSPConfig = None, cfg: SNESConfig = None,
-               axis: Optional[str] = None, **kw) -> SNESResult:
+               axis: Optional[str] = None,
+               npc: Optional[Callable] = None, **kw) -> SNESResult:
     """Newton-LS solve of F(x) = 0.
 
     jac: "jvp" (AD matrix-free), "fd" (MFFD), a ColoredJacobian plan
          (assembled FD), or a callable (x, Fx) -> operator.
     pc_builder: callable J -> pc pytree, rebuilt every Newton step
-         (only device-rebuildable PCs: jacobi/pbjacobi/cheby-MG)."""
+         (only device-rebuildable PCs: jacobi/pbjacobi/cheby-MG).
+    npc: optional nonlinear right-preconditioner x → x' (an inner
+         solver applied before each Newton step — ls.c:199-211's
+         snes->pc composition; e.g. a few NGS sweeps or an FAS cycle)."""
     cfg = replace(cfg or SNESConfig(), **kw) if kw else (cfg or SNESConfig())
     ksp_cfg = ksp_cfg or KSPConfig(ksp_type="gmres", rtol=1e-5, maxits=200)
     jac = jac or cfg.jac
@@ -146,6 +150,10 @@ def snes_solve(F: Callable, x0: jax.Array, jac: Union[str, ColoredJacobian,
 
     def body(c):
         x, Fx, fnorm, its = c["x"], c["F"], c["fnorm"], c["its"]
+        if npc is not None:               # nonlinear right-preconditioning
+            x = npc(x)
+            Fx = F(x)
+            fnorm = ops.norm(Fx, axis)
         J = build_J(x, Fx)
         pc = pc_builder(J) if pc_builder is not None else None
         kres = ksolver(J, Fx, jnp.zeros_like(x), pc, ksp_cfg, axis)

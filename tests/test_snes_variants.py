@@ -88,3 +88,33 @@ class TestQN:
                       maxits=200, history_len=15)
         assert res.converged
         assert float(jnp.linalg.norm(F(res.x))) < 1e-6
+
+
+class TestNewtonNPC:
+    """Nonlinear right-preconditioning on Newton-LS (ls.c:199-211)."""
+
+    def test_ngs_preconditioned_newton(self):
+        from petsctpu.dm import DA
+        from petsctpu.ksp.common import KSPConfig
+        from petsctpu.mat.coloring import stencil_coloring
+        from petsctpu.models.bratu import bratu_initial_guess, bratu_residual
+        from petsctpu.snes import snes_solve
+        from petsctpu.snes.fas import ngs_sweep
+
+        da = DA((17, 17))
+        F = bratu_residual(da, lam=6.0)
+        x0 = bratu_initial_guess(da, 6.0)
+        colors = jnp.asarray(stencil_coloring(da.grid, da.stencil_offsets()))
+        nc = int(colors.max()) + 1
+
+        def ngs(x):
+            return ngs_sweep(F, x, None, colors, nc)
+        r_plain = snes_solve(F, x0, jac="jvp", rtol=1e-9,
+                             ksp_cfg=KSPConfig(ksp_type="gmres", rtol=1e-6,
+                                               maxits=300))
+        r_npc = snes_solve(F, x0, jac="jvp", rtol=1e-9, npc=ngs,
+                           ksp_cfg=KSPConfig(ksp_type="gmres", rtol=1e-6,
+                                             maxits=300))
+        assert r_npc.converged
+        assert int(r_npc.its) <= int(r_plain.its)
+        assert float(np.linalg.norm(np.asarray(F(r_npc.x)))) < 1e-8
