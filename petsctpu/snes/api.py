@@ -198,10 +198,37 @@ def snes_ksponly(F, x0, jac=None, pc_builder=None, ksp_cfg=None,
                       ksp_cfg=ksp_cfg, cfg=cfg, axis=axis)
 
 
+def _linesearch_l2(F, x, dx, fnorm, axis, max_its: int = 1,
+                   damping: float = 1.0, steptol: float = 1e-12):
+    """The reference's L2 line search (linesearchl2.c): secant-Newton
+    on the quadratic fit of ‖F(x−λ·dx)‖² through (λ_old, λ_mid, λ),
+    default ONE iteration (linesearch.c:63 max_its=1)."""
+    lam = jnp.asarray(damping, x.dtype)
+    lam_old = jnp.zeros((), x.dtype)
+    fnrm_old = fnorm * fnorm
+    for _ in range(max_its):
+        lam_mid = 0.5 * (lam + lam_old)
+        fnrm_mid = ops.norm(F(x - lam_mid * dx), axis) ** 2
+        fnrm = ops.norm(F(x - lam * dx), axis) ** 2
+        dl = lam - lam_old
+        dF = (3.0 * fnrm - 4.0 * fnrm_mid + fnrm_old) / dl
+        dF_old = (-3.0 * fnrm_old + 4.0 * fnrm_mid - fnrm) / dl
+        d2F = (dF - dF_old) / dl
+        lam_upd = jnp.where(d2F > 0, lam - dF / d2F, lam + dF / d2F)
+        lam_upd = jnp.where(lam_upd < steptol, 0.5 * (lam + lam_old),
+                            lam_upd)
+        lam_old, lam, fnrm_old = lam, lam_upd, fnrm
+    xn = x - lam * dx
+    Fn = F(xn)
+    fn = ops.norm(Fn, axis)
+    return xn, Fn, fn, lam, jnp.asarray(True)
+
+
 def snes_nrichardson(F, x0, cfg: SNESConfig = None, axis=None,
                      damping: float = 1.0, **kw) -> SNESResult:
-    """Nonlinear Richardson x ← x − λ·F(x) with bt line search
-    (src/snes/impls/richardson)."""
+    """Nonlinear Richardson x ← x − λ·F(x) with the reference's
+    default L2 line search (src/snes/impls/richardson; linesearch
+    default for nrichardson is l2)."""
     cfg = replace(cfg or SNESConfig(), **kw) if kw else (cfg or SNESConfig())
 
     x = x0
@@ -219,8 +246,7 @@ def snes_nrichardson(F, x0, cfg: SNESConfig = None, axis=None,
     def body(c):
         x, Fx, fnorm, its = c["x"], c["F"], c["fnorm"], c["its"]
         dx = damping * Fx
-        xn, Fn, fn, lam, ls_ok = _linesearch_bt(F, x, dx, Fx, fnorm, cfg,
-                                                axis)
+        xn, Fn, fn, lam, ls_ok = _linesearch_l2(F, x, dx, fnorm, axis)
         its = its + 1
         history = c["history"].at[its].set(fn)
         _monitor(cfg, its, fn)

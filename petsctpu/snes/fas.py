@@ -219,7 +219,7 @@ def snes_fas(levels: Sequence[FASLevel], x0: jax.Array,
 # ---------------------------------------------------------------------------
 
 def snes_ncg(F: Callable, x0: jax.Array, beta_type: str = "prp",
-             ls_its: int = 5, cfg: SNESConfig = None,
+             ls_its: int = 1, cfg: SNESConfig = None,
              axis: Optional[str] = None, **kw) -> SNESResult:
     """Nonlinear conjugate gradients (SNESNCG, src/snes/impls/ncg).
 
@@ -238,28 +238,26 @@ def snes_ncg(F: Callable, x0: jax.Array, beta_type: str = "prp",
     reason = _check(fnorm, fnorm0, jnp.zeros((), dtype),
                     ops.norm(x0, axis), jnp.int32(0), cfg)
 
-    def cp_linesearch(x, p):
-        """Secant on g(λ) = F(x−λp)·p (linesearch/impls/cp)."""
-        lam0 = jnp.asarray(0.0, dtype)
-        lam1 = jnp.asarray(1.0, dtype)
-        g0 = ops.dot(F(x), p, axis)
-
-        def body(i, carry):
-            lam0, lam1, g0 = carry
-            g1 = ops.dot(F(x - lam1 * p), p, axis)
-            denom = g1 - g0
-            lam2 = jnp.where(jnp.abs(denom) > 1e-30,
-                             lam1 - g1 * (lam1 - lam0) / denom,
-                             0.5 * lam1)
-            lam2 = jnp.clip(lam2, -10.0, 10.0)
-            return (lam1, lam2, g1)
-
-        _, lam, _ = lax.fori_loop(0, ls_its, body, (lam0, lam1, g0))
+    def cp_linesearch(x, p, Fx):
+        """The reference's CP line search, linear order, ONE iteration
+        (linesearchcp.c:61, defaults linesearch.c:63): secant on
+        g(λ) = ⟨F(x−λp), p⟩ with the sign/steptol rules verbatim."""
+        steptol = jnp.asarray(1e-12, dtype)
+        lam = jnp.asarray(1.0, dtype)
+        lam_old = jnp.asarray(0.0, dtype)
+        fty_old = ops.dot(Fx, p, axis)
+        for _ in range(ls_its):
+            fty = ops.dot(F(x - lam * p), p, axis)
+            s = (fty - fty_old) / (lam - lam_old)
+            s = jnp.where(s > 0, -s, s)
+            upd = lam - fty / s
+            upd = jnp.where(upd < steptol, lam + fty / s, upd)
+            lam_old, lam, fty_old = lam, upd, fty
         return lam
 
     def body(c):
         x, Fx, p, its = c["x"], c["F"], c["p"], c["its"]
-        lam = cp_linesearch(x, p)
+        lam = cp_linesearch(x, p, Fx)
         xn = x - lam * p
         Fn = F(xn)
         fn = ops.norm(Fn, axis)

@@ -227,3 +227,36 @@ class TestGoldenTS:
         dh = np.asarray(res.dt_history)
         np.testing.assert_allclose(fh[:11], f_golden, rtol=2e-3)
         np.testing.assert_allclose(dh[:10], dt_golden, rtol=2e-3)
+
+
+class TestGoldenSNESVariants:
+    """snes ex5_5_* variant goldens: Bratu 81x81, lambda=6
+    (makefile:344 CSD_BASIC_COMMAND_LINE)."""
+
+    def _setup(self):
+        from petsctpu.dm import DA
+        from petsctpu.models.bratu import (bratu_initial_guess,
+                                           bratu_residual)
+        da = DA((81, 81))
+        return bratu_residual(da, lam=6.0), bratu_initial_guess(da, 6.0)
+
+    def test_ex5_5_nrichardson(self):
+        """output/ex5_5_nrichardson.out: L2 line search, digit-exact."""
+        from petsctpu.snes.api import snes_nrichardson
+        F, x0 = self._setup()
+        r = snes_nrichardson(F, x0, maxits=8, rtol=1e-12)
+        golden = [1.11127, 0.693019, 0.550529, 0.468878, 0.413831,
+                  0.373283, 0.342081, 0.316999, 0.296369]
+        np.testing.assert_allclose(np.asarray(r.history[:9]), golden,
+                                   rtol=2e-5)
+
+    def test_ex5_5_ncg_fr(self):
+        """output/ex5_5_ncg.out: -snes_ncg_type fr, CP line search
+        (linear order, one iteration), digit-exact."""
+        from petsctpu.snes.fas import snes_ncg
+        F, x0 = self._setup()
+        r = snes_ncg(F, x0, beta_type="fr", maxits=8, rtol=1e-12)
+        golden = [1.11127, 0.886518, 0.718206, 0.591367, 0.540892,
+                  0.466458, 0.435514, 0.386243, 0.363351]
+        np.testing.assert_allclose(np.asarray(r.history[:9]), golden,
+                                   rtol=2e-5)
