@@ -224,6 +224,27 @@ def _linesearch_l2(F, x, dx, fnorm, axis, max_its: int = 1,
     return xn, Fn, fn, lam, jnp.asarray(True)
 
 
+def _linesearch_cp(F, x, dx, Fx, axis, max_its: int = 1,
+                   damping: float = 1.0, steptol: float = 1e-12):
+    """The reference's CP line search, linear order, default ONE
+    iteration (linesearchcp.c:61,177): secant on g(λ)=⟨F(x−λ·dx),dx⟩
+    with the verbatim sign/steptol rules."""
+    lam = jnp.asarray(damping, x.dtype)
+    lam_old = jnp.zeros((), x.dtype)
+    fty_old = ops.dot(Fx, dx, axis)
+    for _ in range(max_its):
+        fty = ops.dot(F(x - lam * dx), dx, axis)
+        s = (fty - fty_old) / (lam - lam_old)
+        s = jnp.where(s > 0, -s, s)
+        upd = lam - fty / s
+        upd = jnp.where(upd < steptol, lam + fty / s, upd)
+        lam_old, lam, fty_old = lam, upd, fty
+    xn = x - lam * dx
+    Fn = F(xn)
+    fn = ops.norm(Fn, axis)
+    return xn, Fn, fn, lam, jnp.asarray(True)
+
+
 def snes_nrichardson(F, x0, cfg: SNESConfig = None, axis=None,
                      damping: float = 1.0, **kw) -> SNESResult:
     """Nonlinear Richardson x ← x − λ·F(x) with the reference's

@@ -208,15 +208,21 @@ def snes_anderson(F: Callable, x0: jax.Array, window: int = 5,
 
 def snes_qn(F: Callable, x0: jax.Array, history_len: int = 10,
             cfg: SNESConfig = None, axis: Optional[str] = None,
-            **kw) -> SNESResult:
-    """L-BFGS quasi-Newton on F (src/snes/impls/qn): two-loop recursion
-    over a static secant window, bt line search."""
-    from petsctpu.snes.api import _linesearch_bt
+            scale_type: str = "shanno", restart_type: str = "powell",
+            powell_gamma: float = 0.9999, **kw) -> SNESResult:
+    """L-BFGS quasi-Newton on F — the reference's SNESQN verbatim
+    (src/snes/impls/qn/qn.c SNESQNApply_LBFGS + SNESSolve_QN):
+    secant pairs (dX, dF) from successive iterates, two-loop recursion
+    with SHANNO initial scaling γ = dX·dF/dF·dF from the latest pair,
+    POWELL-criterion restarts (|Dold·D| > 0.9999·|Dold·Dold|), and the
+    CP line search (one linear-order secant step), all defaults of
+    qn.c:762-773."""
+    from petsctpu.snes.fas import snes_ncg  # noqa: F401 (doc cross-ref)
 
     cfg = replace(cfg or SNESConfig(), **kw) if kw else (cfg or SNESConfig())
     dtype = x0.dtype
     n = x0.shape[0]
-    hmax = history_len
+    m = history_len
 
     Fx = F(x0)
     fnorm = ops.norm(Fx, axis)
@@ -226,63 +232,79 @@ def snes_qn(F: Callable, x0: jax.Array, history_len: int = 10,
     reason = _check(fnorm, fnorm0, jnp.zeros((), dtype),
                     ops.norm(x0, axis), jnp.int32(0), cfg)
 
-    def two_loop(q, S, Y, rhov, k):
-        def bwd(i, carry):
-            q, al = carry
-            j = (k - 1 - i) % hmax
-            a = rhov[j] * ops.dot(S[j], q, axis)
-            a = jnp.where(i < k, a, 0.0)
-            q = q - a * Y[j]
-            return (q, al.at[j].set(a))
+    def lbfgs_apply(i_r, D, Dold, X, Xold, dX, dF, dXtdF, scaling):
+        l = jnp.minimum(i_r, m)
+        k_new = (i_r - 1) % m
 
-        q, al = lax.fori_loop(0, hmax, bwd, (q, jnp.zeros(hmax, dtype)))
+        def with_pair(_):
+            dFk = D - Dold
+            dXk = X - Xold
+            dXtdFk = ops.dot(dXk, dFk, axis)
+            sc = (dXtdFk / ops.dot(dFk, dFk, axis)
+                  if scale_type == "shanno" else scaling)
+            return (dX.at[k_new].set(dXk), dF.at[k_new].set(dFk),
+                    dXtdF.at[k_new].set(dXtdFk),
+                    sc if scale_type == "shanno" else scaling)
 
-        # initial-Hessian scaling γ = sᵀy / yᵀy from the latest pair
-        jl = (k - 1) % hmax
-        yy = ops.dot(Y[jl], Y[jl], axis)
-        sy = ops.dot(S[jl], Y[jl], axis)
-        gamma = jnp.where((k > 0) & (yy > 0), sy / jnp.where(yy > 0, yy, 1.0),
-                          1.0)
-        q = q * gamma
+        dX, dF, dXtdF, scaling = lax.cond(
+            i_r > 0, with_pair, lambda _: (dX, dF, dXtdF, scaling), None)
 
-        def fwd(i, q):
-            j = (k - jnp.minimum(k, hmax) + i) % hmax
-            b = rhov[j] * ops.dot(Y[j], q, axis)
-            b = jnp.where(i < jnp.minimum(k, hmax), b, 0.0)
-            return q + (al[j] - b) * S[j]
+        Y = D
+        alpha = jnp.zeros(m, dtype)
 
-        return lax.fori_loop(0, hmax, fwd, q)
+        def bwd(i2, carry):
+            Y, alpha = carry
+            k = (i_r - i2 - 1) % m
+            a = ops.dot(dX[k], Y, axis) / dXtdF[k]
+            a = jnp.where(i2 < l, a, 0.0)
+            return (Y - a * dF[k], alpha.at[k].set(a))
+
+        Y, alpha = lax.fori_loop(0, m, bwd, (Y, alpha))
+        Y = Y * scaling
+
+        def fwd(i2, Y):
+            k = (i_r - l + i2) % m
+            b = ops.dot(dF[k], Y, axis) / dXtdF[k]
+            upd = (alpha[k] - b) * dX[k]
+            return Y + jnp.where(i2 < l, 1.0, 0.0) * upd
+
+        Y = lax.fori_loop(0, m, fwd, Y)
+        return Y, dX, dF, dXtdF, scaling
+
+    from petsctpu.snes.api import _linesearch_cp
 
     def cond(c):
         return c["reason"] == SNESConvergedReason.ITERATING
 
     def body(c):
-        x, Fx, its = c["x"], c["F"], c["its"]
-        dx = two_loop(Fx, c["S"], c["Y"], c["rho"], jnp.minimum(its, hmax))
-        xn, Fn, fn, lam, ls_ok = _linesearch_bt(F, x, dx, Fx, c["fnorm"],
-                                                cfg, axis)
-        s = xn - x
-        y = Fn - Fx
-        sy = ops.dot(s, y, axis)
-        slot = its % hmax
-        ok_pair = jnp.abs(sy) > 1e-30
-        S = c["S"].at[slot].set(jnp.where(ok_pair, s, 0.0))
-        Y = c["Y"].at[slot].set(jnp.where(ok_pair, y, 0.0))
-        rhov = c["rho"].at[slot].set(jnp.where(ok_pair, 1.0 / sy, 0.0))
-        its = its + 1
+        x, Fx, D, Dold, Xold = c["x"], c["F"], c["D"], c["Dold"], c["Xold"]
+        Y, dX, dF, dXtdF, scaling = lbfgs_apply(
+            c["i_r"], D, Dold, x, Xold, c["dX"], c["dF"], c["dXtdF"],
+            c["scaling"])
+        Dold, Xold = D, x
+        xn, Fn, fn, lam, ls_ok = _linesearch_cp(F, x, Y, Fx, axis)
+        its = c["its"] + 1
         history = c["history"].at[its].set(fn)
         _monitor(cfg, its, fn)
-        reason = _check(fn, fnorm0, ops.norm(s, axis), ops.norm(xn, axis),
-                        its, cfg)
-        reason = jnp.where((reason == 0) & ~ls_ok,
-                           jnp.int32(SNESConvergedReason.DIVERGED_LINE_SEARCH),
-                           reason)
-        return dict(x=xn, F=Fn, fnorm=fn, its=its, S=S, Y=Y, rho=rhov,
-                    history=history, reason=reason)
+        reason = _check(fn, fnorm0, ops.norm(xn - x, axis),
+                        ops.norm(xn, axis), its, cfg)
+        D = Fn
+        # Powell restart: history discarded when the new direction is
+        # insufficiently different from the old (qn.c:462-473)
+        powell = jnp.abs(ops.dot(Dold, D, axis)) >             powell_gamma * jnp.abs(ops.dot(Dold, Dold, axis))
+        i_r = jnp.where((restart_type == "powell") & powell,
+                        jnp.int32(0), c["i_r"] + 1)
+        return dict(x=xn, F=Fn, fnorm=fn, its=its, i_r=i_r, D=D,
+                    Dold=Dold, Xold=Xold, dX=dX, dF=dF, dXtdF=dXtdF,
+                    scaling=scaling, history=history, reason=reason)
 
     init = dict(x=x0, F=Fx, fnorm=fnorm, its=jnp.int32(0),
-                S=jnp.zeros((hmax, n), dtype), Y=jnp.zeros((hmax, n), dtype),
-                rho=jnp.zeros(hmax, dtype), history=history, reason=reason)
+                i_r=jnp.int32(0), D=Fx, Dold=jnp.zeros_like(x0),
+                Xold=jnp.zeros_like(x0),
+                dX=jnp.zeros((m, n), dtype), dF=jnp.zeros((m, n), dtype),
+                dXtdF=jnp.ones(m, dtype),
+                scaling=jnp.ones((), dtype), history=history,
+                reason=reason)
     out = lax.while_loop(cond, body, init)
     return SNESResult(out["x"], out["its"], out["reason"], out["fnorm"],
                       out["history"])

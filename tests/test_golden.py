@@ -260,3 +260,15 @@ class TestGoldenSNESVariants:
                   0.466458, 0.435514, 0.386243, 0.363351]
         np.testing.assert_allclose(np.asarray(r.history[:9]), golden,
                                    rtol=2e-5)
+
+    def test_ex5_5_qn(self):
+        """output/ex5_5_qn.out: -snes_type qn -snes_linesearch_type cp
+        -snes_qn_m 10 (defaults: LBFGS + Shanno scaling + Powell
+        restart), digit-exact."""
+        from petsctpu.snes.variants import snes_qn
+        F, x0 = self._setup()
+        r = snes_qn(F, x0, history_len=10, maxits=8, rtol=1e-12)
+        golden = [1.11127, 0.886518, 0.718213, 0.591377, 0.540899,
+                  0.466467, 0.435522, 0.386251, 0.363358]
+        np.testing.assert_allclose(np.asarray(r.history[:9]), golden,
+                                   rtol=2e-5)
