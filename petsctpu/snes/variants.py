@@ -308,3 +308,122 @@ def snes_qn(F: Callable, x0: jax.Array, history_len: int = 10,
     out = lax.while_loop(cond, body, init)
     return SNESResult(out["x"], out["its"], out["reason"], out["fnorm"],
                       out["history"])
+
+
+def snes_ngmres(F: Callable, x0: jax.Array, msize: int = 30,
+                cfg: SNESConfig = None, axis: Optional[str] = None,
+                gammaA: float = 2.0, gammaC: float = 2.0,
+                epsilonB: float = 0.1, deltaB: float = 0.9,
+                restart_it: int = 2, **kw) -> SNESResult:
+    """SNESNGMRES verbatim (src/snes/impls/ngmres/snesngmres.c):
+    each iteration takes an L2-line-search Richardson step to (XM, FM),
+    minimizes ‖FM − Σβ(FM − F_i)‖ over the stored subspace via the
+    Gram matrix (H β = ν − ξ), forms the accelerated XA, then applies
+    the DIFFERENCE selection (gammaA/epsilonB/deltaB) and DIFFERENCE
+    restart (gammaC, restart_it=2) criteria with the reference's
+    default constants (snesngmres.c:726-742)."""
+    from petsctpu.snes.api import _linesearch_l2
+
+    cfg = replace(cfg or SNESConfig(), **kw) if kw else (cfg or SNESConfig())
+    dtype = x0.dtype
+    n = x0.shape[0]
+    m = msize
+
+    Fx = F(x0)
+    fnorm = ops.norm(Fx, axis)
+    fnorm0 = fnorm
+    history = jnp.full((cfg.maxits + 1,), jnp.nan, dtype).at[0].set(fnorm)
+    _monitor(cfg, 0, fnorm)
+    reason = _check(fnorm, fnorm0, jnp.zeros((), dtype),
+                    ops.norm(x0, axis), jnp.int32(0), cfg)
+
+    Xdot0 = jnp.zeros((m, n), dtype).at[0].set(x0)
+    Fdot0 = jnp.zeros((m, n), dtype).at[0].set(Fx)
+    Q0 = jnp.zeros((m, m), dtype).at[0, 0].set(fnorm * fnorm)
+
+    def cond(c):
+        return c["reason"] == SNESConvergedReason.ITERATING
+
+    def body(c):
+        X, Fc, fnorm = c["x"], c["F"], c["fnorm"]
+        l, k_restart = c["l"], c["k_restart"]
+        Xdot, Fdot, Q = c["Xdot"], c["Fdot"], c["Q"]
+        fminnorm = c["fminnorm"]
+        ivec = k_restart % m
+
+        # Richardson step with the L2 line search → (XM, FM)
+        XM, FM, fMnorm, _, _ = _linesearch_l2(F, X, Fc, fnorm, axis)
+        nu = fMnorm * fMnorm
+        fminnorm = jnp.minimum(fminnorm, fMnorm)
+
+        mask = (jnp.arange(m) < l).astype(dtype)
+        xi = (Fdot @ FM) * mask
+        rhs = (nu - xi) * mask
+        H = (Q - xi[:, None] - xi[None, :] + nu) * \
+            (mask[:, None] * mask[None, :])
+        H = H + jnp.diag(1.0 - mask)           # inactive slots → identity
+        beta = jnp.linalg.lstsq(H, rhs, rcond=-1)[0] * mask
+        alph_total = jnp.sum(beta)
+        XA = (1.0 - alph_total) * XM + beta @ Xdot
+        FA = F(XA)
+        fAnorm = ops.norm(FA, axis)
+
+        dnorm = ops.norm(XA - XM, axis)
+        dall = jnp.sqrt(jnp.sum((Xdot - XA[None, :]) ** 2, axis=1))
+        dminnorm = jnp.min(jnp.where(mask > 0, dall, jnp.inf))
+
+        # DIFFERENCE selection (snesngmres.c:440-470)
+        selectA = (fAnorm < gammaA * fminnorm) & \
+            ((epsilonB * dnorm < dminnorm)
+             | (jnp.sqrt(fnorm) < deltaB * jnp.sqrt(fminnorm)))
+        Xn = jnp.where(selectA, XA, XM)
+        Fn = jnp.where(selectA, FA, FM)
+        fn = jnp.where(selectA, fAnorm, fMnorm)
+
+        # DIFFERENCE restart (snesngmres.c:480-500)
+        bad = ((epsilonB * dnorm > dminnorm)
+               & (jnp.sqrt(fAnorm) > deltaB * jnp.sqrt(fminnorm))) \
+            | (jnp.sqrt(fAnorm) > gammaC * jnp.sqrt(fminnorm))
+        restart_count = jnp.where(bad, c["restart_count"] + 1, 0)
+        do_restart = restart_count >= restart_it
+
+        # restart: subspace ← {(Xn, Fn)}; else append at ivec
+        l_new = jnp.where(do_restart, 1, jnp.minimum(l + 1, m))
+        k_new = jnp.where(do_restart, 1, k_restart + 1)
+        restart_count = jnp.where(do_restart, 0, restart_count)
+        fminnorm = jnp.minimum(fminnorm, fn)
+
+        def restarted(_):
+            Xd = jnp.zeros_like(Xdot).at[0].set(Xn)
+            Fd = jnp.zeros_like(Fdot).at[0].set(Fn)
+            Qn = jnp.zeros_like(Q).at[0, 0].set(fn * fn)
+            return Xd, Fd, Qn
+
+        def appended(_):
+            Xd = Xdot.at[ivec].set(Xn)
+            Fd = Fdot.at[ivec].set(Fn)
+            mask2 = (jnp.arange(m) < jnp.minimum(l + 1, m)).astype(dtype)
+            xi2 = (Fd @ Fn) * mask2
+            Qn = Q.at[:, ivec].set(xi2).at[ivec, :].set(xi2)
+            return Xd, Fd, Qn
+
+        Xdot, Fdot, Q = lax.cond(do_restart, restarted, appended, None)
+
+        its = c["its"] + 1
+        history = c["history"].at[its].set(fn)
+        _monitor(cfg, its, fn)
+        reason = _check(fn, fnorm0, ops.norm(Xn - X, axis),
+                        ops.norm(Xn, axis), its, cfg)
+        return dict(x=Xn, F=Fn, fnorm=fn, its=its, l=l_new,
+                    k_restart=k_new, restart_count=restart_count,
+                    fminnorm=fminnorm, Xdot=Xdot, Fdot=Fdot, Q=Q,
+                    history=history, reason=reason)
+
+    init = dict(x=x0, F=Fx, fnorm=fnorm, its=jnp.int32(0),
+                l=jnp.int32(1), k_restart=jnp.int32(1),
+                restart_count=jnp.int32(0), fminnorm=fnorm,
+                Xdot=Xdot0, Fdot=Fdot0, Q=Q0, history=history,
+                reason=reason)
+    out = lax.while_loop(cond, body, init)
+    return SNESResult(out["x"], out["its"], out["reason"], out["fnorm"],
+                      out["history"])

@@ -272,3 +272,15 @@ class TestGoldenSNESVariants:
                   0.466467, 0.435522, 0.386251, 0.363358]
         np.testing.assert_allclose(np.asarray(r.history[:9]), golden,
                                    rtol=2e-5)
+
+    def test_ex5_5_ngmres(self):
+        """output/ex5_5_ngmres.out: -snes_type ngmres -snes_ngmres_m 10
+        (L2 Richardson step + Gram-matrix minimization + DIFFERENCE
+        selection/restart), digit-exact."""
+        from petsctpu.snes.variants import snes_ngmres
+        F, x0 = self._setup()
+        r = snes_ngmres(F, x0, msize=10, maxits=7, rtol=1e-12)
+        golden = [1.11127, 0.693019, 0.498708, 0.381244, 0.311619,
+                  0.25912, 0.222688, 0.192923]
+        np.testing.assert_allclose(np.asarray(r.history[:8]), golden,
+                                   rtol=2e-5)
