@@ -217,8 +217,6 @@ def snes_qn(F: Callable, x0: jax.Array, history_len: int = 10,
     POWELL-criterion restarts (|Dold·D| > 0.9999·|Dold·Dold|), and the
     CP line search (one linear-order secant step), all defaults of
     qn.c:762-773."""
-    from petsctpu.snes.fas import snes_ncg  # noqa: F401 (doc cross-ref)
-
     cfg = replace(cfg or SNESConfig(), **kw) if kw else (cfg or SNESConfig())
     dtype = x0.dtype
     n = x0.shape[0]
