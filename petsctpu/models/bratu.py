@@ -3,8 +3,12 @@
 Reference: src/snes/examples/tutorials/ex5.c — 2-D Bratu
 −Δu − λ·eᵘ = 0 on the unit square, u = 0 on the boundary, discretized
 with a 5-point stencil on an m×n vertex grid; residual scaled like the
-reference's FormFunctionLocal (interior: (2u−uW−uE)·hy/hx +
-(2u−uN−uS)·hx/hy − λ·hx·hy·eᵘ; boundary rows: u)."""
+reference's FormFunctionLocal exactly (ex5.c:270-286 — interior:
+(2u−uW−uE)·hy/hx + (2u−uN−uS)·hx/hy − λ·hx·hy·eᵘ with boundary
+NEIGHBORS hard-coded to 0, decoupling the interior from boundary
+values; boundary rows: 2(hy/hx + hx/hy)·u, scaled like the interior
+diagonal). The decoupling matters under FAS, where boundary values
+take nonzero intermediate values."""
 
 from __future__ import annotations
 
@@ -22,16 +26,18 @@ def bratu_residual(da: DA, lam: float = 6.0):
 
     def F(u):
         U = u.reshape(m, n)
-        P = jnp.pad(U, 1)
+        i = jnp.arange(m)[:, None]
+        j = jnp.arange(n)[None, :]
+        boundary = (i == 0) | (i == m - 1) | (j == 0) | (j == n - 1)
+        Ub = jnp.where(boundary, 0.0, U)     # ex5.c: boundary nbrs ≡ 0
+        P = jnp.pad(Ub, 1)
         uW, uE = P[:-2, 1:-1], P[2:, 1:-1]
         uS, uN = P[1:-1, :-2], P[1:-1, 2:]
         interior = ((2 * U - uW - uE) * (hy / hx)
                     + (2 * U - uS - uN) * (hx / hy)
                     - lam * hx * hy * jnp.exp(U))
-        i = jnp.arange(m)[:, None]
-        j = jnp.arange(n)[None, :]
-        boundary = (i == 0) | (i == m - 1) | (j == 0) | (j == n - 1)
-        return jnp.where(boundary, U, interior).reshape(-1)
+        bscale = 2.0 * (hy / hx + hx / hy)
+        return jnp.where(boundary, bscale * U, interior).reshape(-1)
 
     return F
 

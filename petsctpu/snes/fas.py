@@ -115,14 +115,24 @@ class FASLevel:
     ncolors: int
     interp: object = None
     inject: np.ndarray = None
+    # interior mask (1 on PDE rows, 0 on Dirichlet-identity boundary
+    # rows): Pᵀ would otherwise leak interior residuals into coarse
+    # boundary rows and corrupt the FAS right-hand side
+    interior: np.ndarray = None
 
 
-def fas_levels_from_da(da, make_residual: Callable, nlevels: int
-                       ) -> Sequence[FASLevel]:
+def fas_levels_from_da(da, make_residual: Callable, nlevels: int,
+                       mask_boundary: bool = False) -> Sequence[FASLevel]:
     """Build a FAS hierarchy from a DA and a residual factory
     `make_residual(da) -> F` (e.g. models.bratu_residual)."""
     levels = []
     cur = da
+
+    def interior_mask(grid):
+        m = np.zeros(grid, bool)
+        m[tuple(slice(1, -1) for _ in grid)] = True
+        return m.reshape(-1)
+
     for l in range(nlevels):
         offs = cur.stencil_offsets()
         colors = stencil_coloring(cur.grid, offs)
@@ -135,7 +145,9 @@ def fas_levels_from_da(da, make_residual: Callable, nlevels: int
             inject = idx[tuple(slice(None, None, 2) for _ in cur.grid)
                          ].reshape(-1).copy()
             levels.append(FASLevel(make_residual(cur), colors, nc, interp,
-                                   inject))
+                                   inject,
+                                   interior_mask(coarse.grid)
+                                   if mask_boundary else None))
             cur = coarse
         else:
             levels.append(FASLevel(make_residual(cur), colors, nc))
@@ -146,14 +158,19 @@ def snes_fas(levels: Sequence[FASLevel], x0: jax.Array,
              cfg: SNESConfig = None, npre: int = 2, npost: int = 2,
              omega: float = 0.9, coarse_cfg: SNESConfig = None,
              coarse_ksp: KSPConfig = None, axis: Optional[str] = None,
-             **kw) -> SNESResult:
+             smoother: str = "ngs", **kw) -> SNESResult:
     """FAS V-cycle iteration (SNESFAS, fas.c).
 
-    Each outer iteration runs one V-cycle: colored-NGS presmooth,
-    restrict state (injection) and residual (Pᵀ), form the coarse FAS
-    right-hand side b_c = F_c(R x) + R(b − F(x)), recurse, prolong the
-    coarse CORRECTION, postsmooth. The coarsest level is solved by
-    Newton-Krylov (reference default: SNESNEWTONLS on level 0)."""
+    Each outer iteration runs one V-cycle: presmooth, restrict state
+    (injection) and residual (Pᵀ), form the coarse FAS right-hand side
+    b_c = F_c(R x) + R(b − F(x)), recurse, prolong the coarse
+    CORRECTION, postsmooth. The coarsest level is solved by
+    Newton-Krylov (reference default: SNESNEWTONLS on level 0).
+
+    smoother: "ngs" (colored nonlinear Gauss-Seidel — the TPU
+    data-parallel choice) or "nrichardson" (the reference's DEFAULT
+    level smoother, fasfunc.c:396: one L2-line-search Richardson step
+    per sweep — use with npre=npost=1 for fas.c default behavior)."""
     cfg = replace(cfg or SNESConfig(), **kw) if kw else (cfg or SNESConfig())
     coarse_cfg = coarse_cfg or SNESConfig(maxits=12, rtol=1e-10,
                                           linesearch="bt")
@@ -165,6 +182,16 @@ def snes_fas(levels: Sequence[FASLevel], x0: jax.Array,
                 for L in levels]
 
     def smooth(l, x, b, sweeps):
+        if smoother == "nrichardson":
+            from petsctpu.snes.api import _linesearch_l2
+
+            def R(v):
+                return levels[l].F(v) - b
+            for _ in range(sweeps):
+                Rx = R(x)
+                x, _, _, _, _ = _linesearch_l2(R, x, Rx,
+                                               ops.norm(Rx, axis), axis)
+            return x
         for _ in range(sweeps):
             x = ngs_sweep(levels[l].F, x, b, colors_j[l], levels[l].ncolors,
                           omega)
@@ -179,7 +206,10 @@ def snes_fas(levels: Sequence[FASLevel], x0: jax.Array,
         x = smooth(l, x, b, npre)
         r = b - L.F(x)
         xc0 = x[inject_j[l]]
-        bc = levels[l + 1].F(xc0) + L.interp.multT(r)
+        Rr = L.interp.multT(r)
+        if L.interior is not None:
+            Rr = jnp.where(jnp.asarray(L.interior), Rr, 0.0)
+        bc = levels[l + 1].F(xc0) + Rr
         xc = vcycle(l + 1, xc0, bc)
         x = x + L.interp.mult(xc - xc0)
         x = smooth(l, x, b, npost)

@@ -8,6 +8,7 @@ import numpy as np
 from petsctpu.dm.da import DA
 from petsctpu.mat.coloring import stencil_coloring
 from petsctpu.models.bratu import bratu_initial_guess, bratu_residual
+from petsctpu.snes import SNESConfig
 from petsctpu.snes import (
     fas_levels_from_da, ngs_sweep, snes_fas, snes_ncg, snes_ngs, snes_solve,
 )
@@ -95,3 +96,65 @@ class TestNPC:
         acc = snes_anderson(F, x0, npc=npc, rtol=1e-8, maxits=300)
         assert acc.converged
         assert int(acc.its) < int(plain.its)
+
+
+class TestFASReferenceConfig:
+    def test_nrichardson_smoother_deep_hierarchy(self):
+        """The ex5_5_fas configuration (fas.c defaults: ONE nrichardson
+        L2 smooth down/up per level, 1-it Newton coarse): converges at
+        >= 3x residual reduction per V-cycle on a 5-level hierarchy.
+        Required the reference-exact ex5 residual (decoupled Dirichlet
+        rows, ex5.c:270-286) — with boundary-coupled residuals the
+        P^T restriction leaks interior residuals into coarse boundary
+        rows and the cycle diverges (see also mask_boundary)."""
+        from petsctpu.ksp.common import KSPConfig
+        da = DA((49, 49))
+        levels = fas_levels_from_da(
+            da, lambda d: bratu_residual(d, lam=6.0), 5)
+        x0 = bratu_initial_guess(da, 6.0)
+        res = snes_fas(levels, x0, maxits=5, rtol=1e-10, npre=1, npost=1,
+                       smoother="nrichardson",
+                       coarse_cfg=SNESConfig(maxits=1, rtol=1e-12,
+                                             linesearch="bt"),
+                       coarse_ksp=KSPConfig(ksp_type="gmres", rtol=1e-10,
+                                            maxits=300))
+        h = np.asarray(res.history[:5])
+        assert (h[1:] < h[:-1]).all()          # monotone
+        assert h[3] / h[0] < (1 / 3.0) ** 3    # >= 3x per cycle
+
+    def test_boundary_mask_for_coupled_residuals(self):
+        """mask_boundary=True rescues FAS for residuals that COUPLE
+        boundary rows (non-ex5-style discretizations)."""
+        from petsctpu.ksp.common import KSPConfig
+        da = DA((25, 25))
+
+        def coupled_residual(d):
+            # boundary rows f = u, neighbors NOT zeroed (coupled)
+            m, n = d.grid
+            hx = hy = 1.0 / (m - 1)
+
+            def F(u):
+                U = u.reshape(m, n)
+                P = jnp.pad(U, 1)
+                interior = ((2 * U - P[:-2, 1:-1] - P[2:, 1:-1])
+                            * (hy / hx)
+                            + (2 * U - P[1:-1, :-2] - P[1:-1, 2:])
+                            * (hx / hy)
+                            - 6.0 * hx * hy * jnp.exp(U))
+                i = jnp.arange(m)[:, None]
+                j = jnp.arange(n)[None, :]
+                bnd = (i == 0) | (i == m - 1) | (j == 0) | (j == n - 1)
+                return jnp.where(bnd, U, interior).reshape(-1)
+            return F
+
+        levels = fas_levels_from_da(da, coupled_residual, 3,
+                                    mask_boundary=True)
+        x0 = bratu_initial_guess(da, 6.0)
+        res = snes_fas(levels, x0, maxits=6, rtol=1e-10, npre=1, npost=1,
+                       smoother="nrichardson",
+                       coarse_cfg=SNESConfig(maxits=2, rtol=1e-12,
+                                             linesearch="bt"),
+                       coarse_ksp=KSPConfig(ksp_type="gmres", rtol=1e-10,
+                                            maxits=300))
+        h = np.asarray(res.history[:6])
+        assert h[5] < 0.1 * h[0]
