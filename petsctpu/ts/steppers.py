@@ -24,6 +24,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from petsctpu.ksp.common import KSPConfig
@@ -45,6 +46,11 @@ class TSConfig:
     adapt_atol: float = 1e-4
     adapt_clip: tuple = (0.1, 10.0)
     cfl_safety: float = 0.9         # TSAdapt 'cfl' safety factor
+    # SSP family (TSSSPSetType/SetNumStages; reference default rks2/5):
+    # "rk3so" = 3-stage Shu-Osher (this framework's default),
+    # "rks2"/"rks3"/"rk104" = the reference's low-storage schemes
+    ssp_type: str = "rk3so"
+    ssp_nstages: int = 5
     alpha_radius: float = 0.5       # generalized-α spectral radius ρ∞
     monitor: bool = False
     # pseudo-timestepping
@@ -96,7 +102,54 @@ def ts_solve(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
         return u + dt * rhs(t, u), dt, dt
 
     def ssp_step(t, u, dt):
-        # SSPRK3 (Shu–Osher)
+        v = cfg.ssp_type
+        s = cfg.ssp_nstages
+        if v == "rks2":
+            # TSSSPRKS2 (ssp.c:65, Ketcheson 2008 pseudocode 2):
+            # s−1 forward-Euler substeps then the combining stage
+            w = u
+            for i in range(s - 1):
+                w = w + (dt / (s - 1.0)) * rhs(t + dt * i / (s - 1.0), w)
+            F = rhs(t + dt, w)
+            un = ((s - 1.0) / s) * w + (dt / s) * F + (1.0 / s) * u
+            return un, dt, dt
+        if v == "rks3":
+            # TSSSPRKS3 (ssp.c:90): s = n² stages, optimal 3rd order
+            n = int(np.sqrt(s) + 0.001)
+            assert n * n == s, "rks3 needs a square stage count >= 4"
+            r = s - n
+
+            def ci(i):
+                return (i / (s - n)) if i < n * (n + 1) // 2                     else ((i - n) / (s - n))
+            w = u
+            i = 0
+            while i < (n - 1) * (n - 2) // 2:
+                w = w + (dt / r) * rhs(t + ci(i) * dt, w)
+                i += 1
+            w1 = w
+            while i < n * (n + 1) // 2 - 1:
+                w = w + (dt / r) * rhs(t + ci(i) * dt, w)
+                i += 1
+            F = rhs(t + ci(i) * dt, w)
+            w = (n / (2.0 * n - 1.0)) * w1                 + ((n - 1.0) * dt / (r * (2.0 * n - 1.0))) * F                 + ((n - 1.0) / (2.0 * n - 1.0)) * w
+            i += 1
+            while i < s:
+                w = w + (dt / r) * rhs(t + ci(i) * dt, w)
+                i += 1
+            return w, dt, dt
+        if v == "rk104":
+            # TSSSPRK104 (ssp.c, Ketcheson's 10-stage 4th order)
+            cs = [0, 1/6, 2/6, 3/6, 4/6, 2/6, 3/6, 4/6, 5/6, 1.0]
+            w = u
+            for i in range(5):
+                w = w + (dt / 6.0) * rhs(t + cs[i] * dt, w)
+            w1 = (1.0 / 25.0) * u + (9.0 / 25.0) * w
+            w = 15.0 * w1 - 5.0 * w
+            for i in range(5, 9):
+                w = w + (dt / 6.0) * rhs(t + cs[i] * dt, w)
+            F = rhs(t + dt, w)
+            return w1 + 0.6 * w + (dt / 10.0) * F, dt, dt
+        # default: SSPRK3 (Shu–Osher)
         u1 = u + dt * rhs(t, u)
         u2 = 0.75 * u + 0.25 * (u1 + dt * rhs(t + dt, u1))
         un = u / 3.0 + (2.0 / 3.0) * (u2 + dt * rhs(t + 0.5 * dt, u2))

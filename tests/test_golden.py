@@ -284,3 +284,47 @@ class TestGoldenSNESVariants:
                   0.25912, 0.222688, 0.192923]
         np.testing.assert_allclose(np.asarray(r.history[:8]), golden,
                                    rtol=2e-5)
+
+    def test_ts_ex3_ssp_heat(self):
+        """ts/examples/tutorials/output/ex3_1.out: 1-D heat equation
+        m=60 (truncated-stencil ends), u0 = sin(6πx)+3sin(2πx),
+        -ts_type ssp (default RKS2, 5 stages) -ts_dt 0.0005: 2-norm
+        errors vs the analytic solution at steps 1..10."""
+        from petsctpu.ts.steppers import ts_solve, TSConfig
+        import scipy.sparse as sp
+
+        m = 60
+        h = 1.0 / (m - 1)
+        A = sp.diags([np.ones(m - 1), -2.0 * np.ones(m),
+                      np.ones(m - 1)], [-1, 0, 1]).tolil() / h ** 2
+        # ex3.c RHSMatrixHeat: boundary rows are identity (du/dt = u)
+        A[0, :] = 0.0
+        A[0, 0] = 1.0
+        A[m - 1, :] = 0.0
+        A[m - 1, m - 1] = 1.0
+        Ad = jnp.asarray(sp.csr_matrix(A).toarray())
+
+        def rhs(t, u):
+            return Ad @ u
+
+        xs = h * np.arange(m)
+        u0 = jnp.asarray(np.sin(6 * np.pi * xs) + 3.0 * np.sin(2 * np.pi * xs))
+
+        def exact(t):
+            return (np.sin(6 * np.pi * xs) * np.exp(-36 * np.pi ** 2 * t)
+                    + 3 * np.sin(2 * np.pi * xs) * np.exp(-4 * np.pi ** 2 * t))
+
+        golden = [0.00103714, 0.00173865, 0.00218619, 0.00244382,
+                  0.00256155, 0.0025782, 0.00252361, 0.00242114,
+                  0.00228786, 0.00213706]
+        u = u0
+        errs = []
+        for k in range(10):
+            r = ts_solve(rhs, u, TSConfig(ts_type="ssp", ssp_type="rks2",
+                                          ssp_nstages=5, dt=0.0005,
+                                          max_steps=1, max_time=1.0))
+            u = r.u
+            # ex3.c:393 monitors the h-scaled (continuum L2) norm
+            errs.append(np.sqrt(h) * np.linalg.norm(np.asarray(u)
+                                                    - exact(0.0005 * (k + 1))))
+        np.testing.assert_allclose(errs, golden, rtol=2e-4)

@@ -99,3 +99,30 @@ class TestTSObject:
         r = ts.solve(jnp.asarray([2.0]))
         np.testing.assert_allclose(float(r.u[0]), 2 * np.exp(-1.0),
                                    atol=1e-4)
+
+
+class TestSSPFamily:
+    """Reference SSP schemes (ssp.c): rks2/rks3/rk104 orders."""
+
+    def _err(self, ssp_type, nstages, dt):
+        from petsctpu.ts.steppers import ts_solve, TSConfig
+        u0 = jnp.asarray([1.0])
+
+        def rhs(t, u):
+            return -u
+        r = ts_solve(rhs, u0, TSConfig(ts_type="ssp", ssp_type=ssp_type,
+                                       ssp_nstages=nstages, dt=dt,
+                                       max_steps=10000, max_time=1.0))
+        return abs(float(r.u[0]) - np.exp(-1.0))
+
+    def test_rks2_second_order(self):
+        e1, e2 = self._err("rks2", 5, 0.1), self._err("rks2", 5, 0.05)
+        assert 3.0 < e1 / e2 < 5.0          # ~O(dt^2)
+
+    def test_rks3_third_order(self):
+        e1, e2 = self._err("rks3", 4, 0.1), self._err("rks3", 4, 0.05)
+        assert 6.0 < e1 / e2 < 11.0         # ~O(dt^3)
+
+    def test_rk104_fourth_order(self):
+        e1, e2 = self._err("rk104", 10, 0.2), self._err("rk104", 10, 0.1)
+        assert 12.0 < e1 / e2 < 22.0        # ~O(dt^4)
