@@ -174,6 +174,15 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
         _require_host(A_host, "asa")
         from petsctpu.pc.asa import make_asa
         return make_asa(A_host, dtype=dt, options=opts)
+    if pc_type in ("exotic", "wb"):
+        _require_host(A_host, "exotic")
+        from petsctpu.pc.exotic import make_exotic_from_options
+        return make_exotic_from_options(A, A_host, opts)
+    if pc_type == "tfs":
+        _require_host(A_host, "tfs")
+        from petsctpu.pc.exotic import make_tfs
+        return make_tfs(A_host, dtype=dt,
+                        drop_tol=opts.get_real("pc_tfs_drop_tolerance", 0.0))
     if pc_type == "fft":
         from petsctpu.mat.fft import make_poisson_fft
         dims = opts.get("pc_fft_dims")
