@@ -104,3 +104,69 @@ def _need_part(part, name):
     if part is None:
         raise ValueError(f"parallel pc {name} needs the PartitionedCSR "
                          "(returned by sharded_aij_from_scipy)")
+
+
+# ---------------------------------------------------------------------------
+# Block Jacobi with per-block inner KSPs (PCBJacobiGetSubKSP)
+# ---------------------------------------------------------------------------
+
+class BJacobiKSPPC:
+    """Block Jacobi whose sub-blocks are solved by their OWN inner KSP,
+    each with its own solver type, preconditioner, and tolerances —
+    the PCBJacobiGetSubKSP customization surface the reference
+    demonstrates in ksp ex7.c:136-160 (per-block PCSetType/KSPSetType/
+    KSPSetTolerances). Each application nests the inner while_loop
+    solves; blocks are a static Python tuple so XLA sees straight-line
+    code."""
+
+    def __init__(self, blocks, pcs, cfgs, offsets):
+        self.blocks = tuple(blocks)     # device diag-block operators
+        self.pcs = tuple(pcs)           # per-block inner PC (or None)
+        self.cfgs = tuple(cfgs)         # per-block KSPConfig (static)
+        self.offsets = tuple(offsets)   # row ranges [(s,e), ...]
+
+    def apply(self, x):
+        from petsctpu.ksp.api import KSP_REGISTRY
+        outs = []
+        for Ab, pc, cfg, (s, e) in zip(self.blocks, self.pcs, self.cfgs,
+                                       self.offsets):
+            seg = x[s:e]
+            r = KSP_REGISTRY[cfg.ksp_type](Ab, seg, jnp.zeros_like(seg),
+                                           pc, cfg, None)
+            outs.append(r.x)
+        return jnp.concatenate(outs)
+
+
+def _bjk_flatten(p):
+    return (p.blocks, p.pcs), (p.cfgs, p.offsets)
+
+
+def _bjk_unflatten(aux, children):
+    obj = object.__new__(BJacobiKSPPC)
+    obj.blocks, obj.pcs = children
+    obj.cfgs, obj.offsets = aux
+    return obj
+
+
+jax.tree_util.register_pytree_node(
+    BJacobiKSPPC, _bjk_flatten, _bjk_unflatten)
+
+
+def make_bjacobi_ksp(A_host, blocks, cfgs, sub_pcs, dtype=None):
+    """blocks: list of (start, end) row ranges; cfgs: per-block
+    KSPConfig; sub_pcs: per-block pc_type string ("none"/"jacobi"/
+    "ilu"/"lu")."""
+    import scipy.sparse as sp
+
+    from petsctpu.mat.ell import aij_from_scipy
+    from petsctpu.pc.api import make_pc
+
+    A = sp.csr_matrix(A_host)
+    ops, pcs = [], []
+    for (s, e), pct in zip(blocks, sub_pcs):
+        D = A[s:e][:, s:e].tocsr()
+        Dd = aij_from_scipy(D, dtype=dtype)
+        ops.append(Dd)
+        pcs.append(None if pct == "none"
+                   else make_pc(pct, A=Dd, A_host=D))
+    return BJacobiKSPPC(ops, pcs, cfgs, blocks)

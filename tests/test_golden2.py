@@ -1,0 +1,214 @@
+"""More KSP tutorial golden-output parity (ex5, ex7, ex12, ex16, ex23).
+
+Each test reproduces a `runexN` target from
+src/ksp/ksp/examples/tutorials/makefile and checks the checked-in
+golden output (output/exN_*.out): residual monitor histories to 6
+significant digits, iteration counts exactly, and the final error
+norms.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from petsctpu.core.options import Options
+from petsctpu.ksp import ksp_solve
+from petsctpu.ksp.common import KSPConfig
+from petsctpu.mat import aij_from_scipy
+from petsctpu.models import ex2_system
+from petsctpu.pc import make_pc, register_pc
+
+
+def grid5pt(m, n, diag=4.0):
+    """The tutorials' shared assembly loop (ex2/ex5/ex7/ex12/ex16):
+    Ii = j + n*i, -1 neighbours, `diag` on the diagonal."""
+    N = m * n
+    rows, cols, vals = [], [], []
+    for Ii in range(N):
+        i, j = divmod(Ii, n)
+        if i > 0:
+            rows.append(Ii); cols.append(Ii - n); vals.append(-1.0)
+        if i < m - 1:
+            rows.append(Ii); cols.append(Ii + n); vals.append(-1.0)
+        if j > 0:
+            rows.append(Ii); cols.append(Ii - 1); vals.append(-1.0)
+        if j < n - 1:
+            rows.append(Ii); cols.append(Ii + 1); vals.append(-1.0)
+        rows.append(Ii); cols.append(Ii); vals.append(diag)
+    return sp.csr_matrix((vals, (rows, cols)), shape=(N, N))
+
+
+class TestEx5:
+    """ex5.c: two systems, same sparsity, re-used solver (the
+    KSPSetOperators SAME_NONZERO_PATTERN workflow)."""
+
+    def _run(self, size, rtol):
+        m, n = 3, 2 * size
+        A1 = grid5pt(m, n, diag=4.0)
+        A2 = grid5pt(m, n, diag=6.0)
+        # u_i = local_index + 100*rank over equal row chunks (ex5.c:157)
+        loc = m * n // size
+        u = np.concatenate([np.arange(loc) + 100.0 * r
+                            for r in range(size)])
+        hists, its, errs = [], [], []
+        for A in (A1, A2):
+            Ad = aij_from_scipy(A)
+            b = jnp.asarray(A @ u)
+            pc = make_pc("jacobi", A=Ad)
+            r = ksp_solve(Ad, b, pc=pc, ksp_type="gmres", rtol=rtol,
+                          atol=1e-50, cgs_refine="always")
+            hists.append(np.asarray(r.history[:int(r.its) + 1]))
+            its.append(int(r.its))
+            errs.append(np.linalg.norm(np.asarray(r.x) - u))
+        return hists, its, errs
+
+    def test_ex5_1_serial(self):
+        """output/ex5_1.out (makefile:410-414): 1 rank, jacobi,
+        monitor_short, default rtol — both solves end in happy
+        breakdown (< 1.e-11 displayed)."""
+        hists, its, errs = self._run(size=1, rtol=1e-5)
+        np.testing.assert_allclose(
+            hists[0][:5], [4.16083, 1.32287, 0.625076, 0.211511,
+                           0.0201553], rtol=2e-5)
+        np.testing.assert_allclose(
+            hists[1][:5], [5.16667, 1.01143, 0.241047, 0.0452703,
+                           0.00290094], rtol=2e-5)
+        assert its == [5, 5]
+        assert hists[0][5] < 1e-11 and hists[1][5] < 1e-11
+        assert max(errs) < 1e-13          # ex5.c prints only if > 1e-13
+
+    def test_ex5_2_two_ranks(self):
+        """output/ex5_2.out (makefile:415-419): 2 ranks (n=4 grid,
+        rank-offset exact solution), rtol 1e-6. PCJACOBI is
+        layout-independent, so the serial run must reproduce the
+        2-rank golden digits."""
+        hists, its, errs = self._run(size=2, rtol=1e-6)
+        np.testing.assert_allclose(
+            hists[0][:10],
+            [142.26, 56.7664, 28.4652, 16.0205, 6.37762, 2.18849,
+             0.698897, 0.1896, 0.0311023, 0.00173053], rtol=2e-5)
+        assert its[0] == 10 and hists[0][10] < 1e-11
+        np.testing.assert_allclose(
+            hists[1][:10],
+            [171.949, 51.7756, 16.2674, 5.93715, 0.787126, 0.156071,
+             0.0363183, 0.005189, 0.000484311, 1.74022e-05], rtol=2e-5)
+        assert its[1] == 9
+
+
+class TestEx7:
+    def test_ex7_1_bjacobi_sub_ksps(self):
+        """output/ex7_1.out (makefile:432-436, mpiexec -n 2): outer
+        GMRES + block Jacobi where block 0 runs BCGS/none (rtol 1e-6)
+        and block 1 runs GMRES/jacobi (rtol 1e-7) — the
+        PCBJacobiGetSubKSP customization loop (ex7.c:136-172)."""
+        from petsctpu.pc.parallel import make_bjacobi_ksp
+
+        m = 8
+        n = m + 2
+        A = grid5pt(m, n)
+        u = np.ones(m * n)
+        b = jnp.asarray(A @ u)
+        Ad = aij_from_scipy(A)
+        # PCBJacobiSetTotalBlocks(m, [n]*m) (ex7.c:114-116): 8 blocks
+        # of one grid row each. On 2 ranks the customization loop gives
+        # rank-0 blocks (local i even) BCGS/none, (odd) default
+        # preonly+ILU; rank-1 blocks GMRES/jacobi.
+        blocks = [(n * i, n * (i + 1)) for i in range(m)]
+        cfg_bcgs = KSPConfig(ksp_type="bcgs", rtol=1e-6, atol=1e-50,
+                             maxits=10000)
+        cfg_pre = KSPConfig(ksp_type="preonly", maxits=1)
+        cfg_gm = KSPConfig(ksp_type="gmres", rtol=1e-7, atol=1e-50,
+                           maxits=10000, cgs_refine="always")
+        cfgs = [cfg_bcgs, cfg_pre, cfg_bcgs, cfg_pre,
+                cfg_gm, cfg_gm, cfg_gm, cfg_gm]
+        sub_pcs = ["none", "ilu", "none", "ilu",
+                   "jacobi", "jacobi", "jacobi", "jacobi"]
+        pc = make_bjacobi_ksp(A, blocks=blocks, cfgs=cfgs,
+                              sub_pcs=sub_pcs)
+        r = ksp_solve(Ad, b, pc=pc, ksp_type="gmres", rtol=1e-5,
+                      atol=1e-50, cgs_refine="always", maxits=200)
+        golden = [2.5957, 1.31906, 0.794907, 0.550346, 0.342665,
+                  0.245084, 0.122389, 0.047222, 0.0124074, 0.00345483,
+                  0.000635046, 0.0002212, 4.91689e-05, 9.352e-06]
+        assert int(r.its) == 13
+        np.testing.assert_allclose(np.asarray(r.history[:14]), golden,
+                                   rtol=2e-4)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(r.x) - u), 1.09983e-05, rtol=1e-3)
+
+
+class TestEx12:
+    def test_ex12_1_registered_pc(self):
+        """output/ex12_1.out (makefile:808-812): PCRegister("ourjacobi",
+        PCCreate_Jacobi) then -pc_type ourjacobi (ex12.c:150-156) —
+        the dynamic PC registry; solve matches GMRES+jacobi."""
+        register_pc("ourjacobi",
+                    lambda A, A_host, opts, axis: make_pc("jacobi", A=A))
+        A, b, u = ex2_system(8, 7)
+        Ad = aij_from_scipy(A)
+        from petsctpu.pc.api import PC_REGISTRY
+        pc = PC_REGISTRY["ourjacobi"](Ad, A, Options(), None)
+        r = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="gmres",
+                      rtol=1e-5, atol=1e-50, cgs_refine="always")
+        assert int(r.its) == 14
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(r.x) - u), 2.10144e-06, rtol=1e-3)
+        PC_REGISTRY.pop("ourjacobi")
+
+    def test_ex12_2_bcgs(self):
+        """output/ex12_2.out (runex12_2: -ksp_type bcgs)."""
+        register_pc("ourjacobi",
+                    lambda A, A_host, opts, axis: make_pc("jacobi", A=A))
+        A, b, u = ex2_system(8, 7)
+        Ad = aij_from_scipy(A)
+        from petsctpu.pc.api import PC_REGISTRY
+        pc = PC_REGISTRY["ourjacobi"](Ad, A, Options(), None)
+        r = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="bcgs",
+                      rtol=1e-5, atol=1e-50)
+        assert np.linalg.norm(np.asarray(r.x) - u) < 1e-4
+        PC_REGISTRY.pop("ourjacobi")
+
+
+class TestEx16:
+    def test_ex16_1_repeated_solves(self):
+        """output/ex16_1.out (makefile:838-842, mpiexec -n 2, -ntimes 4):
+        solve the same operator with rhs scaled by k=1..4 — iteration
+        counts stay 9, error norms scale linearly. The 2-rank default
+        PC is bjacobi(2)+ILU(0); reproduced with explicit 2-block ILU
+        like the ex2_2 golden."""
+        A, _, _ = ex2_system(8, 7)
+        Ad = aij_from_scipy(A)
+        pc = make_pc("bjacobi", A=Ad, A_host=A,
+                     options=Options({"pc_bjacobi_blocks": 2}))
+        golden_err = [5.34462e-05, 0.000106892, 0.000160339, 0.000213785]
+        for k in range(1, 5):
+            u = np.full(56, float(k))
+            b = jnp.asarray(A @ u)
+            r = ksp_solve(Ad, b, pc=pc, ksp_type="gmres", rtol=1e-5,
+                          atol=1e-50, cgs_refine="always")
+            assert int(r.its) == 9, k
+            np.testing.assert_allclose(
+                np.linalg.norm(np.asarray(r.x) - u), golden_err[k - 1],
+                rtol=1e-3)
+
+
+class TestEx23:
+    def test_ex23_1_tridiag(self):
+        """output/ex23_1.out (makefile:862-866): tridiag(-1,2,-1) n=10,
+        GMRES+Jacobi (ex23.c:140), rtol 1e-7, monitor_short; 5 its to
+        happy breakdown."""
+        n = 10
+        A = sp.diags([-np.ones(n - 1), 2 * np.ones(n), -np.ones(n - 1)],
+                     [-1, 0, 1]).tocsr()
+        u = np.ones(n)
+        b = jnp.asarray(A @ u)
+        Ad = aij_from_scipy(A)
+        pc = make_pc("jacobi", A=Ad)
+        r = ksp_solve(Ad, b, pc=pc, ksp_type="gmres", rtol=1e-7,
+                      atol=1e-50, cgs_refine="always")
+        golden = [0.707107, 0.316228, 0.188982, 0.129099, 0.0953463]
+        assert int(r.its) == 5
+        np.testing.assert_allclose(np.asarray(r.history[:5]), golden,
+                                   rtol=2e-5)
+        assert float(r.history[5]) < 1e-11
+        assert np.linalg.norm(np.asarray(r.x) - u) < 1e-12
