@@ -35,6 +35,9 @@ class SNESConfig:
     ls_alpha: float = 1e-4
     ls_maxits: int = 40
     ls_lambda_min: float = 1e-12
+    ls_order: str = "cubic"           # bt model: cubic | quadratic
+                                      # (-snes_linesearch_order,
+                                      # linesearchbt.c default cubic)
     monitor: bool = False
     jac: str = "jvp"                  # jvp | fd (when no explicit jac given)
 
@@ -75,30 +78,56 @@ def _check(fnorm, fnorm0, snorm, xnorm, its, cfg: SNESConfig):
 
 
 def _linesearch_bt(F, x, dx, Fx, fnorm, cfg: SNESConfig, axis):
-    """Backtracking with quadratic model (linesearchbt.c): minimize
-    φ(λ)=½‖F(x−λdx)‖²; slope ≈ −‖F‖² for an (in)exact Newton step."""
+    """Backtracking line search (linesearchbt.c): minimize
+    φ(λ)=½‖F(x−λdx)‖², slope ≈ −‖F‖² for an (in)exact Newton step.
+    The first backtrack uses the quadratic model; with
+    ls_order="cubic" (the reference default -snes_linesearch_order)
+    subsequent backtracks fit the Dennis-Schnabel cubic through the
+    last two trial points. Steps clamped to [0.1λ, 0.5λ]."""
     phi0 = 0.5 * fnorm * fnorm
     slope = -fnorm * fnorm
+    cubic = cfg.ls_order == "cubic"
 
     def cond(c):
-        lam, phi, k, done = c
+        lam, lam_prev, phi, phi_prev, k, done = c
         return (~done) & (k < cfg.ls_maxits)
 
     def body(c):
-        lam, phi, k, done = c
+        lam, lam_prev, phi, phi_prev, k, done = c
         xn = x - lam * dx
         fn = ops.norm(F(xn), axis)
         phin = 0.5 * fn * fn
         ok = phin <= phi0 + cfg.ls_alpha * lam * slope
-        # quadratic backtrack, clamped to [0.1λ, 0.5λ]
+        # quadratic backtrack
         denom = 2.0 * (phin - phi0 - lam * slope)
         lam_q = jnp.where(denom > 0, -slope * lam * lam / denom, 0.5 * lam)
-        lam_new = jnp.clip(lam_q, 0.1 * lam, 0.5 * lam)
-        return (jnp.where(ok, lam, lam_new), phin, k + 1,
+        if cubic:
+            # Dennis-Schnabel cubic through (lam, phin), (lam_prev,
+            # phi_prev) — used from the second backtrack on
+            d1 = phin - phi0 - lam * slope
+            d2 = phi_prev - phi0 - lam_prev * slope
+            dl = lam - lam_prev
+            safe = jnp.abs(dl) > 1e-30
+            dl = jnp.where(safe, dl, 1.0)
+            a = (d1 / (lam * lam) - d2 / (lam_prev * lam_prev)) / dl
+            bq = (-lam_prev * d1 / (lam * lam)
+                  + lam * d2 / (lam_prev * lam_prev)) / dl
+            disc = jnp.maximum(bq * bq - 3.0 * a * slope, 0.0)
+            lam_c = jnp.where(jnp.abs(a) > 1e-30,
+                              (-bq + jnp.sqrt(disc)) / (3.0 * a),
+                              jnp.where(jnp.abs(bq) > 1e-30,
+                                        -slope / (2.0 * bq), 0.5 * lam))
+            lam_t = jnp.where(safe & (k > 0), lam_c, lam_q)
+        else:
+            lam_t = lam_q
+        lam_new = jnp.clip(lam_t, 0.1 * lam, 0.5 * lam)
+        return (jnp.where(ok, lam, lam_new), jnp.where(ok, lam_prev, lam),
+                phin, jnp.where(ok, phi_prev, phin), k + 1,
                 done | ok | (lam_new < cfg.ls_lambda_min))
 
-    lam, phin, k, done = lax.while_loop(
-        cond, body, (jnp.asarray(1.0, x.dtype), phi0, jnp.int32(0),
+    one = jnp.asarray(1.0, x.dtype)
+    lam, _, phin, _, k, done = lax.while_loop(
+        cond, body, (one, one, phi0, phi0, jnp.int32(0),
                      jnp.asarray(False)))
     xn = x - lam * dx
     Fn = F(xn)

@@ -106,3 +106,24 @@ class TestNewton:
         res = snes_solve(F, jnp.ones_like(xstar) * 100.0, jac="jvp",
                          maxits=2, rtol=1e-14)
         assert int(res.reason) == SNESConvergedReason.DIVERGED_MAX_IT
+
+
+class TestLineSearchOrders:
+    def test_bt_cubic_and_quadratic(self):
+        """-snes_linesearch_order cubic|quadratic (linesearchbt.c):
+        both models converge on a problem whose full Newton step
+        overshoots (exp-based residual forces backtracking)."""
+        import jax.numpy as jnp
+
+        from petsctpu.snes.api import SNESConfig, snes_solve
+
+        def F(x):
+            return jnp.exp(x) - jnp.asarray([2.0, 3.0, 5.0])
+
+        x0 = jnp.asarray([5.0, 5.0, 5.0])
+        for order in ("cubic", "quadratic"):
+            r = snes_solve(F, x0, jac="jvp",
+                           cfg=SNESConfig(rtol=1e-10, ls_order=order))
+            assert r.converged, order
+            np.testing.assert_allclose(np.asarray(jnp.exp(r.x)),
+                                       [2.0, 3.0, 5.0], rtol=1e-8)
