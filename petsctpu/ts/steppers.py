@@ -51,6 +51,9 @@ class TSConfig:
     # "rks2"/"rks3"/"rk104" = the reference's low-storage schemes
     ssp_type: str = "rk3so"
     ssp_nstages: int = 5
+    # TS rk tableau: "bs23" (Bogacki-Shampine 3(2)) or "dp45"
+    # (Dormand-Prince 5(4) — the reference's tableau, rk.c:87-139)
+    rk_type: str = "bs23"
     alpha_radius: float = 0.5       # generalized-α spectral radius ρ∞
     monitor: bool = False
     # pseudo-timestepping
@@ -156,20 +159,52 @@ def ts_solve(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
         return un, dt, dt
 
     def rk_step(t, u, dt):
-        # Bogacki–Shampine 3(2)
-        k1 = rhs(t, u)
-        k2 = rhs(t + 0.5 * dt, u + 0.5 * dt * k1)
-        k3 = rhs(t + 0.75 * dt, u + 0.75 * dt * k2)
-        un = u + dt * (2.0 * k1 + 3.0 * k2 + 4.0 * k3) / 9.0
-        k4 = rhs(t + dt, un)
-        u2 = u + dt * (7.0 * k1 + 6.0 * k2 + 8.0 * k3 + 3.0 * k4) / 24.0
+        if cfg.rk_type == "dp45":
+            # Dormand–Prince 5(4) — the reference's tableau (rk.c:87-139)
+            a = ((), (1 / 5,), (3 / 40, 9 / 40),
+                 (44 / 45, -56 / 15, 32 / 9),
+                 (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+                 (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176,
+                  -5103 / 18656),
+                 (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784,
+                  11 / 84))
+            c = (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0)
+            b1 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784,
+                  11 / 84, 0.0)
+            b2 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640,
+                  -92097 / 339200, 187 / 2100, 1 / 40)
+            porder = 5.0
+            ks = []
+            for i in range(7):
+                yi = u
+                for j, aij in enumerate(a[i]):
+                    if aij:
+                        yi = yi + dt * aij * ks[j]
+                ks.append(rhs(t + c[i] * dt, yi))
+            un = u
+            u2 = u
+            for j in range(7):
+                if b1[j]:
+                    un = un + dt * b1[j] * ks[j]
+                if b2[j]:
+                    u2 = u2 + dt * b2[j] * ks[j]
+        else:
+            # Bogacki–Shampine 3(2)
+            k1 = rhs(t, u)
+            k2 = rhs(t + 0.5 * dt, u + 0.5 * dt * k1)
+            k3 = rhs(t + 0.75 * dt, u + 0.75 * dt * k2)
+            un = u + dt * (2.0 * k1 + 3.0 * k2 + 4.0 * k3) / 9.0
+            k4 = rhs(t + dt, un)
+            u2 = u + dt * (7.0 * k1 + 6.0 * k2 + 8.0 * k3 + 3.0 * k4) / 24.0
+            porder = 3.0
         if not cfg.adapt:
             return un, dt, dt
-        # basic controller (adapt/impls/basic): order-3 error estimate
+        # basic controller: h_new = h·min(facmax, max(facmin,
+        # fac·(tol/err)^(1/(p+1)))) (rk.c:366 rule / adapt basic)
         err = ops.norm(un - u2, axis)
         scale = ops.norm(un, axis) * cfg.adapt_rtol + cfg.adapt_atol
         ratio = err / jnp.maximum(scale, 1e-30)
-        fac = jnp.clip(0.9 * ratio ** (-1.0 / 3.0),
+        fac = jnp.clip(0.9 * ratio ** (-1.0 / porder),
                        cfg.adapt_clip[0], cfg.adapt_clip[1])
         accept = ratio <= 1.0
         dt_next = dt * fac

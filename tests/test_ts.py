@@ -126,3 +126,40 @@ class TestSSPFamily:
     def test_rk104_fourth_order(self):
         e1, e2 = self._err("rk104", 10, 0.2), self._err("rk104", 10, 0.1)
         assert 12.0 < e1 / e2 < 22.0        # ~O(dt^4)
+
+
+class TestRKDP45:
+    def test_dp45_order5(self):
+        """rk_type="dp45" — the reference's Dormand-Prince 5(4)
+        tableau (rk.c:87-139) at design order on the logistic ODE."""
+        import jax.numpy as jnp
+
+        from petsctpu.ts import ts_solve
+
+        def rhs(t, u):
+            return u * (1.0 - u)
+
+        u0 = jnp.asarray([0.1])
+        exact = 0.1 * np.exp(2.0) / (1 - 0.1 + 0.1 * np.exp(2.0))
+        errs = []
+        for dt in (0.4, 0.2):
+            r = ts_solve(rhs, u0, ts_type="rk", rk_type="dp45", dt=dt,
+                         max_time=2.0)
+            errs.append(abs(float(r.u[0]) - exact))
+        assert np.log2(errs[0] / max(errs[1], 1e-17)) > 4.4, errs
+
+    def test_dp45_adaptive(self):
+        import jax.numpy as jnp
+
+        from petsctpu.ts import ts_solve
+
+        def rhs(t, u):
+            return -u + jnp.sin(5.0 * t)
+
+        r = ts_solve(rhs, jnp.asarray([1.0]), ts_type="rk",
+                     rk_type="dp45", dt=0.5, max_time=2.0, adapt=True,
+                     adapt_rtol=1e-8, adapt_atol=1e-10, max_steps=5000)
+        exact = (np.exp(-2.0) * (1 + 5.0 / 26.0)
+                 + (np.sin(10.0) - 5 * np.cos(10.0)) / 26.0)
+        assert float(r.t) > 2.0 - 1e-10
+        assert abs(float(r.u[0]) - exact) < 1e-6
