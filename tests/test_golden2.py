@@ -212,3 +212,24 @@ class TestEx23:
                                    rtol=2e-5)
         assert float(r.history[5]) < 1e-11
         assert np.linalg.norm(np.asarray(r.x) - u) < 1e-12
+
+
+class TestEx15:
+    def test_ex15_1_user_defined_shell_pc(self):
+        """output/ex15_1.out (makefile runex15): 8x7 five-point grid,
+        GMRES cgs refine_always, rtol 1e-7, PCShell applying the
+        user's reciprocal-diagonal scaling (ex15.c:280 VecReciprocal +
+        :310 VecPointwiseMult): 15 its, error 5.90715e-08."""
+        from petsctpu.pc.composite import ShellPC
+
+        A = grid5pt(8, 7)
+        u = np.ones(56)
+        b = jnp.asarray(A @ u)
+        Ad = aij_from_scipy(A)
+        diag_recip = 1.0 / jnp.asarray(A.diagonal())
+        pc = ShellPC(ctx=diag_recip, apply_fn=lambda d, x: d * x)
+        r = ksp_solve(Ad, b, pc=pc, ksp_type="gmres", rtol=1e-7,
+                      atol=1e-50, cgs_refine="always")
+        assert int(r.its) == 15
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(r.x) - u), 5.90715e-08, rtol=2e-5)
