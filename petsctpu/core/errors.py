@@ -49,6 +49,7 @@ class SNESConvergedReason(enum.IntEnum):
     CONVERGED_FNORM_RELATIVE = 3  # ||F|| < rtol*||F0||
     CONVERGED_SNORM_RELATIVE = 4  # newton step small
     CONVERGED_ITS = 5
+    CONVERGED_TR_DELTA = 7       # trust region shrank below xnorm*deltatol
     ITERATING = 0
     DIVERGED_FUNCTION_DOMAIN = -1
     DIVERGED_FUNCTION_COUNT = -2

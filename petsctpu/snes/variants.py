@@ -133,6 +133,122 @@ def snes_newtontr(F: Callable, x0: jax.Array, cfg: SNESConfig = None,
                       out["history"])
 
 
+def snes_tr(F: Callable, x0: jax.Array, jac=None, pc_builder=None,
+            ksp_cfg=None, cfg: SNESConfig = None,
+            axis: Optional[str] = None, delta0: float = 0.2,
+            delta1: float = 0.3, delta2: float = 0.75, delta3: float = 2.0,
+            mu: float = 0.25, eta: float = 0.75, sigma: float = 1e-4,
+            deltatol: float = 1e-12, max_shrinks: int = 30,
+            **kw) -> SNESResult:
+    """Reference-exact Newton trust region (src/snes/impls/tr/tr.c).
+
+    Per outer iteration: ONE Krylov solve of J·Y = F (tr.c:166), then
+    an inner shrink loop (tr.c:173-219): clip the step to the radius
+    (if ‖Y‖ ≥ Δ scale by Δ/‖Y‖ with predicted norm gpnorm =
+    (1−Δ/‖Y‖)·‖F‖, tr.c:178-185), evaluate the trial point, form
+    ρ = (‖F‖²−‖G‖²)/(‖F‖²−gpnorm²) (tr.c:195-196), update
+    Δ ← Δ·{delta1|delta2|delta3} on ρ < mu / < eta / else
+    (tr.c:199-201), accept when ρ > sigma (tr.c:205). Initial
+    Δ = delta0·‖F(x0)‖ (tr.c:134). Constants are tr.c:369-376
+    defaults. Converges CONVERGED_TR_DELTA when Δ < ‖x‖·deltatol
+    (tr.c:67-68)."""
+    from petsctpu.ksp.api import KSP_REGISTRY
+    from petsctpu.ksp.common import KSPConfig
+    from petsctpu.snes.fdjac import ColoredJacobian, jvp_operator, \
+        mffd_operator
+
+    cfg = replace(cfg or SNESConfig(), **kw) if kw else (cfg or SNESConfig())
+    ksp_cfg = ksp_cfg or KSPConfig(ksp_type="gmres", rtol=1e-5, maxits=200)
+    jac = jac or cfg.jac
+    ksolver = KSP_REGISTRY[ksp_cfg.ksp_type]
+    dtype = x0.dtype
+
+    def build_J(x, Fx):
+        if jac == "jvp":
+            return jvp_operator(F, x, Fx)
+        if jac == "fd":
+            return mffd_operator(F, x, Fx)
+        if isinstance(jac, ColoredJacobian):
+            return jac.assemble(F, x, Fx)
+        return jac(x, Fx)
+
+    x = x0
+    Fx = F(x)
+    fnorm = ops.norm(Fx, axis)
+    fnorm0 = fnorm
+    delta = delta0 * fnorm                               # tr.c:134
+    history = jnp.full((cfg.maxits + 1,), jnp.nan, dtype).at[0].set(fnorm)
+    _monitor(cfg, 0, fnorm)
+    reason = _check(fnorm, fnorm0, jnp.zeros((), dtype),
+                    ops.norm(x, axis), jnp.int32(0), cfg)
+
+    def cond(c):
+        return c["reason"] == SNESConvergedReason.ITERATING
+
+    def body(c):
+        x, Fx, fnorm, its, delta = (c["x"], c["F"], c["fnorm"], c["its"],
+                                    c["delta"])
+        J = build_J(x, Fx)
+        pc = pc_builder(J) if pc_builder is not None else None
+        kres = ksolver(J, Fx, jnp.zeros_like(x), pc, ksp_cfg, axis)
+        Ytmp = kres.x
+        nrm0 = ops.norm(Ytmp, axis)
+
+        def icond(ic):
+            return (~ic["accepted"]) & (ic["tries"] < max_shrinks) \
+                & ~ic["hopeless"]
+
+        def ibody(ic):
+            d = ic["delta"]
+            over = nrm0 >= d
+            s = jnp.where(over, d / jnp.maximum(nrm0, 1e-300), 1.0)
+            Y = s * Ytmp
+            gpnorm = jnp.where(over, (1.0 - s) * fnorm, 0.0)
+            ynorm = jnp.where(over, d, nrm0)
+            Xt = x - Y                                   # tr.c:191 X − Y
+            G = F(Xt)
+            gnorm = ops.norm(G, axis)
+            denom = fnorm * fnorm - gpnorm * gpnorm
+            rho = jnp.where(fnorm == gpnorm, 0.0,
+                            (fnorm * fnorm - gnorm * gnorm)
+                            / jnp.where(denom != 0, denom, 1.0))
+            d_new = d * jnp.where(rho < mu, delta1,
+                                  jnp.where(rho < eta, delta2, delta3))
+            accepted = rho > sigma
+            hopeless = d_new < ops.norm(x, axis) * deltatol
+            return dict(delta=d_new, Xt=Xt, G=G, gnorm=gnorm, ynorm=ynorm,
+                        accepted=accepted, hopeless=hopeless,
+                        tries=ic["tries"] + 1)
+
+        ic0 = dict(delta=delta, Xt=x, G=Fx, gnorm=fnorm,
+                   ynorm=jnp.zeros((), dtype), accepted=jnp.asarray(False),
+                   hopeless=jnp.asarray(False), tries=jnp.int32(0))
+        ic = lax.while_loop(icond, ibody, ic0)
+        acc = ic["accepted"]
+        xn = jnp.where(acc, ic["Xt"], x)
+        Fn = jnp.where(acc, ic["G"], Fx)
+        fn = jnp.where(acc, ic["gnorm"], fnorm)
+        its = its + 1
+        history = c["history"].at[its].set(fn)
+        _monitor(cfg, its, fn)
+        reason = _check(fn, fnorm0, ic["ynorm"], ops.norm(xn, axis), its,
+                        cfg)
+        reason = jnp.where(
+            (reason == 0) & ~acc,
+            jnp.int32(SNESConvergedReason.CONVERGED_TR_DELTA), reason)
+        reason = jnp.where((reason == 0) & (kres.reason < 0),
+                           jnp.int32(SNESConvergedReason.DIVERGED_LINEAR_SOLVE),
+                           reason)
+        return dict(x=xn, F=Fn, fnorm=fn, its=its, delta=ic["delta"],
+                    history=history, reason=reason)
+
+    out = lax.while_loop(cond, body,
+                         dict(x=x, F=Fx, fnorm=fnorm, its=jnp.int32(0),
+                              delta=delta, history=history, reason=reason))
+    return SNESResult(out["x"], out["its"], out["reason"], out["fnorm"],
+                      out["history"])
+
+
 def snes_anderson(F: Callable, x0: jax.Array, window: int = 5,
                   beta: float = 1.0, cfg: SNESConfig = None,
                   axis: Optional[str] = None,

@@ -328,3 +328,51 @@ class TestGoldenSNESVariants:
             errs.append(np.sqrt(h) * np.linalg.norm(np.asarray(u)
                                                     - exact(0.0005 * (k + 1))))
         np.testing.assert_allclose(errs, golden, rtol=2e-4)
+
+
+class TestGoldenSNESTR:
+    def test_snes_ex2_2_newtontr_history(self):
+        """snes/examples/tutorials/output/ex2_2.out (runex2_2:
+        -snes_type newtontr): same 1-D BVP as ex3, reference tr.c
+        trust region accepts the full Newton steps — norms 5.41468,
+        0.295258, 0.000450229, 1.38967e-09; 3 its; err 1.49752e-10."""
+        from petsctpu.snes import snes_tr
+        from petsctpu.ksp.common import KSPConfig
+
+        N = 5
+        h = 1.0 / (N - 1)
+        xs = np.linspace(0.0, 1.0, N)
+        FF = jnp.asarray(6.0 * xs + (xs + 1e-12) ** 6)
+        d = 1.0 / (h * h)
+
+        def F(u):
+            interior = d * (u[:-2] - 2.0 * u[1:-1] + u[2:]) \
+                + u[1:-1] ** 2 - FF[1:-1]
+            return jnp.concatenate([u[:1], interior, u[-1:] - 1.0])
+
+        res = snes_tr(F, jnp.full(N, 0.5), jac="jvp", rtol=1e-8,
+                      atol=1e-50,
+                      ksp_cfg=KSPConfig(ksp_type="gmres", rtol=1e-5,
+                                        maxits=100))
+        golden = [5.41468, 0.295258, 0.000450229, 1.38967e-09]
+        assert int(res.its) == 3
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.history[:4]), golden,
+                                   rtol=1e-3)
+        err = np.linalg.norm(np.asarray(res.x) - xs ** 3)
+        np.testing.assert_allclose(err, 1.49752e-10, rtol=1e-3)
+
+    def test_tr_radius_restricts_then_recovers(self):
+        """With a tiny delta0 the first steps are radius-limited but
+        the radius grows (delta3=2 expansions) and the solve still
+        converges — the tr.c inner shrink/expand machinery."""
+        from petsctpu.snes import snes_tr
+
+        def F(u):
+            return jnp.stack([u[0] ** 2 - 1.0, u[1] ** 2 - 4.0])
+
+        res = snes_tr(F, jnp.asarray([3.0, 5.0]), jac="jvp",
+                      delta0=0.01, rtol=1e-10, maxits=60)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.x), [1.0, 2.0],
+                                   atol=1e-8)
