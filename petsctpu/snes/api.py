@@ -221,10 +221,16 @@ def snes_solve(F: Callable, x0: jax.Array, jac: Union[str, ColoredJacobian,
 def snes_ksponly(F, x0, jac=None, pc_builder=None, ksp_cfg=None,
                  cfg=None, axis=None, **kw) -> SNESResult:
     """One full-step Newton iteration (src/snes/impls/ksponly): for
-    problems already linear(ized) — solve J dx = F once, take the step."""
+    problems already linear(ized) — solve J dx = F once, take the step.
+    Reports CONVERGED_ITS after its single iteration (ksponly.c sets
+    snes->reason = SNES_CONVERGED_ITS unconditionally)."""
     cfg = replace(cfg or SNESConfig(), **kw, maxits=1, linesearch="basic")
-    return snes_solve(F, x0, jac=jac, pc_builder=pc_builder,
-                      ksp_cfg=ksp_cfg, cfg=cfg, axis=axis)
+    r = snes_solve(F, x0, jac=jac, pc_builder=pc_builder,
+                   ksp_cfg=ksp_cfg, cfg=cfg, axis=axis)
+    reason = jnp.where(r.reason == SNESConvergedReason.DIVERGED_MAX_IT,
+                       jnp.int32(SNESConvergedReason.CONVERGED_ITS),
+                       r.reason)
+    return SNESResult(r.x, r.its, reason, r.fnorm, r.history)
 
 
 def _linesearch_l2(F, x, dx, fnorm, axis, max_its: int = 1,
@@ -352,7 +358,18 @@ class SNES:
         from petsctpu.ksp.api import config_from_options
         ksp_cfg = config_from_options(o, KSPConfig(ksp_type="gmres",
                                                    rtol=1e-5, maxits=200))
-        fn = jax.jit(lambda x0: snes_solve(
-            self.F, x0, jac=self.jac, pc_builder=self.pc_builder,
-            ksp_cfg=ksp_cfg, cfg=cfg, axis=self.axis))
+        snes_type = o.get_str("snes_type", "newtonls")
+        if snes_type == "newtontr":          # -snes_type newtontr (tr.c)
+            from petsctpu.snes.variants import snes_tr
+            fn = jax.jit(lambda x0: snes_tr(
+                self.F, x0, jac=self.jac, pc_builder=self.pc_builder,
+                ksp_cfg=ksp_cfg, cfg=cfg, axis=self.axis))
+        elif snes_type == "ksponly":
+            fn = jax.jit(lambda x0: snes_ksponly(
+                self.F, x0, jac=self.jac, pc_builder=self.pc_builder,
+                ksp_cfg=ksp_cfg, cfg=cfg, axis=self.axis))
+        else:
+            fn = jax.jit(lambda x0: snes_solve(
+                self.F, x0, jac=self.jac, pc_builder=self.pc_builder,
+                ksp_cfg=ksp_cfg, cfg=cfg, axis=self.axis))
         return fn(x0)
