@@ -211,8 +211,62 @@ def make_eisenstat(A_host, omega: float = 1.0, dtype=None):
     per-iteration flops of the CPU triangular sweeps. On TPU the solve
     is level-scheduled and fused by XLA, so the framework keeps the
     SSOR formulation (same preconditioned operator, same convergence
-    history) — this factory exists for option-level parity."""
+    history) — this factory exists for option-level parity. For the
+    reference's literal transformed-system formulation (whose
+    *monitored* preconditioned norms match output/ex2_4.out), use
+    make_eisenstat_system."""
     from petsctpu.pc.sor import make_sor
 
     return make_sor(A_host, omega=omega, sweeps=1, symmetric=True,
                     dtype=dtype)
+
+
+def make_eisenstat_system(A_host, omega: float = 1.0, usediag: bool = True,
+                          dtype=None):
+    """The reference's literal Eisenstat formulation: returns
+    (shell, pc, presolve, postsolve).
+
+    With A = L + D + U and E = D/ω, KSP solves the transformed system
+      Ã y = b̃,  Ã = (E+L)⁻¹ A (E+U)⁻¹,  b̃ = (E+L)⁻¹ b,  x = (E+U)⁻¹ y
+    (PCPreSolve_Eisenstat eisen.c:84, PCPostSolve_Eisenstat :103).
+    The shell mult uses Eisenstat's trick (MatSOR SOR_EISENSTAT branch,
+    aij.c:1510-1527): x₁ = (E+U)⁻¹b; t = b − (2/ω−1)·D·x₁;
+    x = x₁ + (E+L)⁻¹t — one L-solve + one U-solve, no products with A.
+    The PC is diagonal scaling by D (PCApply_Eisenstat eisen.c:40-48,
+    usediag default)."""
+    import scipy.sparse as sp
+
+    from petsctpu.mat.base import Shell
+    from petsctpu.mat.factor import make_sptrsv_plan
+
+    A = sp.csr_matrix(A_host)
+    D = A.diagonal()
+    E = D / omega
+    Lmat = (sp.tril(A, k=-1, format="csr") + sp.diags(E)).tocsr()
+    Umat = (sp.triu(A, k=1, format="csr") + sp.diags(E)).tocsr()
+    Lp = make_sptrsv_plan(Lmat, lower=True, unit_diag=False, dtype=dtype)
+    Up = make_sptrsv_plan(Umat, lower=False, unit_diag=False, dtype=dtype)
+    scale = 2.0 / omega - 1.0
+    d = jnp.asarray(D if dtype is None else D.astype(dtype))
+
+    def _mult(ctx, b):
+        Lp, Up, d = ctx
+        x1 = Up.solve(b)
+        t = b - scale * d * x1
+        return x1 + Lp.solve(t)
+
+    shell = Shell(ctx=(Lp, Up, d), mult_fn=_mult, shape=A.shape)
+    pc = _DiagMultPC(d) if usediag else None
+    return shell, pc, Lp.solve, Up.solve
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class _DiagMultPC:
+    """y = D·x (PCApply_Eisenstat's VecPointwiseMult with the matrix
+    diagonal, eisen.c:46)."""
+
+    d: jax.Array
+
+    def apply(self, x):
+        return self.d * x

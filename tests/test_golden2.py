@@ -233,3 +233,46 @@ class TestEx15:
         assert int(r.its) == 15
         np.testing.assert_allclose(
             np.linalg.norm(np.asarray(r.x) - u), 5.90715e-08, rtol=2e-5)
+
+
+class TestEx2Eisenstat:
+    def test_ex2_4_eisenstat(self):
+        """output/ex2_4.out (runex2_4: -pc_type eisenstat
+        refine_always): the reference's literal Eisenstat transformed
+        system — monitored norms 8.27636 ... 0.000575025, 7 its,
+        error 0.000372942."""
+        from petsctpu.pc.extra import make_eisenstat_system
+
+        A, b, u = ex2_system(8, 7)
+        shell, pc, pre, post = make_eisenstat_system(A)
+        r = ksp_solve(shell, pre(jnp.asarray(b)), pc=pc, ksp_type="gmres",
+                      rtol=1e-2 / 72, atol=1e-50, cgs_refine="always")
+        x = post(r.x)
+        golden = [8.27636, 2.71231, 1.42381, 0.36228, 0.0646682,
+                  0.00995895, 0.00236302, 0.000575025]
+        assert int(r.its) == 7
+        np.testing.assert_allclose(np.asarray(r.history[:8]), golden,
+                                   rtol=2e-5)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(x) - u),
+                                   0.000372942, rtol=1e-4)
+
+    def test_eisenstat_matches_ssor_solution(self):
+        """The transformed-system solve returns the same solution as
+        plain SSOR-preconditioned GMRES (they are the same
+        preconditioned operator up to a change of variables)."""
+        from petsctpu.pc.extra import make_eisenstat_system
+        from petsctpu.pc import make_pc
+        from petsctpu.mat import aij_from_scipy
+
+        A, b, u = ex2_system(6, 5)
+        shell, pc, pre, post = make_eisenstat_system(A)
+        r1 = ksp_solve(shell, pre(jnp.asarray(b)), pc=pc,
+                       ksp_type="gmres", rtol=1e-10, atol=1e-50)
+        Ad = aij_from_scipy(A)
+        from petsctpu.core.options import Options
+        pc2 = make_pc("sor", A=Ad, A_host=A,
+                      options=Options({"pc_sor_symmetric": None}))
+        r2 = ksp_solve(Ad, jnp.asarray(b), pc=pc2, ksp_type="gmres",
+                       rtol=1e-10, atol=1e-50)
+        np.testing.assert_allclose(np.asarray(post(r1.x)),
+                                   np.asarray(r2.x), atol=1e-9)
