@@ -376,3 +376,29 @@ class TestGoldenSNESTR:
         assert res.converged
         np.testing.assert_allclose(np.asarray(res.x), [1.0, 2.0],
                                    atol=1e-8)
+
+
+class TestGoldenSNESEx1:
+    def test_snes_ex1_1_two_var_system(self):
+        """snes/examples/tutorials/output/ex1_1.out (runex1): 2-var
+        system x²+xy=3, xy+y²=6 from x0=(.5,.5), PCNONE + GMRES(rtol
+        1e-4, maxits 20) set in ex1.c:96-97 — bt line search damps the
+        first two steps: norms 6.04152, 4.78676, 2.98646, 0.230624,
+        0.00193631, 1.43559e-07, <1e-11; 6 its."""
+        from petsctpu.snes import snes_solve
+        from petsctpu.ksp.common import KSPConfig
+
+        def F(x):
+            return jnp.stack([x[0] * x[0] + x[0] * x[1] - 3.0,
+                              x[0] * x[1] + x[1] * x[1] - 6.0])
+
+        r = snes_solve(F, jnp.full(2, 0.5), jac="jvp", rtol=1e-8,
+                       atol=1e-50,
+                       ksp_cfg=KSPConfig(ksp_type="gmres", rtol=1e-4,
+                                         maxits=20, cgs_refine="always"))
+        golden = [6.04152, 4.78676, 2.98646, 0.230624, 0.00193631,
+                  1.43559e-07]
+        assert int(r.its) == 6
+        np.testing.assert_allclose(np.asarray(r.history[:6]), golden,
+                                   rtol=2e-5)
+        assert float(r.history[6]) < 1e-11
