@@ -84,12 +84,19 @@ def _monitor(cfg, step, t, u):
 
 def ts_solve(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
              axis: Optional[str] = None, cfl_fn: Optional[Callable] = None,
-             **kw) -> TSResult:
+             jac=None, pc_builder=None, **kw) -> TSResult:
     """Integrate u' = rhs(t, u) from t0 until max_time/max_steps.
 
     cfl_fn: optional (t, u) -> max stable dt; when given, the step size
     is capped at cfl_safety·cfl_fn each step (TSAdapt 'cfl',
-    src/ts/adapt/impls/cfl)."""
+    src/ts/adapt/impls/cfl).
+
+    jac / pc_builder: forwarded to the implicit steppers' inner Newton
+    solves (theta/beuler/cn, alpha, pseudo) — e.g. a ColoredJacobian
+    plan over the stage-residual sparsity plus a Jacobi/ILU pc_builder,
+    the analog of the reference's TSSetRHSJacobian + default-ILU inner
+    KSP (stiff problems diverge matrix-free unpreconditioned, e.g. ts
+    ex2's u·u_xx with dt=10)."""
     cfg = replace(cfg or TSConfig(), **kw) if kw else (cfg or TSConfig())
     t_type = cfg.ts_type
     if t_type == "beuler":
@@ -224,8 +231,8 @@ def ts_solve(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
             # stage formulation (theta.c): solve at t+θdt then extrapolate
             def G(v):
                 return v - u - dt * th * rhs(t + th * dt, v)
-        res = snes_solve(G, u, jac="jvp", cfg=cfg.snes, ksp_cfg=cfg.ksp,
-                         axis=axis)
+        res = snes_solve(G, u, jac=jac or "jvp", pc_builder=pc_builder,
+                         cfg=cfg.snes, ksp_cfg=cfg.ksp, axis=axis)
         v = res.x
         if cfg.endpoint:
             un = v
@@ -258,7 +265,8 @@ def ts_solve(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
 
 
 def ts_alpha(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
-             axis: Optional[str] = None, **kw) -> TSResult:
+             axis: Optional[str] = None, jac=None, pc_builder=None,
+             **kw) -> TSResult:
     """Generalized-α for first-order systems (TSALPHA,
     src/ts/impls/alpha/alpha.c — Jansen, Whiting & Hulbert).
 
@@ -289,8 +297,8 @@ def ts_alpha(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
             va = v + am * (v1 - v)
             return va - rhs(t + af * dt_eff, ua)
 
-        res = snes_solve(G, v, jac="jvp", cfg=cfg.snes, ksp_cfg=cfg.ksp,
-                         axis=axis)
+        res = snes_solve(G, v, jac=jac or "jvp", pc_builder=pc_builder,
+                         cfg=cfg.snes, ksp_cfg=cfg.ksp, axis=axis)
         v1 = res.x
         un = u + dt_eff * ((1.0 - gamma) * v + gamma * v1)
         t = t + dt_eff
@@ -305,7 +313,8 @@ def ts_alpha(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
 
 
 def ts_pseudo(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
-              axis: Optional[str] = None, **kw) -> TSResult:
+              axis: Optional[str] = None, jac=None, pc_builder=None,
+              **kw) -> TSResult:
     """Pseudo-transient continuation to steady state (src/ts/impls/
     pseudo): backward-Euler steps with SER dt growth
     dt ← increment·dt·‖F(u_prev)‖/‖F(u)‖ (TSPseudoDefaultTimeStep,
@@ -336,8 +345,8 @@ def ts_pseudo(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
         def G(v):
             return (v - u) / dt_used - rhs(t + dt_used, v)
 
-        res = snes_solve(G, u, jac="jvp", cfg=cfg.snes, ksp_cfg=cfg.ksp,
-                         axis=axis)
+        res = snes_solve(G, u, jac=jac or "jvp", pc_builder=pc_builder,
+                         cfg=cfg.snes, ksp_cfg=cfg.ksp, axis=axis)
         un = res.x
         fn = ops.norm(rhs(t + dt_used, un), axis)
         fh = fh.at[step + 1].set(fn)

@@ -163,3 +163,47 @@ class TestRKDP45:
                  + (np.sin(10.0) - 5 * np.cos(10.0)) / 26.0)
         assert float(r.t) > 2.0 - 1e-10
         assert abs(float(r.u[0]) - exact) < 1e-6
+
+
+class TestEx2NonlinearDiffusion:
+    """ts/examples/tutorials/ex2.c: u_t = u·u_xx / (2(1+t)²) on [0,1],
+    u(t,0)=1+t, u(t,1)=2(1+t), u0=1+x² — exact solution (1+x²)(1+t) is
+    reproduced EXACTLY by the FD scheme (ex2.c header note), so the
+    per-step errors are pure inner-solver noise, ~1e-8..1e-10 in
+    output/ex2_1.out. Needs the assembled-Jacobian + preconditioned
+    inner Newton path (the reference's TSSetRHSJacobian + default ILU;
+    matrix-free unpreconditioned GMRES diverges at dt=10)."""
+
+    def test_beuler_exact_to_solver_noise(self):
+        import scipy.sparse as sp
+
+        from petsctpu.mat import aij_from_scipy
+        from petsctpu.pc.simple import JacobiPC
+        from petsctpu.snes import ColoredJacobian
+        from petsctpu.ts import ts_solve
+
+        M = 60
+        h = 1.0 / (M - 1)
+        xs = np.linspace(0.0, 1.0, M)
+
+        def rhs(t, u):
+            sc = 1.0 / (h * h * 2.0 * (1.0 + t) * (1.0 + t))
+            interior = u[1:-1] * sc * (u[2:] + u[:-2] - 2.0 * u[1:-1])
+            return jnp.concatenate([jnp.ones(1), interior,
+                                    2.0 * jnp.ones(1)])
+
+        def exact(t):
+            return (1.0 + xs * xs) * (1.0 + t)
+
+        patt = sp.diags([np.ones(M - 1), np.ones(M), np.ones(M - 1)],
+                        [-1, 0, 1]).tocsr()
+        plan = ColoredJacobian.from_sparsity(patt, aij_from_scipy(patt))
+        u, t = jnp.asarray(exact(0.0)), 0.0
+        for _ in range(10):
+            r = ts_solve(rhs, u, ts_type="beuler", t0=t, dt=10.0,
+                         max_steps=1, max_time=t + 10.0, jac=plan,
+                         pc_builder=lambda J: JacobiPC(1.0 / J.diagonal()))
+            u, t = r.u, float(r.t)
+            maxerr = np.abs(np.asarray(u) - exact(t)).max()
+            assert maxerr < 1e-6, (t, maxerr)
+        assert t == 100.0
