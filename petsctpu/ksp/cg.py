@@ -20,7 +20,7 @@ from petsctpu.core.errors import ConvergedReason
 from petsctpu.ksp.common import (
     KSPConfig, SolveResult, NORM_NATURAL, NORM_NONE, NORM_PRECONDITIONED,
     NORM_UNPRECONDITIONED, apply_pc, check_convergence, init_history,
-    monitor_cb, record,
+    monitor_cb, record, rnorm0_reference,
 )
 from petsctpu.vec import ops
 
@@ -45,8 +45,9 @@ def solve_cg(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
     dp = _cg_norm(r, z, rz, cfg, axis)
     history = record(init_history(cfg, dtype), 0, dp)
     monitor_cb(cfg, 0, dp)
-    reason = check_convergence(dp, dp, jnp.int32(0), cfg)
-    rnorm0 = dp
+    rnorm0 = rnorm0_reference(cfg, b, pc,
+                              cfg.norm_type or NORM_PRECONDITIONED, axis, dp)
+    reason = check_convergence(dp, rnorm0, jnp.int32(0), cfg)
 
     def cond(c):
         return c[-1] == ConvergedReason.ITERATING
@@ -122,8 +123,8 @@ def solve_pipecg(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
         dp0 = jnp.zeros((), dtype)
     history = record(init_history(cfg, dtype), 0, dp0)
     monitor_cb(cfg, 0, dp0)
-    reason = check_convergence(dp0, dp0, jnp.int32(0), cfg)
-    rnorm0 = dp0
+    rnorm0 = rnorm0_reference(cfg, b, pc, nt, axis, dp0)
+    reason = check_convergence(dp0, rnorm0, jnp.int32(0), cfg)
 
     zero = jnp.zeros_like(b)
 

@@ -71,7 +71,7 @@ def check_convergence(rnorm, rnorm0, its, cfg: KSPConfig):
         jnp.where(
             rnorm <= cfg.atol, ConvergedReason.CONVERGED_ATOL,
             jnp.where(
-                (rnorm <= ttol) & (its > 0), ConvergedReason.CONVERGED_RTOL,
+                rnorm <= ttol, ConvergedReason.CONVERGED_RTOL,
                 jnp.where(
                     rnorm > cfg.divtol * rnorm0, ConvergedReason.DIVERGED_DTOL,
                     jnp.where(its >= cfg.maxits, ConvergedReason.DIVERGED_ITS,
@@ -124,6 +124,27 @@ def make_initial_residual(A, b, x, pc, guess_nonzero: bool):
     if guess_nonzero:
         return b - A.mult(x)
     return b
+
+
+def rnorm0_reference(cfg, b, pc, nt, axis, r0norm):
+    """The reference's relative-tolerance base (KSPDefaultConverged,
+    iterativ.c:703-733): with a NONZERO initial guess the rtol test is
+    against the RHS norm — ‖b‖ for unpreconditioned norm / right PC,
+    ‖M⁻¹b‖ for preconditioned, √(bᵀM⁻¹b) for natural — falling back
+    to the initial residual norm when that RHS norm is zero. With the
+    (default) zero guess, the two coincide and r0norm is returned."""
+    from petsctpu.vec import ops
+
+    if not cfg.guess_nonzero:
+        return r0norm
+    if nt == NORM_UNPRECONDITIONED:
+        s = ops.norm(b, axis)
+    elif nt == NORM_NATURAL:
+        z = apply_pc(pc, b)
+        s = jnp.sqrt(jnp.abs(ops.dot(b, z, axis)))
+    else:
+        s = ops.norm(apply_pc(pc, b), axis)
+    return jnp.where(s > 0, s, r0norm)
 
 
 def apply_pc(pc, r):

@@ -24,7 +24,7 @@ from petsctpu.core.errors import ConvergedReason
 from petsctpu.ksp.common import (
     KSPConfig, SolveResult, NORM_NONE, NORM_PRECONDITIONED,
     NORM_UNPRECONDITIONED, apply_pc, check_convergence, init_history,
-    monitor_cb, monitor_cb_if, record,
+    monitor_cb, monitor_cb_if, record, rnorm0_reference,
 )
 from petsctpu.vec import ops
 
@@ -122,7 +122,9 @@ def _gmres_generic(A, b, x0, pc, cfg: KSPConfig, axis, flexible: bool):
         r = precond_res(x)
         beta = ops.norm(r, axis)
         first = c["its"] == 0
-        rnorm0 = jnp.where(first, beta, c["rnorm0"])
+        rnorm0 = jnp.where(first,
+                           rnorm0_reference(cfg, b, pc, nt, axis, beta),
+                           c["rnorm0"])
         history = jnp.where(first, record(c["history"], 0, beta), c["history"])
         monitor_cb_if(cfg, first, jnp.int32(0), beta)
         reason = jnp.where(first,

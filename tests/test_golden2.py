@@ -276,3 +276,59 @@ class TestEx2Eisenstat:
                        rtol=1e-10, atol=1e-50)
         np.testing.assert_allclose(np.asarray(post(r1.x)),
                                    np.asarray(r2.x), atol=1e-9)
+
+
+class TestEx9:
+    def test_ex9_1_two_systems_prefixes_nonzero_guess(self):
+        """output/ex9_1.out (runex9 -t 2): two different systems solved
+        twice — system 1 GMRES+Jacobi refine_always, system 2 (s2_
+        prefix) BCGS+Jacobi; at t=1 system 1 reuses the previous
+        solution via KSPSetInitialGuessNonzero and converges at
+        iteration 0 because the rtol base switches to ‖M⁻¹b‖
+        (KSPDefaultConverged iterativ.c:703-733). All four monitor
+        histories digit-exact."""
+
+        def nonsym(m, n, t):
+            N = m * n
+            rows, cols, vals = [], [], []
+            for Ii in range(N):
+                i = Ii // n
+                if i > 0:
+                    rows.append(Ii); cols.append(Ii - n)
+                    vals.append(-1.0 * (t + 0.5))
+            return sp.csr_matrix((vals, (rows, cols)), shape=(N, N))
+
+        m, n = 3, 2
+        u = np.arange(6.0)
+        x1 = jnp.zeros(6)
+        gold_s1_t0 = [3.70388, 1.17021, 0.659553, 0.223905, 0.0231247,
+                      0.0027912]
+        gold_s2 = {0: [4.86341, 0.34437, 0.0222537, 0.000517559,
+                       2.18157e-06],
+                   1: [4.49655, 0.362629, 0.0285572, 0.000207309,
+                       5.00173e-06]}
+        for t in range(2):
+            C1 = (grid5pt(m, n, 4.0) + nonsym(m, n, t)).tocsr()
+            Ad = aij_from_scipy(C1)
+            r = ksp_solve(Ad, jnp.asarray(C1 @ u), x0=x1,
+                          pc=make_pc("jacobi", A=Ad), ksp_type="gmres",
+                          rtol=1e-5, atol=1e-50, cgs_refine="always",
+                          guess_nonzero=(t > 0))
+            if t == 0:
+                assert int(r.its) == 6
+                np.testing.assert_allclose(np.asarray(r.history[:6]),
+                                           gold_s1_t0, rtol=2e-5)
+                assert float(r.history[6]) < 1e-11
+            else:
+                # "0 KSP Residual norm < 1.e-11" — converged at it 0
+                assert int(r.its) == 0
+                assert float(r.history[0]) < 1e-11
+            x1 = r.x
+            C2 = (grid5pt(m, n, 6.0 + t * 0.5) + nonsym(m, n, t)).tocsr()
+            Ad2 = aij_from_scipy(C2)
+            r2 = ksp_solve(Ad2, jnp.asarray(C2 @ u),
+                           pc=make_pc("jacobi", A=Ad2), ksp_type="bcgs",
+                           rtol=1e-5, atol=1e-50)
+            assert int(r2.its) == 4
+            np.testing.assert_allclose(np.asarray(r2.history[:5]),
+                                       gold_s2[t], rtol=2e-5)
