@@ -42,6 +42,44 @@ def estimate_lambda_max(A, pc, n, dtype, axis=None, iters: int = 12,
     return lam
 
 
+def estimate_eigen_arnoldi(A, pc, b, iters: int = 10):
+    """The reference Chebyshev eigenvalue estimator
+    (KSPChebyshevSetEstimateEigenvalues cheby.c:57-77 +
+    KSPChebyshevComputeExtremeEigenvalues_Private): a FIXED number
+    (default 10, KSPSetTolerances cheby.c:77) of left-preconditioned
+    GMRES/Arnoldi steps on the solve's actual right-hand side, then
+    (min, max) of the real parts of the Hessenberg Ritz values
+    (KSPComputeEigenvalues_GMRES). Plan-time host code; returns
+    Python floats. Apply the reference's a,b,c,d transform at the call
+    site: emin = a·min + b·max, emax = c·min + d·max."""
+    import numpy as np
+
+    v = np.asarray(apply_pc(pc, b), np.float64)
+    beta = float(np.linalg.norm(v))
+    if beta == 0.0:
+        return 0.0, 0.0
+    n = v.shape[0]
+    m = min(iters, n)
+    V = np.zeros((m + 1, n))
+    H = np.zeros((m + 1, m))
+    V[0] = v / beta
+    k = m
+    for j in range(m):
+        w = np.asarray(apply_pc(pc, A.mult(jnp.asarray(V[j]))), np.float64)
+        # classical Gram-Schmidt (est GMRES default orthogonalization)
+        h = V[:j + 1] @ w
+        w = w - V[:j + 1].T @ h
+        H[:j + 1, j] = h
+        hj1 = float(np.linalg.norm(w))
+        H[j + 1, j] = hj1
+        if hj1 == 0.0:
+            k = j + 1
+            break
+        V[j + 1] = w / hj1
+    ritz = np.linalg.eigvals(H[:k, :k])
+    return float(ritz.real.min()), float(ritz.real.max())
+
+
 def solve_chebyshev(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
     dtype = b.dtype
     x = x0 if cfg.guess_nonzero else jnp.zeros_like(b)
@@ -104,7 +142,16 @@ def solve_chebyshev(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
     init = dict(x=x, r=r, d=d0, rho_old=1.0 / sigma, its=jnp.int32(0),
                 history=history, reason=reason)
     out = lax.while_loop(cond, body, init)
-    return SolveResult(out["x"], out["its"], out["reason"],
+    # KSPSolve_Chebyshev applies the initial scale·B⁻¹r step BEFORE its
+    # counted loop, so a max_it-bounded solve ends with max_it+1 total
+    # corrections — the last applied after the final convergence check
+    # (cheby.c: pre-loop VecAYPX + for-loop; monitored early exits break
+    # before completing the update). Match that: one extra correction
+    # when the loop exited on the iteration cap rather than convergence.
+    capped = (out["reason"] == ConvergedReason.CONVERGED_ITS) \
+        | (out["reason"] == ConvergedReason.DIVERGED_ITS)
+    xf = jnp.where(capped, out["x"] + out["d"], out["x"])
+    return SolveResult(xf, out["its"], out["reason"],
                        out["history"][out["its"]], out["history"])
 
 

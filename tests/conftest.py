@@ -55,3 +55,20 @@ def pytest_collection_modifyitems(config, items):
         if (os.path.basename(str(item.fspath)) not in _AXON_SMOKE_FILES
                 or name_hit):
             item.add_marker(skip)
+
+
+# ---------------------------------------------------------------------------
+# XLA's CPU compiler segfaults (backend_compile_and_load) when compiling
+# the large IMEX/Rosenbrock while_loop programs late in a single long
+# pytest process (~550 accumulated jitted executables) — reproducibly at
+# tests/test_ts_imex.py in a full run, never standalone. Bound the
+# compiler's accumulated state by dropping compiled-executable caches
+# between test modules; per-module recompiles on CPU are cheap.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()

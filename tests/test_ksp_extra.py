@@ -61,3 +61,71 @@ class TestExtraKSP:
                         ksp_type="fbcgs", rtol=1e-9)
         assert res.converged
         np.testing.assert_allclose(np.asarray(res.x), self.u, atol=1e-6)
+
+
+class TestChebyEstArnoldi:
+    def test_ex2_chebyest_configuration(self):
+        """The runex2_chebyest_1 configuration (ksp tutorials
+        makefile): 80×80 Laplacian, outer (f)gmres, PCKSP inner
+        Chebyshev max_it 5 with bounds from the reference's
+        10-step-Arnoldi Ritz estimator and the 0.9/1.1 transform
+        (cheby.c:57-77). Reference golden (output/ex2_chebyest_1.out):
+        r0 18.1108, 10 its, error 0.000684402. The initial residual is
+        digit-exact; iterations land within ±2 of the golden and the
+        error at the same tolerance."""
+        from petsctpu.ksp.cheby import estimate_eigen_arnoldi
+        from petsctpu.models import ex2_system
+        from petsctpu.pc.composite import KSPPC
+        from petsctpu.pc.factor import make_ilu
+
+        A, b, u = ex2_system(80, 80)
+        Ad = aij_from_scipy(A)
+        ilu = make_ilu(A)
+        bj = jnp.asarray(b)
+        from petsctpu.ksp.common import KSPConfig
+        emin_e, emax_e = estimate_eigen_arnoldi(Ad, ilu, bj, 10)
+        assert 0.0 < emin_e < 0.2 and 0.9 < emax_e < 1.4
+        inner = KSPConfig(ksp_type="chebyshev", maxits=5,
+                          cheby_emin=0.9 * emin_e,
+                          cheby_emax=1.1 * emax_e, rtol=1e-5)
+        pc = KSPPC(Ad, ilu, inner)
+        r = ksp_solve(Ad, bj, pc=pc, ksp_type="fgmres",
+                      rtol=1e-2 / 6561, atol=1e-50)
+        np.testing.assert_allclose(float(r.history[0]), 18.1108,
+                                   rtol=2e-5)
+        assert 8 <= int(r.its) <= 12            # reference: 10
+        assert np.linalg.norm(np.asarray(r.x) - u) < 2e-3
+
+    def test_cheby_maxit_matches_reference_recurrence(self):
+        """KSPSolve_Chebyshev's pre-loop step means max_it=k applies
+        k+1 corrections total (cheby.c pre-loop VecAYPX + k in-loop
+        updates). Verify against a literal numpy transcription of the
+        reference recurrence."""
+        from petsctpu.models import ex2_system
+        from petsctpu.pc.simple import make_jacobi
+
+        A, b, u = ex2_system(12, 12)
+        Ad = aij_from_scipy(A)
+        pc = make_jacobi(Ad)
+        emin, emax, k = 0.1, 8.0, 4
+        r = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="chebyshev",
+                      maxits=k, cheby_emin=emin, cheby_emax=emax,
+                      norm_type="none")
+        # reference recurrence (cheby.c:345+), numpy
+        Anp = A.toarray()
+        Minv = 1.0 / np.diag(Anp)
+        scale = 2.0 / (emax + emin)
+        alpha = 1.0 - scale * emin
+        mu = 1.0 / alpha
+        omegaprod = 2.0 / alpha
+        c_km1, c_k = 1.0, mu
+        p_km1 = np.zeros_like(b)
+        p_k = p_km1 + scale * (Minv * (b - Anp @ p_km1))
+        for _ in range(k):
+            c_kp1 = 2.0 * mu * c_k - c_km1
+            omega = omegaprod * c_k / c_kp1
+            resid = Minv * (b - Anp @ p_k)
+            p_kp1 = omega * (scale * resid + p_k - p_km1) + p_km1
+            p_km1, p_k = p_k, p_kp1
+            c_km1, c_k = c_k, c_kp1
+        np.testing.assert_allclose(np.asarray(r.x), p_k, atol=1e-12)
