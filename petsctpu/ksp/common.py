@@ -116,7 +116,9 @@ def record(history, its, rnorm):
 
 
 def init_history(cfg: KSPConfig, dtype):
-    return jnp.full((cfg.maxits + 1,), jnp.nan, dtype=dtype)
+    # residual norms are real even for complex solves
+    rdtype = jnp.zeros((), dtype).real.dtype
+    return jnp.full((cfg.maxits + 1,), jnp.nan, dtype=rdtype)
 
 
 def make_initial_residual(A, b, x, pc, guess_nonzero: bool):

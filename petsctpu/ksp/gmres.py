@@ -64,24 +64,29 @@ def _apply_givens(h, hj1, cs, sn, g, j, m):
     Returns (h_col updated incl. new diag, cs, sn, g, rnorm)."""
 
     def rot(i, h):
+        # KSPGMRESUpdateHessenberg (gmres.c): complex-correct plane
+        # rotations — h_i ← conj(c)h_i + s·h_{i+1}; h_{i+1} ← c·h_{i+1}
+        # − s·h_i (conj is a no-op for real dtypes)
         active = i < j
-        hi = cs[i] * h[i] + sn[i] * h[i + 1]
-        hip = -sn[i] * h[i] + cs[i] * h[i + 1]
+        hi = jnp.conj(cs[i]) * h[i] + sn[i] * h[i + 1]
+        hip = cs[i] * h[i + 1] - sn[i] * h[i]
         h = h.at[i].set(jnp.where(active, hi, h[i]))
         h = h.at[i + 1].set(jnp.where(active, hip, h[i + 1]))
         return h
 
     h = lax.fori_loop(0, m, rot, h)
     hj = h[j]
-    denom = jnp.sqrt(hj * hj + hj1 * hj1)
-    safe = denom > 0
+    # tt = sqrt(conj(h)h + conj(h1)h1); c = h/tt; s = h1/tt (hj1 is the
+    # real orthogonalization norm, so tt is real-positive)
+    denom = jnp.sqrt((jnp.conj(hj) * hj + hj1 * hj1).real).astype(h.dtype)
+    safe = jnp.abs(denom) > 0
     c = jnp.where(safe, hj / jnp.where(safe, denom, 1.0), 1.0)
     s = jnp.where(safe, hj1 / jnp.where(safe, denom, 1.0), 0.0)
     cs = cs.at[j].set(c)
     sn = sn.at[j].set(s)
-    h = h.at[j].set(denom)
+    h = h.at[j].set(jnp.conj(c) * hj + s * hj1)
     gj = g[j]
-    g = g.at[j].set(c * gj)
+    g = g.at[j].set(jnp.conj(c) * gj)
     g = g.at[j + 1].set(-s * gj)
     rnorm = jnp.abs(g[j + 1])
     return h, cs, sn, g, rnorm

@@ -62,7 +62,8 @@ def mdot(x: jax.Array, V: jax.Array, axis: Optional[str] = None):
     GMRES orthogonalization hot spot. On TPU this is a single
     matrix-vector product on the MXU followed by one psum.
     """
-    local = V @ x  # [k]
+    local = V.conj() @ x  # [k]  (VecMDot conjugates V, vdot semantics;
+    #                        conj is a no-op for real dtypes)
     return psum(local, axis)
 
 

@@ -240,3 +240,39 @@ class TestLGMRES:
                         ksp_type="lgmres", restart=8, rtol=1e-10, maxits=300)
         assert res.converged
         np.testing.assert_allclose(np.asarray(res.x), u, atol=1e-7)
+
+
+class TestEx11Complex:
+    def test_ex11_1_complex_helmholtz(self):
+        """output/ex11_1.out (runex11 -n 6 -norandom -pc_type none):
+        complex Helmholtz −Δu − σ₁u + iσ₂u = f with σ₁=100, σ₂=10i·h²
+        on the diagonal (ex11.c:104-118), u=0.5, GMRES refine_always —
+        the reference's PETSC_USE_COMPLEX build capability. Monitor
+        norms digit-exact: 4.62271 ... 0.154866 then happy breakdown
+        <1e-11; 6 its; error <1e-12."""
+        n = 6
+        dim = n * n
+        h2 = 1.0 / ((n + 1) * (n + 1))
+        rows, cols, vals = [], [], []
+        for Ii in range(dim):
+            i, j = divmod(Ii, n)
+            for ci, cj in ((i - 1, j), (i + 1, j), (i, j - 1),
+                           (i, j + 1)):
+                if 0 <= ci < n and 0 <= cj < n:
+                    rows.append(Ii); cols.append(cj + n * ci)
+                    vals.append(-1.0 + 0j)
+            rows.append(Ii); cols.append(Ii)
+            vals.append(4.0 - 100.0 * h2 + 10.0j * h2)
+        A = sp.csr_matrix((vals, (rows, cols)), shape=(dim, dim),
+                          dtype=np.complex128)
+        u = np.full(dim, 0.5 + 0j)
+        Ad = aij_from_scipy(A, dtype=np.complex128)
+        r = ksp_solve(Ad, jnp.asarray(A @ u), pc=None, ksp_type="gmres",
+                      rtol=1e-5, atol=1e-50, cgs_refine="always")
+        golden = [4.62271, 1.58711, 0.767563, 0.472102, 0.435655,
+                  0.154866]
+        assert int(r.its) == 6
+        np.testing.assert_allclose(np.asarray(r.history[:6]).real,
+                                   golden, rtol=2e-5)
+        assert float(np.abs(r.history[6])) < 1e-11
+        assert np.linalg.norm(np.asarray(r.x) - u) < 1e-12
