@@ -373,3 +373,30 @@ class SNES:
                 self.F, x0, jac=self.jac, pc_builder=self.pc_builder,
                 ksp_cfg=ksp_cfg, cfg=cfg, axis=self.axis))
         return fn(x0)
+
+
+def snes_grid_sequence(da, make_residual: Callable, nrefine: int,
+                       x0: jax.Array, initial_guess: Callable = None,
+                       solver: Callable = None, **kw):
+    """Grid sequencing (-snes_grid_sequence; SNESSolve loop
+    snes.c:3609-3674): solve on the given DM, then repeatedly
+    DMRefine, Q1-interpolate the converged solution as the finer
+    grid's initial guess (MatInterpolate, snes.c:3665), and re-solve.
+
+    make_residual(da) -> F; initial_guess(da) -> x (used only on the
+    coarsest grid when x0 is None); solver defaults to snes_solve and
+    receives **kw. Returns the list of per-grid SNESResults (finest
+    last)."""
+    solver = solver or snes_solve
+    cur = da
+    x = x0 if x0 is not None else initial_guess(cur)
+    results = []
+    for g in range(nrefine + 1):
+        res = solver(make_residual(cur), x, **kw)
+        results.append(res)
+        if g < nrefine:
+            fine = cur.refine()
+            P = fine.interpolation(cur)
+            x = P.mult(res.x)
+            cur = fine
+    return results

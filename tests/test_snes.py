@@ -127,3 +127,32 @@ class TestLineSearchOrders:
             assert r.converged, order
             np.testing.assert_allclose(np.asarray(jnp.exp(r.x)),
                                        [2.0, 3.0, 5.0], rtol=1e-8)
+
+
+class TestGridSequence:
+    def test_ex5_2_style_grid_sequencing(self):
+        """-snes_grid_sequence (the runex5_2 mechanism): Bratu λ=6
+        from 17² refined 3×: the interpolated initial guess makes
+        each finer solve take no more Newton its than cold-started,
+        and the finest solve needs only 1-3 its."""
+        from petsctpu.dm import DA
+        from petsctpu.ksp.common import KSPConfig
+        from petsctpu.models.bratu import (bratu_initial_guess,
+                                           bratu_residual)
+        from petsctpu.snes.api import snes_grid_sequence
+
+        da = DA((17, 17))
+        kcfg = KSPConfig(ksp_type="cg", rtol=1e-5, maxits=3000)
+        seq = snes_grid_sequence(
+            da, lambda d: bratu_residual(d, 6.0), 3,
+            bratu_initial_guess(da, 6.0), jac="jvp", rtol=1e-8,
+            ksp_cfg=kcfg)
+        assert len(seq) == 4
+        assert all(r.converged for r in seq)
+        assert int(seq[-1].its) <= 3           # warm-started finest
+        # cold-started finest solve for comparison
+        fine = DA((129, 129))
+        cold = snes_solve(bratu_residual(fine, 6.0),
+                          bratu_initial_guess(fine, 6.0), jac="jvp",
+                          rtol=1e-8, ksp_cfg=kcfg)
+        assert int(seq[-1].its) <= int(cold.its)
