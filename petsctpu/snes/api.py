@@ -368,6 +368,16 @@ class SNES:
             fn = jax.jit(lambda x0: snes_ksponly(
                 self.F, x0, jac=self.jac, pc_builder=self.pc_builder,
                 ksp_cfg=ksp_cfg, cfg=cfg, axis=self.axis))
+        elif snes_type in ("qn", "ngmres", "anderson", "ncg",
+                           "nrichardson"):
+            from petsctpu.snes.fas import snes_ncg
+            from petsctpu.snes.variants import (snes_anderson,
+                                                snes_ngmres, snes_qn)
+            impl = {"qn": snes_qn, "ngmres": snes_ngmres,
+                    "anderson": snes_anderson, "ncg": snes_ncg,
+                    "nrichardson": snes_nrichardson}[snes_type]
+            fn = jax.jit(lambda x0: impl(self.F, x0, cfg=cfg,
+                                         axis=self.axis))
         else:
             fn = jax.jit(lambda x0: snes_solve(
                 self.F, x0, jac=self.jac, pc_builder=self.pc_builder,

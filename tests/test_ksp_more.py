@@ -276,3 +276,29 @@ class TestEx11Complex:
                                    golden, rtol=2e-5)
         assert float(np.abs(r.history[6])) < 1e-11
         assert np.linalg.norm(np.asarray(r.x) - u) < 1e-12
+
+
+class TestComplexKrylov:
+    def test_cg_bcgs_complex_hermitian(self):
+        """Complex-scalar coverage beyond GMRES: CG on a Hermitian
+        positive-definite complex matrix and BiCGStab on a general
+        complex matrix both reach the direct solution."""
+        rng = np.random.default_rng(7)
+        n = 24
+        M = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        H = M @ M.conj().T + n * np.eye(n)          # HPD
+        Ah = aij_from_scipy(sp.csr_matrix(H), dtype=np.complex128)
+        xex = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        b = H @ xex
+        r = ksp_solve(Ah, jnp.asarray(b), pc=None, ksp_type="cg",
+                      rtol=1e-12, maxits=300)
+        assert int(r.reason) > 0
+        np.testing.assert_allclose(np.asarray(r.x), xex, atol=1e-8)
+
+        G = sp.csr_matrix(H + 0.3j * np.diag(np.arange(n)))
+        Ag = aij_from_scipy(G, dtype=np.complex128)
+        bg = G @ xex
+        r2 = ksp_solve(Ag, jnp.asarray(bg), pc=None, ksp_type="bcgs",
+                       rtol=1e-12, maxits=300)
+        assert int(r2.reason) > 0
+        np.testing.assert_allclose(np.asarray(r2.x), xex, atol=1e-7)

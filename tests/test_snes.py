@@ -156,3 +156,28 @@ class TestGridSequence:
                           bratu_initial_guess(fine, 6.0), jac="jvp",
                           rtol=1e-8, ksp_cfg=kcfg)
         assert int(seq[-1].its) <= int(cold.its)
+
+
+class TestSNESTypeDispatch:
+    def test_snes_type_option_selects_solver(self):
+        """-snes_type on the options-driven SNES object dispatches to
+        every registered nonlinear solver family (SNESSetType /
+        SNESSetFromOptions analog) and all converge on the 9×9 Bratu."""
+        from petsctpu.core.options import Options
+        from petsctpu.dm import DA
+        from petsctpu.models.bratu import (bratu_initial_guess,
+                                           bratu_residual)
+
+        da = DA((9, 9))
+        F = bratu_residual(da, 6.0)
+        x0 = bratu_initial_guess(da, 6.0)
+        expected_max = {"newtonls": 5, "newtontr": 6, "ksponly": 1,
+                        "qn": 30, "ngmres": 30, "ncg": 60,
+                        "nrichardson": 400}
+        for t, cap in expected_max.items():
+            s = SNES(Options({"snes_type": t, "snes_max_it": 400,
+                              "snes_rtol": 1e-6}))
+            s.set_function(F)
+            r = s.solve(x0)
+            assert r.converged, t
+            assert int(r.its) <= cap, (t, int(r.its))
