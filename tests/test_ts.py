@@ -207,3 +207,55 @@ class TestEx2NonlinearDiffusion:
             maxerr = np.abs(np.asarray(u) - exact(t)).max()
             assert maxerr < 1e-6, (t, maxerr)
         assert t == 100.0
+
+
+class TestEx4LinearHeat:
+    def test_ex4_1_euler_error_stream(self):
+        """ts/examples/tutorials/output/ex4_1.out (runex4): TS_LINEAR
+        1-D heat equation, m=60, RHS matrix = centered u_xx with
+        identity boundary rows (ex4.c RHSMatrixHeat), u0 = sin(6πx) +
+        3sin(2πx), default forward Euler, dt = h²/2, 100 steps.
+        Per-step 2-norm/max-norm errors vs the analytic solution are
+        digit-exact against the golden monitor stream."""
+        import scipy.sparse as sp
+
+        from petsctpu.mat import aij_from_scipy
+        from petsctpu.ts import ts_solve
+
+        m = 60
+        h = 1.0 / (m - 1)
+        dt = h * h / 2.0
+        x = np.arange(m) * h
+        stwo = -2.0 / (h * h)
+        sone = -0.5 * stwo
+        A = sp.diags([np.full(m - 1, sone), np.full(m, stwo),
+                      np.full(m - 1, sone)], [-1, 0, 1]).tolil()
+        A[0, :] = 0.0; A[0, 0] = 1.0
+        A[m - 1, :] = 0.0; A[m - 1, m - 1] = 1.0
+        Ad = aij_from_scipy(sp.csr_matrix(A))
+
+        def rhs(t, u):
+            return Ad.mult(u)
+
+        def exact(t):
+            return (np.exp(-36 * np.pi ** 2 * t) * np.sin(6 * np.pi * x)
+                    + 3 * np.exp(-4 * np.pi ** 2 * t)
+                    * np.sin(2 * np.pi * x))
+
+        golden2 = [0.000599907, 0.00113969, 0.00162387, 0.00205669,
+                   0.00244208, 0.00278372, 0.00308505, 0.00334925,
+                   0.0035793, 0.00377799]
+        goldenmax = [0.000863771, 0.00164231, 0.00234201, 0.00296886,
+                     0.00352842, 0.00402589, 0.00446612, 0.00485363,
+                     0.00519261, 0.00548699]
+        u = jnp.asarray(exact(0.0))
+        t = 0.0
+        for step in range(10):
+            r = ts_solve(rhs, u, ts_type="euler", t0=t, dt=dt,
+                         max_steps=1, max_time=t + dt)
+            u, t = r.u, float(r.t)
+            err = np.asarray(u) - exact(t)
+            np.testing.assert_allclose(np.linalg.norm(err) * np.sqrt(h),
+                                       golden2[step], rtol=2e-5)
+            np.testing.assert_allclose(np.abs(err).max(),
+                                       goldenmax[step], rtol=2e-5)
