@@ -141,7 +141,9 @@ def snes_solve(F: Callable, x0: jax.Array, jac: Union[str, ColoredJacobian,
                pc_builder: Optional[Callable] = None,
                ksp_cfg: KSPConfig = None, cfg: SNESConfig = None,
                axis: Optional[str] = None,
-               npc: Optional[Callable] = None, **kw) -> SNESResult:
+               npc: Optional[Callable] = None,
+               pre_check: Optional[Callable] = None,
+               post_check: Optional[Callable] = None, **kw) -> SNESResult:
     """Newton-LS solve of F(x) = 0.
 
     jac: "jvp" (AD matrix-free), "fd" (MFFD), a ColoredJacobian plan
@@ -150,7 +152,13 @@ def snes_solve(F: Callable, x0: jax.Array, jac: Union[str, ColoredJacobian,
          (only device-rebuildable PCs: jacobi/pbjacobi/cheby-MG).
     npc: optional nonlinear right-preconditioner x → x' (an inner
          solver applied before each Newton step — ls.c:199-211's
-         snes->pc composition; e.g. a few NGS sweeps or an FAS cycle)."""
+         snes->pc composition; e.g. a few NGS sweeps or an FAS cycle).
+    pre_check: optional (its, x, dx) -> dx called before the line
+         search (SNESLineSearchSetPreCheck; snes ex3 PreCheck).
+    post_check: optional (its, x, dx, xn) -> xn called on the
+         candidate iterate after the line search
+         (SNESLineSearchSetPostCheck; snes ex3 PostCheck — both run
+         inside jit, so they must be pure functions)."""
     cfg = replace(cfg or SNESConfig(), **kw) if kw else (cfg or SNESConfig())
     ksp_cfg = ksp_cfg or KSPConfig(ksp_type="gmres", rtol=1e-5, maxits=200)
     jac = jac or cfg.jac
@@ -188,6 +196,8 @@ def snes_solve(F: Callable, x0: jax.Array, jac: Union[str, ColoredJacobian,
         kres = ksolver(J, Fx, jnp.zeros_like(x), pc, ksp_cfg, axis)
         dx = kres.x                       # J dx = F → step is −dx
         lin_fail = kres.reason < 0
+        if pre_check is not None:
+            dx = pre_check(its, x, dx)
         if cfg.linesearch == "basic":
             xn = x - dx
             Fn = F(xn)
@@ -196,6 +206,10 @@ def snes_solve(F: Callable, x0: jax.Array, jac: Union[str, ColoredJacobian,
         else:
             xn, Fn, fn, lam, ls_ok = _linesearch_bt(F, x, dx, Fx, fnorm,
                                                     cfg, axis)
+        if post_check is not None:
+            xn = post_check(its, x, dx, xn)
+            Fn = F(xn)
+            fn = ops.norm(Fn, axis)
         snorm = ops.norm(xn - x, axis)
         xnorm = ops.norm(xn, axis)
         its = its + 1

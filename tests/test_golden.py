@@ -402,3 +402,46 @@ class TestGoldenSNESEx1:
         np.testing.assert_allclose(np.asarray(r.history[:6]), golden,
                                    rtol=2e-5)
         assert float(r.history[6]) < 1e-11
+
+
+class TestGoldenSNESPostCheck:
+    def test_snes_ex3_4_post_check_iterates(self):
+        """snes/examples/tutorials/output/ex3_4.out (runex3_4
+        -post_check_iterates): the PostCheck hook
+        (SNESLineSearchSetPostCheck, ex3.c PostCheck) halves entries
+        whose relative change exceeds tolerance 1 — the modified
+        candidate raises the iteration-2 norm to 0.303701 and the
+        solve still converges: 5.41468, 0.295258, 0.303701,
+        7.24709e-05, <1e-11."""
+        from petsctpu.snes import snes_solve
+        from petsctpu.ksp.common import KSPConfig
+
+        N = 5
+        xs = np.linspace(0.0, 1.0, N)
+        d = (N - 1.0) ** 2
+        FF = jnp.asarray(6.0 * xs + (xs + 1e-12) ** 6)
+
+        def F(u):
+            interior = d * (u[:-2] - 2.0 * u[1:-1] + u[2:]) \
+                + u[1:-1] ** 2 - FF[1:-1]
+            return jnp.concatenate([u[:1], interior, u[-1:] - 1.0])
+
+        tol = 1.0
+
+        def post_check(its, x_last, dx, x):
+            rdiff = jnp.where(jnp.abs(x) == 0, 2 * tol,
+                              jnp.abs((x - x_last)
+                                      / jnp.where(x == 0, 1.0, x)))
+            alter = (rdiff > tol) & (its > 0)
+            return jnp.where(alter, 0.5 * (x + x_last), x)
+
+        r = snes_solve(F, jnp.full(N, 0.5), jac="jvp", rtol=1e-8,
+                       atol=1e-50, post_check=post_check,
+                       ksp_cfg=KSPConfig(ksp_type="gmres", rtol=1e-4,
+                                         maxits=20,
+                                         cgs_refine="always"))
+        golden = [5.41468, 0.295258, 0.303701, 7.24709e-05]
+        assert int(r.its) == 4
+        np.testing.assert_allclose(np.asarray(r.history[:4]), golden,
+                                   rtol=2e-5)
+        assert float(r.history[4]) < 1e-10
