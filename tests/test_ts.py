@@ -259,3 +259,9 @@ class TestEx4LinearHeat:
                                        golden2[step], rtol=2e-5)
             np.testing.assert_allclose(np.abs(err).max(),
                                        goldenmax[step], rtol=2e-5)
+        # ts ex6 golden (runex6 -ts_max_steps 4, output/ex6_1.out):
+        # same problem, averages over steps 1..4
+        np.testing.assert_allclose(np.mean(golden2[:4]), 0.00135504,
+                                   rtol=2e-5)
+        np.testing.assert_allclose(np.mean(goldenmax[:4]), 0.00195424,
+                                   rtol=2e-5)
