@@ -445,3 +445,59 @@ class TestGoldenSNESPostCheck:
         np.testing.assert_allclose(np.asarray(r.history[:4]), golden,
                                    rtol=2e-5)
         assert float(r.history[4]) < 1e-10
+
+
+class TestGoldenSNESEx14:
+    def test_snes_ex14_3d_bratu(self):
+        """snes/examples/tutorials/output/ex14_1.out (runex14): 3-D
+        solid-fuel-ignition (Bratu) −Δu − λeᵘ = 0 on a 4³ DMDA star
+        stencil, λ=6 (ex14.c FormFunction: hxhyhz-scaled stencil,
+        FormInitialGuess distance-to-boundary profile): norms
+        0.368723, 0.0202824, 4.38259e-05, 2.078e-10; 3 its; final
+        fnorm 2.07815e-10 — digit-exact."""
+        from petsctpu.snes import snes_solve
+        from petsctpu.ksp.common import KSPConfig
+
+        M = 4
+        h = 1.0 / (M - 1)
+        lam = 6.0
+        sc = h * h * h * lam
+        w = h  # hx·hz/hy = h for the uniform cube
+
+        def F(uflat):
+            X = uflat.reshape(M, M, M)
+            P = jnp.pad(X, 1)
+            C = X
+            east, west = P[1:-1, 1:-1, 2:], P[1:-1, 1:-1, :-2]
+            north, south = P[1:-1, 2:, 1:-1], P[1:-1, :-2, 1:-1]
+            up, down = P[2:, 1:-1, 1:-1], P[:-2, 1:-1, 1:-1]
+            lap = ((-east + 2 * C - west) + (-north + 2 * C - south)
+                   + (-up + 2 * C - down)) * w
+            interior = lap - sc * jnp.exp(C)
+            k, j, i = jnp.meshgrid(jnp.arange(M), jnp.arange(M),
+                                   jnp.arange(M), indexing="ij")
+            bnd = ((i == 0) | (i == M - 1) | (j == 0) | (j == M - 1)
+                   | (k == 0) | (k == M - 1))
+            return jnp.where(bnd, X, interior).reshape(-1)
+
+        temp1 = lam / (lam + 1.0)
+        d1 = np.minimum(np.arange(M), M - 1 - np.arange(M)) * h
+        k, j, i = np.meshgrid(d1, d1, d1, indexing="ij")
+        X0 = temp1 * np.sqrt(np.minimum(np.minimum(i, j), k))
+        bi = np.zeros((M, M, M), bool)
+        bi[0] = bi[-1] = True
+        bi[:, 0] = bi[:, -1] = True
+        bi[:, :, 0] = bi[:, :, -1] = True
+        X0[bi] = 0.0
+
+        r = snes_solve(F, jnp.asarray(X0.reshape(-1)), jac="jvp",
+                       rtol=1e-8, atol=1e-50,
+                       ksp_cfg=KSPConfig(ksp_type="gmres", rtol=1e-5,
+                                         maxits=300,
+                                         cgs_refine="always"))
+        golden = [0.368723, 0.0202824, 4.38259e-05, 2.078e-10]
+        assert int(r.its) == 3
+        np.testing.assert_allclose(np.asarray(r.history[:4]), golden,
+                                   rtol=2e-4)
+        np.testing.assert_allclose(float(r.fnorm), 2.07815e-10,
+                                   rtol=1e-4)
