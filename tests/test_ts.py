@@ -265,3 +265,48 @@ class TestEx4LinearHeat:
                                    rtol=2e-5)
         np.testing.assert_allclose(np.mean(goldenmax[:4]), 0.00195424,
                                    rtol=2e-5)
+
+
+class TestEx7Nonlinear2D:
+    def test_ex7_1_beuler_solution_norms(self):
+        """ts/examples/tutorials/output/ex7_1.out (runex7
+        -ts_max_steps 5): nonlinear 2-D PDE u_t = −u·Δu − 3|∇u|²
+        (ex7.c FormFunction) on an 8×8 DMDA, compact bump initial
+        condition, TSBEULER dt=1e-4 with nested SNES. All six
+        timestep solution norms digit-exact: 1.9391, 1.90776,
+        1.87731, 1.84771, 1.81893, 1.79094."""
+        from petsctpu.ts import ts_solve
+
+        M = 8
+        h = 1.0 / (M - 1)
+        s = 1.0 / (h * h)
+
+        def rhs(t, uflat):
+            X = uflat.reshape(M, M)
+            P = jnp.pad(X, 1)
+            C = X
+            W, E = P[1:-1, :-2], P[1:-1, 2:]
+            S, N = P[:-2, 1:-1], P[2:, 1:-1]
+            uxx = (2 * C - W - E) * s
+            uyy = (2 * C - S - N) * s
+            interior = -C * (uxx + uyy) - 3.0 * (
+                ((E - W) ** 2) * 0.25 * s + ((N - S) ** 2) * 0.25 * s)
+            j, i = jnp.meshgrid(jnp.arange(M), jnp.arange(M),
+                                indexing="ij")
+            bnd = (i == 0) | (j == 0) | (i == M - 1) | (j == M - 1)
+            return jnp.where(bnd, X, interior).reshape(-1)
+
+        x = np.arange(M) * h
+        XX, YY = np.meshgrid(x, x, indexing="xy")
+        r = np.sqrt((XX - 0.5) ** 2 + (YY - 0.5) ** 2)
+        U0 = np.where(r < 0.125, np.exp(-30.0 * r ** 3), 0.0)
+        golden = [1.9391, 1.90776, 1.87731, 1.84771, 1.81893, 1.79094]
+        u, t = jnp.asarray(U0.reshape(-1)), 0.0
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(u)),
+                                   golden[0], rtol=2e-5)
+        for step in range(1, 6):
+            res = ts_solve(rhs, u, ts_type="beuler", t0=t, dt=1e-4,
+                           max_steps=1, max_time=t + 1e-4)
+            u, t = res.u, float(res.t)
+            np.testing.assert_allclose(np.linalg.norm(np.asarray(u)),
+                                       golden[step], rtol=2e-5)
