@@ -332,3 +332,29 @@ class TestEx9:
             assert int(r2.its) == 4
             np.testing.assert_allclose(np.asarray(r2.history[:5]),
                                        gold_s2[t], rtol=2e-5)
+
+
+class TestEx1Eisenstat:
+    def test_ex1_3_eisenstat_tridiag(self):
+        """output/ex1_3.out (runex1_3: -pc_type eisenstat on the ex1
+        tridiagonal system, refine_always): all 9 monitored norms of
+        the transformed system digit-exact (1.5288 … 9.0696e-07) and
+        the final error 4.28168e-07, 8 its."""
+        from petsctpu.pc.extra import make_eisenstat_system
+
+        n = 10
+        A = sp.diags([-np.ones(n - 1), 2 * np.ones(n),
+                      -np.ones(n - 1)], [-1, 0, 1]).tocsr()
+        u = np.ones(n)
+        shell, pc, pre, post = make_eisenstat_system(A)
+        r = ksp_solve(shell, pre(jnp.asarray(A @ u)), pc=pc,
+                      ksp_type="gmres", rtol=1e-5, atol=1e-50,
+                      cgs_refine="always")
+        golden = [1.5288, 0.461115, 0.284905, 0.139317, 0.0192523,
+                  0.00651144, 0.00059631, 3.67561e-05, 9.0696e-07]
+        assert int(r.its) == 8
+        np.testing.assert_allclose(np.asarray(r.history[:9]), golden,
+                                   rtol=2e-5)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(post(r.x)) - u), 4.28168e-07,
+            rtol=1e-4)
