@@ -358,3 +358,44 @@ class TestEx1Eisenstat:
         np.testing.assert_allclose(
             np.linalg.norm(np.asarray(post(r.x)) - u), 4.28168e-07,
             rtol=1e-4)
+
+
+class TestEx13:
+    def test_ex13_1_variable_coefficient_poisson(self):
+        """output/ex13_1.out (runex13 -m 19 -n 20): −div(ρ∇ψ)=F with
+        ρ(x,y)=x (harmonic-mean 5-point coefficients, ex13.c
+        UserDoLinearSolver), LU-preconditioned solve called twice from
+        a "non-PETSc" host program; squared-L2 error norm 1.44146e-05
+        both times."""
+        m, n = 19, 20
+        hx, hy = 1.0 / (m + 1), 1.0 / (n + 1)
+        hx2, hy2 = (m + 1.0) ** 2, (n + 1.0) ** 2
+        N = m * n
+        xs = (np.arange(m) + 1) * hx
+        ys = (np.arange(n) + 1) * hy
+        X, Y = np.meshgrid(xs, ys)
+        rho = X.reshape(-1)
+        sol = (np.sin(2 * np.pi * X) * np.sin(2 * np.pi * Y)).reshape(-1)
+        b = (-2 * np.pi * np.cos(2 * np.pi * X) * np.sin(2 * np.pi * Y)
+             + 8 * np.pi ** 2 * X * np.sin(2 * np.pi * X)
+             * np.sin(2 * np.pi * Y)).reshape(-1)
+        rows, cols, vals = [], [], []
+        for Ii in range(N):
+            j, i = divmod(Ii, m)
+            for cond, J, w in (
+                    (j > 0, Ii - m, hy2), (j < n - 1, Ii + m, hy2),
+                    (i > 0, Ii - 1, hx2), (i < m - 1, Ii + 1, hx2)):
+                if cond:
+                    rows.append(Ii); cols.append(J)
+                    vals.append(-.5 * (rho[Ii] + rho[J]) * w)
+            rows.append(Ii); cols.append(Ii)
+            vals.append(2.0 * rho[Ii] * (hx2 + hy2))
+        A = sp.csr_matrix((vals, (rows, cols)), shape=(N, N))
+        Ad = aij_from_scipy(A)
+        pc = make_pc("lu", A=Ad, A_host=A)
+        for _ in range(2):
+            r = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="gmres",
+                          rtol=1e-5, atol=1e-50, cgs_refine="always")
+            err = np.asarray(r.x) - sol
+            np.testing.assert_allclose(float(np.sum(err * err) * hx * hy),
+                                       1.44146e-05, rtol=2e-5)
