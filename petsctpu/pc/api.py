@@ -91,7 +91,11 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
         fields = opts.get("pc_fieldsplit_fields")
         if fields is None:
             raise ValueError("pc_type=fieldsplit needs options key "
-                             "'pc_fieldsplit_fields' (list of 2 IS)")
+                             "'pc_fieldsplit_fields' (list of IS)")
+        if len(fields) != 2:
+            from petsctpu.pc.fieldsplit import make_multi_fieldsplit
+            return make_multi_fieldsplit(A_host, fields, options=opts,
+                                         dtype=dt)
         return make_fieldsplit(A_host, fields, options=opts, dtype=dt)
     if pc_type == "ksp":
         from petsctpu.pc.composite import KSPPC

@@ -66,3 +66,62 @@ class TestEx19Golden:
         assert res.converged
         assert int(res.its) >= 2
         assert float(jnp.linalg.norm(F(res.x))) < 1e-8
+
+
+class TestEx19FieldSplit:
+    def test_ex19_6_fieldsplit_multiplicative(self):
+        """output/ex19_6.out (runex19_6: -pc_type fieldsplit
+        -ksp_type fgmres -da_refine 1, 1 rank): 7×7 cavity, 4-field
+        split (u,v,ω,T strided ISs), the reference's DEFAULT
+        multiplicative composition with inner ILU — first linear
+        solve's 12 monitor lines digit-exact (0.146194 … 5.43836e-07,
+        11 its), SNES norms 0.146194 → 2.50119e-05 → 1.093e-10."""
+        import scipy.sparse as sp
+
+        from petsctpu.core.options import Options
+        from petsctpu.ksp import ksp_solve
+        from petsctpu.mat import aij_from_scipy
+        from petsctpu.pc import make_pc
+
+        mx = my = 7
+        F = cavity_residual(mx, my)
+        x = cavity_initial_guess(mx, my)
+        patt = cavity_jacobian_pattern(mx, my)
+        plan = ColoredJacobian.from_sparsity(patt, aij_from_scipy(patt))
+        N = mx * my * 4
+        fields = [np.arange(f, N, 4) for f in range(4)]
+
+        def aij_to_scipy(J):
+            m, n = J.shape
+            cols = np.asarray(J.cols)
+            vals = np.asarray(J.vals)
+            rows = np.repeat(np.arange(m), cols.shape[1])
+            M = sp.csr_matrix((vals.ravel(), (rows, cols.ravel())),
+                              shape=(m, n))
+            M.eliminate_zeros()
+            return M
+
+        snes_golden = [0.146194, 2.50119e-05, 1.093e-10]
+        ksp0_golden = [0.146194, 0.0554997, 0.0103331, 0.00349351,
+                       0.00162771, 0.000420559, 0.000131423,
+                       4.9738e-05, 1.91653e-05, 5.05572e-06,
+                       1.51319e-06, 5.43836e-07]
+        for newton_it in range(2):
+            Fx = F(x)
+            fnorm = float(jnp.linalg.norm(Fx))
+            np.testing.assert_allclose(fnorm, snes_golden[newton_it],
+                                       rtol=2e-5)
+            J = plan.assemble(F, x, Fx)
+            opts = Options({"pc_fieldsplit_fields": fields,
+                            "pc_fieldsplit_type": "multiplicative"})
+            pc = make_pc("fieldsplit", A=J, A_host=aij_to_scipy(J),
+                         options=opts)
+            r = ksp_solve(J, Fx, pc=pc, ksp_type="fgmres", rtol=1e-5,
+                          maxits=200)
+            if newton_it == 0:
+                assert int(r.its) == 11
+                np.testing.assert_allclose(np.asarray(r.history[:12]),
+                                           ksp0_golden, rtol=2e-5)
+            x = x - r.x
+        np.testing.assert_allclose(float(jnp.linalg.norm(F(x))),
+                                   snes_golden[2], rtol=1e-3)
