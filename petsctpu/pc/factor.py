@@ -83,20 +83,72 @@ def make_ilu(A_host, dtype=None, levels: int = 0,
     return _make_ilu_natural(A_host, dtype, levels, tri)
 
 
+def _iluk_pattern(A, k: int):
+    """Symbolic ILU(k) pattern (Saad §10.3.3; the reference's
+    MatILUFactorSymbolic level rule, aijfact.c:122): per row, start
+    with the matrix's own entries at level 0; eliminating column kk<i
+    introduces fills at row kk's upper entries with
+    level = lev(i,kk) + lev(kk,j) + 1, kept when ≤ k. Returns a list
+    of sorted column-index arrays (one per row)."""
+    import bisect
+
+    n = A.shape[0]
+    A.sort_indices()
+    rowpat = []                    # per row: list of (col, level), sorted
+    out = []
+    for i in range(n):
+        lev = {int(j): 0 for j in A.indices[A.indptr[i]:A.indptr[i + 1]]}
+        wl = sorted(c for c in lev if c < i)
+        idx = 0
+        while idx < len(wl):
+            kk = wl[idx]
+            idx += 1
+            lk = lev[kk]
+            if lk >= k:            # fills from this pivot exceed k
+                continue
+            for jc, lj in rowpat[kk]:
+                if jc <= kk:
+                    continue
+                nl = lk + lj + 1
+                if nl <= k:
+                    cur = lev.get(jc)
+                    if cur is None:
+                        lev[jc] = nl
+                        if jc < i:
+                            bisect.insort(wl, jc)
+                    elif nl < cur:
+                        lev[jc] = nl
+        row = sorted(lev.items())
+        rowpat.append(row)
+        out.append(np.asarray([c for c, _ in row], np.int64))
+    return out
+
+
 def _make_ilu_natural(A_host, dtype=None, levels: int = 0,
                       tri: str = "level") -> ILUPC:
     if levels != 0:
         import scipy.sparse as sp
-        # ILU(k) pattern growth via symbolic powers, then ILU(0) on it
-        P = sp.csr_matrix(A_host, copy=True)
-        P.data = np.ones_like(P.data)
-        S = P
-        for _ in range(levels):
-            S = (S @ P).tocsr()
-            S.data = np.ones_like(S.data)
-        patt = (S + P).tocsr()
-        patt.data[:] = 0.0
-        Awide = (sp.csr_matrix(A_host) + patt).tocsr()
+        # symbolic ILU(k): Saad's level-of-fill rule —
+        # lev(fill i,j) = min over eliminations of
+        # lev(i,k)+lev(k,j)+1, kept when ≤ k. This is the reference's
+        # MatILUFactorSymbolic/MatICCFactorSymbolic pattern
+        # (aijfact.c:122+); numeric = ILU(0) on the widened pattern.
+        patt_rows = _iluk_pattern(sp.csr_matrix(A_host), levels)
+        n = A_host.shape[0]
+        indptr = np.zeros(n + 1, np.int64)
+        for i, cols_ in enumerate(patt_rows):
+            indptr[i + 1] = indptr[i] + len(cols_)
+        indices = (np.concatenate(patt_rows) if n
+                   else np.zeros(0, np.int64))
+        data = np.zeros(indices.shape[0])
+        A_c = sp.csr_matrix(A_host)
+        A_c.sort_indices()
+        for i in range(n):
+            s, e = indptr[i], indptr[i + 1]
+            asl = slice(A_c.indptr[i], A_c.indptr[i + 1])
+            pos = np.searchsorted(indices[s:e], A_c.indices[asl])
+            data[s + pos] = A_c.data[asl]
+        Awide = sp.csr_matrix((data, indices, indptr), shape=(n, n))
         L, U = ilu0(Awide)
     else:
         L, U = ilu0(A_host)
