@@ -120,6 +120,12 @@ def config_from_options(opts: Options, defaults: KSPConfig = None) -> KSPConfig:
         aug_dim=opts.get_int("ksp_lgmres_augment", cfg.aug_dim),
         bcgsl_ell=opts.get_int("ksp_bcgsl_ell", cfg.bcgsl_ell),
     )
+    # -ksp_pc_side right on gmres: right preconditioning with a fixed
+    # (linear) PC is exactly FGMRES's iteration — map to it (the
+    # reference's KSPSetPCSide; monitors then show true residuals)
+    if (opts.get_str("ksp_pc_side", "left") == "right"
+            and cfg.ksp_type == "gmres"):
+        cfg = replace(cfg, ksp_type="fgmres")
     return cfg
 
 
