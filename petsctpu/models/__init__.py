@@ -1,3 +1,4 @@
 from petsctpu.models.poisson import laplacian_2d, poisson_3d, ex2_system, ex45_system
 
 __all__ = ["laplacian_2d", "poisson_3d", "ex2_system", "ex45_system"]
+from petsctpu.models.pbratu import pbratu_initial_guess, pbratu_residual  # noqa: F401,E501

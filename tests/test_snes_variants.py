@@ -118,3 +118,33 @@ class TestNewtonNPC:
         assert r_npc.converged
         assert int(r_npc.its) <= int(r_plain.its)
         assert float(np.linalg.norm(np.asarray(F(r_npc.x)))) < 1e-8
+
+
+class TestPBratu:
+    def test_ex15_1_pbratu_newton(self):
+        """snes ex15 (p-Bratu, output/ex15_1.out: -p 1.3 -lambda 1,
+        20×20, NEWTON): iteration-count parity (17 Newton its,
+        CONVERGED_FNORM_RELATIVE), first norms 0.690597/0.437398
+        digit-exact, the full bt-damped history to ~3 digits (the
+        reference run's inner 2-rank BJacobi linear solves at rtol
+        1e-5 perturb the later inexact-Newton path slightly)."""
+        from petsctpu.ksp.common import KSPConfig
+        from petsctpu.models import pbratu_initial_guess, pbratu_residual
+        from petsctpu.snes import snes_solve
+
+        F = pbratu_residual(20, 20, p=1.3, lam=1.0)
+        x0 = pbratu_initial_guess(20, 20, lam=1.0)
+        r = snes_solve(F, x0, jac="jvp", rtol=1e-8, atol=1e-50,
+                       maxits=50,
+                       ksp_cfg=KSPConfig(ksp_type="gmres", rtol=1e-5,
+                                         maxits=500, restart=60))
+        golden = [0.690597, 0.437398, 0.309414, 0.132346, 0.0919326,
+                  0.0752673, 0.0669231, 0.0592614, 0.0516656,
+                  0.0441557, 0.0367679, 0.0288573, 0.0277441,
+                  0.00855032, 0.00140821, 7.34059e-05, 3.61999e-07]
+        assert int(r.its) == 17
+        assert r.converged
+        np.testing.assert_allclose(np.asarray(r.history[:2]),
+                                   golden[:2], rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(r.history[:17]), golden,
+                                   rtol=2e-2)
