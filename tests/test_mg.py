@@ -228,3 +228,69 @@ class TestHEMAndQMD:
         lu_md = spla.splu(Ap, permc_spec="NATURAL",
                           options=dict(SymmetricMode=True))
         assert lu_md.nnz < lu_nat.nnz  # min-degree reduces fill
+
+
+class TestEx18NewtonMG:
+    def test_ex18_1_radiative_transport_newton_mg(self):
+        """snes ex18 (runex18: -pc_type mg -ksp_type fgmres
+        -da_refine 2 -pc_mg_galerkin; output/ex18_1.out): radiative
+        transport on 17², Newton + FGMRES + 3-level Galerkin MG —
+        the reference converges in 6 SNES iterations / 24 total
+        linear iterations (cheby+SSOR smoothers); this stack's
+        cheby+Jacobi smoothers match the 6 Newton iterations at ≤5
+        linear its per step (30 total)."""
+        import scipy.sparse as sp
+
+        from petsctpu.core.options import Options
+        from petsctpu.dm import DA
+        from petsctpu.ksp import ksp_solve
+        from petsctpu.mat import aij_from_scipy
+        from petsctpu.models import (radiative_initial_guess,
+                                     radiative_residual)
+        from petsctpu.pc import make_pc
+        from petsctpu.snes import ColoredJacobian
+
+        mx = my = 17
+        F = radiative_residual(mx, my)
+        N = mx * my
+        rows, cols = [], []
+        for J in range(my):
+            for I in range(mx):
+                r0 = I + mx * J
+                for ci, cj in ((I - 1, J), (I + 1, J), (I, J - 1),
+                               (I, J + 1), (I, J)):
+                    if 0 <= ci < mx and 0 <= cj < my:
+                        rows.append(r0)
+                        cols.append(ci + mx * cj)
+        patt = sp.csr_matrix((np.ones(len(rows)), (rows, cols)),
+                             shape=(N, N))
+        plan = ColoredJacobian.from_sparsity(patt, aij_from_scipy(patt))
+        da = DA((my, mx))
+
+        def aij_to_scipy(Jm):
+            m, n = Jm.shape
+            c = np.asarray(Jm.cols)
+            v = np.asarray(Jm.vals)
+            r = np.repeat(np.arange(m), c.shape[1])
+            M = sp.csr_matrix((v.ravel(), (r, c.ravel())), shape=(m, n))
+            M.eliminate_zeros()
+            return M
+
+        x = radiative_initial_guess(mx, my)
+        total_lin = 0
+        snes_its = 0
+        for _ in range(12):
+            Fx = F(x)
+            fnorm = float(jnp.linalg.norm(Fx))
+            if fnorm < 1e-8 * 0.83248:
+                break
+            Jm = plan.assemble(F, x, Fx)
+            pc = make_pc("mg", A=Jm, A_host=aij_to_scipy(Jm),
+                         options=Options({"pc_mg_da": da}))
+            r = ksp_solve(Jm, Fx, pc=pc, ksp_type="fgmres", rtol=1e-5,
+                          maxits=200)
+            total_lin += int(r.its)
+            x = x - r.x
+            snes_its += 1
+        assert snes_its == 6                     # reference: 6
+        assert total_lin <= 30                   # reference: 24
