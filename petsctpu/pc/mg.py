@@ -35,15 +35,21 @@ from petsctpu.pc.simple import JacobiPC
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class ChebySmoother:
-    """Fixed-iteration Chebyshev smoother with Jacobi preconditioning.
+    """Fixed-iteration Chebyshev smoother.
 
-    Bounds follow the reference's MG defaults: [0.1·λmax, 1.1·λmax]
-    of D⁻¹A (cheby.c estimate_eigenvalues transform)."""
+    Preconditioner: Jacobi (dinv) by default, or any pc pytree (e.g.
+    an SSOR plan — the reference's MG default smoother is
+    chebyshev+SOR local_symmetric, mg.c:220-224). Bounds follow the
+    reference's [0.1·λmax, 1.1·λmax] estimate transform of M⁻¹A."""
 
     dinv: jax.Array
     emin: jax.Array
     emax: jax.Array
     its: int = field(metadata=dict(static=True), default=2)
+    pc: Any = None
+
+    def _prec(self, r):
+        return self.pc.apply(r) if self.pc is not None else self.dinv * r
 
     def smooth(self, A, b, x):
         theta = 0.5 * (self.emax + self.emin)
@@ -51,12 +57,12 @@ class ChebySmoother:
         sigma = theta / delta
         rho = 1.0 / sigma
         r = b - A.mult(x)
-        d = (self.dinv * r) / theta
+        d = self._prec(r) / theta
         for _ in range(self.its):
             x = x + d
             r = r - A.mult(d)
             rho_new = 1.0 / (2.0 * sigma - rho)
-            d = rho_new * rho * d + (2.0 * rho_new / delta) * (self.dinv * r)
+            d = rho_new * rho * d + (2.0 * rho_new / delta) * self._prec(r)
             rho = rho_new
         return x
 
@@ -159,10 +165,41 @@ def _power_lambda_max(A: sp.csr_matrix, dinv: np.ndarray,
     return float(lam)
 
 
-def _cheby_smoother(Ah: sp.csr_matrix, dtype, its: int) -> ChebySmoother:
+def _cheby_smoother(Ah: sp.csr_matrix, dtype, its: int,
+                    pc_type: str = "jacobi") -> ChebySmoother:
     d = Ah.diagonal()
     d = np.where(d != 0, d, 1.0)
     dinv = (1.0 / d).astype(dtype)
+    if pc_type == "sor":
+        # the reference's MG smoother default: chebyshev + SSOR
+        # (local_symmetric, its=1, ω=1 — mg.c:224 + sor defaults)
+        from petsctpu.pc.sor import make_sor
+        ssor = make_sor(Ah, omega=1.0, sweeps=1, symmetric=True,
+                        dtype=dtype)
+        # host power iteration for λmax(M⁻¹A) with M = SSOR
+        import scipy.sparse.linalg as spla
+        Lm = sp.tril(Ah, k=0).tocsr()
+        Um = sp.triu(Ah, k=0).tocsr()
+
+        def m_inv(r):
+            y = spla.spsolve_triangular(Lm, r, lower=True)
+            y = d * y
+            return spla.spsolve_triangular(Um, y, lower=False)
+
+        rng = np.random.default_rng(11)
+        v = rng.standard_normal(Ah.shape[0])
+        v /= np.linalg.norm(v)
+        lam = 1.0
+        for _ in range(20):
+            w = m_inv(Ah @ v)
+            lam = np.linalg.norm(w)
+            if lam == 0:
+                lam = 1.0
+                break
+            v = w / lam
+        return ChebySmoother(jnp.asarray(dinv),
+                             jnp.asarray(dtype(0.1 * lam)),
+                             jnp.asarray(dtype(1.1 * lam)), its, ssor)
     lam = _power_lambda_max(Ah, dinv)
     return ChebySmoother(jnp.asarray(dinv),
                          jnp.asarray(dtype(0.1 * lam)),
@@ -180,6 +217,7 @@ def make_geometric_mg(A_host, da, dtype=None, options: Options = None):
     max_levels = opts.get_int("pc_mg_levels", 0)
     coarse_n = opts.get_int("pc_mg_coarse_size", 65)
     sm_its = opts.get_int("mg_levels_ksp_max_it", 2)
+    sm_pc = opts.get_str("mg_levels_pc_type", "jacobi")
     cycles = 2 if opts.get_str("pc_mg_cycle_type", "v") == "w" else 1
     mg_type = opts.get_str("pc_mg_type", "multiplicative")
 
@@ -192,7 +230,8 @@ def make_geometric_mg(A_host, da, dtype=None, options: Options = None):
         Pd = cur.interpolation(coarse)
         Ps = q1_interp_scipy(cur.grid, coarse.grid)
         Ad = stencil_from_scipy(Ah, cur.grid, dtype=dtype)
-        levels.append(MGLevel(Ad, Pd, _cheby_smoother(Ah, dtype, sm_its)))
+        levels.append(MGLevel(Ad, Pd,
+                              _cheby_smoother(Ah, dtype, sm_its, sm_pc)))
         Ah = (Ps.T @ Ah @ Ps).tocsr()
         cur = coarse
     coarse_pc = make_lu(Ah, dtype=dtype)

@@ -236,9 +236,10 @@ class TestEx18NewtonMG:
         -da_refine 2 -pc_mg_galerkin; output/ex18_1.out): radiative
         transport on 17², Newton + FGMRES + 3-level Galerkin MG —
         the reference converges in 6 SNES iterations / 24 total
-        linear iterations (cheby+SSOR smoothers); this stack's
-        cheby+Jacobi smoothers match the 6 Newton iterations at ≤5
-        linear its per step (30 total)."""
+        linear iterations. With the reference's default smoother stack
+        (chebyshev + SSOR local_symmetric, mg.c:220-224 — selected via
+        -mg_levels_pc_type sor) this reproduces BOTH counts exactly:
+        6 Newton / 24 linear."""
         import scipy.sparse as sp
 
         from petsctpu.core.options import Options
@@ -286,11 +287,12 @@ class TestEx18NewtonMG:
                 break
             Jm = plan.assemble(F, x, Fx)
             pc = make_pc("mg", A=Jm, A_host=aij_to_scipy(Jm),
-                         options=Options({"pc_mg_da": da}))
+                         options=Options({"pc_mg_da": da,
+                                          "mg_levels_pc_type": "sor"}))
             r = ksp_solve(Jm, Fx, pc=pc, ksp_type="fgmres", rtol=1e-5,
                           maxits=200)
             total_lin += int(r.its)
             x = x - r.x
             snes_its += 1
         assert snes_its == 6                     # reference: 6
-        assert total_lin <= 30                   # reference: 24
+        assert total_lin == 24                   # reference: 24
