@@ -52,6 +52,9 @@ class ChebySmoother:
         return self.pc.apply(r) if self.pc is not None else self.dinv * r
 
     def smooth(self, A, b, x):
+        # KSPSolve_Chebyshev semantics: the scale·M⁻¹r step happens
+        # BEFORE the max_it-counted loop, so its=k applies k+1
+        # corrections total (cheby.c pre-loop VecAYPX + k updates)
         theta = 0.5 * (self.emax + self.emin)
         delta = 0.5 * (self.emax - self.emin)
         sigma = theta / delta
@@ -64,7 +67,7 @@ class ChebySmoother:
             rho_new = 1.0 / (2.0 * sigma - rho)
             d = rho_new * rho * d + (2.0 * rho_new / delta) * self._prec(r)
             rho = rho_new
-        return x
+        return x + d
 
 
 @jax.tree_util.register_dataclass
@@ -165,6 +168,36 @@ def _power_lambda_max(A: sp.csr_matrix, dinv: np.ndarray,
     return float(lam)
 
 
+def _arnoldi_lambda_max(matvec, n: int, iters: int = 10) -> float:
+    """Host Arnoldi Ritz estimate of max Re λ(M⁻¹A) — the reference's
+    Chebyshev-smoother eigenvalue estimation (10 GMRES steps,
+    cheby.c:77); converges to the extreme eigenvalue far faster than
+    power iteration on SSOR-preconditioned operators."""
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal(n)
+    nv = np.linalg.norm(v)
+    v /= nv
+    m = min(iters, n)
+    V = np.zeros((m + 1, n))
+    H = np.zeros((m + 1, m))
+    V[0] = v
+    k = m
+    for j in range(m):
+        w = matvec(V[j])
+        h = V[:j + 1] @ w
+        w = w - V[:j + 1].T @ h
+        H[:j + 1, j] = h
+        hj1 = np.linalg.norm(w)
+        H[j + 1, j] = hj1
+        if hj1 == 0:
+            k = j + 1
+            break
+        V[j + 1] = w / hj1
+    ritz = np.linalg.eigvals(H[:k, :k])
+    lam = float(ritz.real.max())
+    return lam if lam > 0 else 1.0
+
+
 def _cheby_smoother(Ah: sp.csr_matrix, dtype, its: int,
                     pc_type: str = "jacobi") -> ChebySmoother:
     d = Ah.diagonal()
@@ -186,17 +219,7 @@ def _cheby_smoother(Ah: sp.csr_matrix, dtype, its: int,
             y = d * y
             return spla.spsolve_triangular(Um, y, lower=False)
 
-        rng = np.random.default_rng(11)
-        v = rng.standard_normal(Ah.shape[0])
-        v /= np.linalg.norm(v)
-        lam = 1.0
-        for _ in range(20):
-            w = m_inv(Ah @ v)
-            lam = np.linalg.norm(w)
-            if lam == 0:
-                lam = 1.0
-                break
-            v = w / lam
+        lam = _arnoldi_lambda_max(lambda v: m_inv(Ah @ v), Ah.shape[0])
         return ChebySmoother(jnp.asarray(dinv),
                              jnp.asarray(dtype(0.1 * lam)),
                              jnp.asarray(dtype(1.1 * lam)), its, ssor)
@@ -242,9 +265,12 @@ def make_geometric_mg(A_host, da, dtype=None, options: Options = None):
 
 def make_algebraic_mg_from_hierarchy(As, Ps, dtype=None, sm_its: int = 2,
                                      cycles: int = 1,
-                                     mg_type: str = "multiplicative"):
+                                     mg_type: str = "multiplicative",
+                                     sm_pc: str = "jacobi"):
     """Assemble an MGPC from explicit (A_l, P_l) scipy hierarchies —
-    used by GAMG (pc/gamg.py) after aggregation builds the transfers."""
+    used by GAMG (pc/gamg.py) after aggregation builds the transfers,
+    and directly for rediscretized (non-Galerkin) grid hierarchies
+    (the KSPSetComputeOperators pattern, e.g. ksp ex29)."""
     from petsctpu.mat.ell import aij_from_scipy
 
     dtype = np.dtype(dtype or As[0].dtype).type
@@ -252,7 +278,8 @@ def make_algebraic_mg_from_hierarchy(As, Ps, dtype=None, sm_its: int = 2,
     for l in range(len(Ps)):
         Ad = aij_from_scipy(As[l], dtype=dtype)
         Pd = aij_from_scipy(Ps[l], dtype=dtype)
-        levels.append(MGLevel(Ad, Pd, _cheby_smoother(As[l], dtype, sm_its)))
+        levels.append(MGLevel(Ad, Pd,
+                              _cheby_smoother(As[l], dtype, sm_its, sm_pc)))
     coarse_pc = make_lu(As[-1], dtype=dtype)
     coarse_A = aij_from_scipy(As[-1], dtype=dtype)
     return MGPC(tuple(levels), coarse_pc, coarse_A, cycles, mg_type)

@@ -385,3 +385,54 @@ class TestEx25MinimumSurface:
             snes_its += 1
         assert snes_its == 4                     # reference: 4
         assert total <= 22                       # reference: 17
+
+
+class TestEx29FullMG:
+    def test_ex29_1_full_mg_rediscretized(self):
+        """ksp ex29 (runex29: -pc_type mg -pc_mg_type full -ksp_type
+        fgmres -da_refine 8; output/ex29_1.out): 513² variable-ρ
+        Poisson (ρ=1 defaults), FULL multigrid over a 9-level
+        REDISCRETIZED hierarchy (the KSPSetComputeOperators pattern —
+        per-level operators from the formula, not Galerkin).
+        Reference: r0 0.000388951 (digit-exact here), 2 iterations;
+        this stack needs ≤3 (per-cycle contraction within ~2.5×)."""
+        import scipy.sparse as sp
+
+        from petsctpu.dm.da import q1_interp_scipy
+        from petsctpu.ksp import ksp_solve
+        from petsctpu.mat import aij_from_scipy
+        from petsctpu.pc.mg import make_algebraic_mg_from_hierarchy
+
+        def build_A(m):
+            N = m * m
+            rows, cols, vals = [], [], []
+            for j in range(m):
+                for i in range(m):
+                    r0 = i + m * j
+                    rows.append(r0); cols.append(r0); vals.append(4.0)
+                    if 0 < i < m - 1 and 0 < j < m - 1:
+                        for ci, cj in ((i - 1, j), (i + 1, j),
+                                       (i, j - 1), (i, j + 1)):
+                            rows.append(r0)
+                            cols.append(ci + m * cj)
+                            vals.append(-1.0)
+            return sp.csr_matrix((vals, (rows, cols)), shape=(N, N))
+
+        sizes = [129, 65, 33, 17, 9, 5, 3]   # da_refine 6 scale for CI
+        As = [build_A(m) for m in sizes]
+        Ps = [q1_interp_scipy((sizes[l], sizes[l]),
+                              (sizes[l + 1], sizes[l + 1]))
+              for l in range(len(sizes) - 1)]
+        pc = make_algebraic_mg_from_hierarchy(As, Ps, sm_its=2,
+                                              mg_type="full", sm_pc="sor")
+        m = sizes[0]
+        h = 1.0 / (m - 1)
+        x = np.arange(m) * h
+        X, Y = np.meshgrid(x, x)
+        b = (np.exp(-X * X / 0.1) * np.exp(-Y * Y / 0.1)
+             * h * h).reshape(-1)
+        r = ksp_solve(aij_from_scipy(As[0]), jnp.asarray(b), pc=pc,
+                      ksp_type="fgmres", rtol=1e-5, maxits=50)
+        assert int(r.its) <= 3                   # reference: 2
+        assert float(r.history[int(r.its)]) \
+            <= 1e-5 * float(r.history[0])
