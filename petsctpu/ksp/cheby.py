@@ -211,3 +211,73 @@ def solve_preonly(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
     return SolveResult(x, jnp.int32(1),
                        jnp.int32(ConvergedReason.CONVERGED_ITS),
                        jnp.zeros((), dtype), history)
+
+
+def ksp_compute_eigenvalues(A, pc, b, iters: int = 30):
+    """KSPComputeEigenvalues analog (-ksp_compute_eigenvalues,
+    gmreig.c KSPComputeEigenvalues_GMRES): Ritz values of the
+    preconditioned operator M⁻¹A from an `iters`-step Arnoldi run on
+    the solve's right-hand side. Returns a complex numpy array
+    (host). For the extreme singular values (KSPComputeExtreme-
+    SingularValues analog) use ksp_compute_extreme_singular_values."""
+    import numpy as np
+
+    v = np.asarray(apply_pc(pc, b), np.float64)
+    beta = float(np.linalg.norm(v))
+    n = v.shape[0]
+    m = min(iters, n)
+    if beta == 0.0:
+        return np.zeros(0, np.complex128)
+    V = np.zeros((m + 1, n))
+    H = np.zeros((m + 1, m))
+    V[0] = v / beta
+    k = m
+    for j in range(m):
+        w = np.asarray(apply_pc(pc, A.mult(jnp.asarray(V[j]))),
+                       np.float64)
+        h = V[:j + 1] @ w
+        w = w - V[:j + 1].T @ h
+        h2 = V[:j + 1] @ w            # reorthogonalize (refinement):
+        w = w - V[:j + 1].T @ h2      # full-dimension Arnoldi needs it
+        H[:j + 1, j] = h + h2
+        hj1 = float(np.linalg.norm(w))
+        H[j + 1, j] = hj1
+        if hj1 == 0.0:
+            k = j + 1
+            break
+        V[j + 1] = w / hj1
+    return np.linalg.eigvals(H[:k, :k])
+
+
+def ksp_compute_extreme_singular_values(A, pc, b, iters: int = 30):
+    """KSPComputeExtremeSingularValues analog (gmreig.c:21): extreme
+    singular values of the preconditioned operator from the Arnoldi
+    upper-Hessenberg (SVD of H̄ₘ). Returns (smin, smax)."""
+    import numpy as np
+
+    v = np.asarray(apply_pc(pc, b), np.float64)
+    beta = float(np.linalg.norm(v))
+    n = v.shape[0]
+    m = min(iters, n)
+    if beta == 0.0:
+        return 0.0, 0.0
+    V = np.zeros((m + 1, n))
+    H = np.zeros((m + 1, m))
+    V[0] = v / beta
+    k = m
+    for j in range(m):
+        w = np.asarray(apply_pc(pc, A.mult(jnp.asarray(V[j]))),
+                       np.float64)
+        h = V[:j + 1] @ w
+        w = w - V[:j + 1].T @ h
+        h2 = V[:j + 1] @ w
+        w = w - V[:j + 1].T @ h2
+        H[:j + 1, j] = h + h2
+        hj1 = float(np.linalg.norm(w))
+        H[j + 1, j] = hj1
+        if hj1 == 0.0:
+            k = j + 1
+            break
+        V[j + 1] = w / hj1
+    s = np.linalg.svd(H[:k + 1, :k], compute_uv=False)
+    return float(s.min()), float(s.max())

@@ -129,3 +129,32 @@ class TestChebyEstArnoldi:
             p_km1, p_k = p_k, p_kp1
             c_km1, c_k = c_k, c_kp1
         np.testing.assert_allclose(np.asarray(r.x), p_k, atol=1e-12)
+
+
+class TestComputeEigenvalues:
+    def test_ritz_values_match_spectrum(self):
+        """ksp_compute_eigenvalues (KSPComputeEigenvalues analog):
+        full-dimension Arnoldi reproduces the exact spectrum of
+        M⁻¹A; extreme singular values bracket the Ritz extremes."""
+        import numpy.linalg as la
+
+        from petsctpu.ksp.cheby import (
+            ksp_compute_eigenvalues,
+            ksp_compute_extreme_singular_values)
+        from petsctpu.models import laplacian_2d
+        from petsctpu.pc.simple import make_jacobi
+
+        A = laplacian_2d(5, 5)
+        Ad = aij_from_scipy(A)
+        pc = make_jacobi(Ad)
+        b = jnp.asarray(np.ones(25))
+        ritz = np.sort(ksp_compute_eigenvalues(Ad, pc, b, iters=25).real)
+        Minv_A = np.diag(1.0 / A.diagonal()) @ A.toarray()
+        exact = np.sort(la.eigvals(Minv_A).real)
+        # Arnoldi from a single start vector finds the eigenvalues
+        # whose eigenvectors overlap b — compare extremes
+        np.testing.assert_allclose(ritz.max(), exact.max(), rtol=1e-8)
+        np.testing.assert_allclose(ritz.min(), exact.min(), rtol=1e-6)
+        smin, smax = ksp_compute_extreme_singular_values(Ad, pc, b, 25)
+        assert smax >= ritz.max() - 1e-10
+        assert 0 < smin <= ritz.min() + 1e-6
