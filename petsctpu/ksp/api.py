@@ -106,6 +106,8 @@ def config_from_options(opts: Options, defaults: KSPConfig = None) -> KSPConfig:
         norm_type=opts.get("ksp_norm_type", cfg.norm_type),
         monitor=opts.get_bool("ksp_monitor", cfg.monitor)
         or opts.get_bool("ksp_monitor_short", False),
+        monitor_true=opts.get_bool("ksp_monitor_true_residual",
+                                   cfg.monitor_true),
         cgs_refine=opts.get_str("ksp_gmres_cgs_refinement_type",
                                 cfg.cgs_refine).replace("refine_", ""),
         orth="mgs" if opts.get_bool("ksp_gmres_modifiedgramschmidt", False)

@@ -20,7 +20,7 @@ from petsctpu.core.errors import ConvergedReason
 from petsctpu.ksp.common import (
     KSPConfig, SolveResult, NORM_NATURAL, NORM_NONE, NORM_PRECONDITIONED,
     NORM_UNPRECONDITIONED, apply_pc, check_convergence, init_history,
-    monitor_cb, record, rnorm0_reference,
+    monitor_cb, monitor_true_cb, record, rnorm0_reference,
 )
 from petsctpu.vec import ops
 
@@ -45,6 +45,8 @@ def solve_cg(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
     dp = _cg_norm(r, z, rz, cfg, axis)
     history = record(init_history(cfg, dtype), 0, dp)
     monitor_cb(cfg, 0, dp)
+    bnorm = ops.norm(b, axis)
+    monitor_true_cb(cfg, 0, dp, ops.norm(r, axis), bnorm)
     rnorm0 = rnorm0_reference(cfg, b, pc,
                               cfg.norm_type or NORM_PRECONDITIONED, axis, dp)
     reason = check_convergence(dp, rnorm0, jnp.int32(0), cfg)
@@ -78,6 +80,7 @@ def solve_cg(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
         its = its + 1
         history = record(history, its, dp)
         monitor_cb(cfg, its, dp)
+        monitor_true_cb(cfg, its, dp, jnp.sqrt(rr), bnorm)
         reason = check_convergence(dp, rnorm0, its, cfg)
         beta = rz_new / rz
         indefinite_pc = beta < 0

@@ -36,6 +36,7 @@ class KSPConfig:
     restart: int = 30                   # GMRES restart
     norm_type: Optional[str] = None     # None -> solver default
     monitor: bool = False
+    monitor_true: bool = False          # -ksp_monitor_true_residual
     orth: str = "cgs"                   # gmres orthogonalization: cgs|mgs
     cgs_refine: str = "never"           # never|ifneeded|always
     richardson_scale: float = 1.0
@@ -109,6 +110,34 @@ def monitor_cb_if(cfg: KSPConfig, pred, its, rnorm):
     """Monitor gated by a traced predicate (e.g. only at first cycle)."""
     if cfg.monitor:
         jax.debug.callback(_monitor_print_if, pred, its, rnorm, ordered=True)
+
+
+def _monitor_true_print(its, rnorm, trnorm, rel):
+    print(f"{int(its):3d} KSP preconditioned resid norm "
+          f"{float(rnorm):14.12e} true resid norm {float(trnorm):14.12e} "
+          f"||r(i)||/||b|| {float(rel):14.12e}")
+
+
+def _monitor_true_print_if(pred, its, rnorm, trnorm, rel):
+    if bool(pred):
+        _monitor_true_print(its, rnorm, trnorm, rel)
+
+
+def monitor_true_cb_if(cfg: KSPConfig, pred, its, rnorm, trnorm, bnorm):
+    if cfg.monitor_true:
+        rel = trnorm / jnp.where(bnorm > 0, bnorm, 1.0)
+        jax.debug.callback(_monitor_true_print_if, pred, its, rnorm,
+                           trnorm, rel, ordered=True)
+
+
+def monitor_true_cb(cfg: KSPConfig, its, rnorm, trnorm, bnorm):
+    """-ksp_monitor_true_residual (KSPMonitorTrueResidualNorm,
+    iterativ.c): prints the preconditioned estimate, the actual
+    ‖b − Ax‖ (KSPBuildResidual), and its ratio to ‖b‖."""
+    if cfg.monitor_true:
+        rel = trnorm / jnp.where(bnorm > 0, bnorm, 1.0)
+        jax.debug.callback(_monitor_true_print, its, rnorm, trnorm, rel,
+                           ordered=True)
 
 
 def record(history, its, rnorm):

@@ -24,7 +24,8 @@ from petsctpu.core.errors import ConvergedReason
 from petsctpu.ksp.common import (
     KSPConfig, SolveResult, NORM_NONE, NORM_PRECONDITIONED,
     NORM_UNPRECONDITIONED, apply_pc, check_convergence, init_history,
-    monitor_cb, monitor_cb_if, record, rnorm0_reference,
+    monitor_cb, monitor_cb_if, monitor_true_cb, monitor_true_cb_if,
+    record, rnorm0_reference,
 )
 from petsctpu.vec import ops
 
@@ -132,6 +133,10 @@ def _gmres_generic(A, b, x0, pc, cfg: KSPConfig, axis, flexible: bool):
                            c["rnorm0"])
         history = jnp.where(first, record(c["history"], 0, beta), c["history"])
         monitor_cb_if(cfg, first, jnp.int32(0), beta)
+        if cfg.monitor_true:
+            monitor_true_cb_if(cfg, first, jnp.int32(0), beta,
+                               ops.norm(b - A.mult(x), axis),
+                               ops.norm(b, axis))
         reason = jnp.where(first,
                            check_convergence(beta, rnorm0, jnp.int32(0), cfg),
                            c["reason"])
@@ -166,6 +171,14 @@ def _gmres_generic(A, b, x0, pc, cfg: KSPConfig, axis, flexible: bool):
             its = ic["its"] + 1
             history = record(ic["history"], its, rnorm)
             monitor_cb(cfg, its, rnorm)
+            if cfg.monitor_true:
+                # KSPBuildResidual: form the current iterate and its
+                # actual residual (only compiled in when requested)
+                basis = Z if flexible else V[:m]
+                xcur = x + _solve_update(H, g, basis, ic["j"] + 1, m)
+                rtrue = ops.norm(b - A.mult(xcur), axis)
+                monitor_true_cb(cfg, its, rnorm, rtrue,
+                                ops.norm(b, axis))
             reason = check_convergence(rnorm, ic["rnorm0"], its, cfg)
             # lucky/happy breakdown: residual exactly 0
             reason = jnp.where((reason == 0) & (hj1 == 0),

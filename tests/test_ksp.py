@@ -168,3 +168,28 @@ class TestKSPObject:
         assert res.converged
         np.testing.assert_allclose(np.asarray(res.x), u, atol=1e-8)
         assert opts.unused() == []
+
+
+class TestMonitorTrueResidual:
+    def test_true_residual_stream_matches_actual(self, capsys):
+        """-ksp_monitor_true_residual (KSPMonitorTrueResidualNorm):
+        the streamed true residual at the final iteration equals the
+        recomputed ‖b − Ax‖."""
+        from petsctpu.models import ex2_system
+        from petsctpu.pc import make_pc
+
+        A, b, u = ex2_system(5, 5)
+        Ad = aij_from_scipy(A)
+        pc = make_pc("ilu", A=Ad, A_host=A)
+        import jax as _jax
+
+        r = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="gmres",
+                      rtol=1e-2 / 36, atol=1e-50, monitor_true=True)
+        _jax.effects_barrier()
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == int(r.its) + 1
+        assert "true resid norm" in out[0]
+        last_true = float(out[-1].split("true resid norm")[1].split()[0])
+        actual = float(np.linalg.norm(
+            b - A @ np.asarray(r.x)))
+        np.testing.assert_allclose(last_true, actual, rtol=1e-6)
