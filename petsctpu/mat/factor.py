@@ -86,6 +86,214 @@ def icc0(A) -> sp.csr_matrix:
     return L, U
 
 
+def icc_pattern(A, levels: int):
+    """Symbolic IC(k) pattern (MatICCFactorSymbolic_SeqAIJ,
+    aijfact.c:2405): column-driven level rule over the UPPER triangle
+    only. Row k starts from A's upper entries at level 0; every prior
+    row `prow` with a pattern entry (prow,k) merges its columns j>k at
+    level lev(prow,j) + lev(prow,k) + 1, kept when ≤ `levels`
+    (PetscICCLLAddSorted, matimpl.h:1069). This differs from the
+    upper triangle of the ILU(k) pattern: levels here propagate only
+    through stored upper rows.
+
+    Returns per-row sorted strict-upper column arrays.
+    """
+    A = sp.csr_matrix(A)
+    A.sort_indices()
+    n = A.shape[0]
+    ai, aj = A.indptr, A.indices
+    out_cols = []                    # per row: np array strict-upper cols
+    out_lvls = []                    # matching levels
+    il = np.zeros(n, np.int64)       # next-unconsumed index into out_cols
+    bucket = [[] for _ in range(n)]  # jl: rows keyed by active column
+    for k in range(n):
+        row = aj[ai[k]:ai[k + 1]]
+        lnk = {int(j): 0 for j in row[row >= k]}
+        lnk.setdefault(k, 0)         # diagonal always present
+        for prow in bucket[k]:
+            p0 = il[prow]
+            cols_p = out_cols[prow]
+            lvls_p = out_lvls[prow]
+            lev_pk = int(lvls_p[p0])
+            for t in range(p0 + 1, len(cols_p)):
+                inc = int(lvls_p[t]) + lev_pk + 1
+                if inc > levels:
+                    continue
+                j = int(cols_p[t])
+                if j not in lnk or lnk[j] > inc:
+                    lnk[j] = inc
+            nxt = p0 + 1
+            if nxt < len(cols_p):
+                il[prow] = nxt
+                bucket[int(cols_p[nxt])].append(prow)
+        bucket[k] = []
+        items = sorted((j, l) for j, l in lnk.items() if j > k)
+        cols_k = np.asarray([j for j, _ in items], np.int64)
+        lvls_k = np.asarray([l for _, l in items], np.int64)
+        out_cols.append(cols_k)
+        out_lvls.append(lvls_k)
+        if len(cols_k):
+            il[k] = 0
+            bucket[int(cols_k[0])].append(k)
+    return out_cols
+
+
+def icc_factor(A, pattern_rows=None, shift_type: str = "positive_definite",
+               zeropivot: float = None, shift_amount: float = None):
+    """Incomplete Cholesky A ≈ UᵀDU restricted to an upper-triangular
+    pattern, with the reference's Manteuffel/zero-pivot shift loop.
+
+    This is the algorithm of MatCholeskyFactorNumeric_SeqAIJ
+    (src/mat/impls/aij/seq/aijfact.c:2076-2230): row-by-row elimination
+    over the pattern (fills outside the pattern dropped), a
+    column-bucketed walk of prior rows (the c2r/il linked lists), and
+    MatPivotCheck (include/petsc-private/matimpl.h:511-585) restarting
+    the whole factorization with a larger diagonal shift when a pivot
+    fails:
+
+      * positive_definite (Manteuffel; the PCICC default, icc.c:198):
+        shift_top = 1.1·max_i(Σ_j|a_ij| − |a_ii| − a_ii); on failure
+        bisect shift_fraction upward in [0,1] (max 5 tries, then 1.0)
+        and restart with shift = fraction·shift_top.
+      * nonzero: start at `shift_amount` (default 100·eps), double on
+        each failure (matimpl.h:512-529).
+      * inblocks: add `shift_amount` to the failing pivot in place, no
+        restart (matimpl.h:557-569).
+      * none: raise on |pivot| ≤ zeropivot (matimpl.h:572-585).
+
+    pattern_rows: per-row sorted arrays of upper-triangle columns
+    (including the diagonal), e.g. from the ILU(k) symbolic level rule;
+    None means IC(0) = pattern of triu(A).
+
+    Returns (Ustrict, d, nshift, shift_used): Ustrict the strictly
+    upper CSR of the UNIT-upper factor U, d the pivot vector, so
+    A + shift·I ≈ (I+Ustrict)ᵀ · diag(d) · (I+Ustrict).
+    """
+    A = sp.csr_matrix(A)
+    A.sort_indices()
+    n = A.shape[0]
+    eps = float(np.finfo(np.float64).eps)
+    if zeropivot is None:
+        zeropivot = 100.0 * eps
+    if shift_amount is None:
+        shift_amount = 100.0 * eps
+    ai, aj, aa = A.indptr, A.indices, np.asarray(A.data, np.float64)
+
+    # --- pattern (strict upper per row, sorted) ---
+    if pattern_rows is None:
+        strict = [aj[ai[i]:ai[i + 1]][aj[ai[i]:ai[i + 1]] > i]
+                  for i in range(n)]
+    else:
+        strict = [np.asarray(r)[np.asarray(r) > i]
+                  for i, r in enumerate(pattern_rows)]
+    ui = np.zeros(n + 1, np.int64)
+    for i, r in enumerate(strict):
+        ui[i + 1] = ui[i] + len(r)
+    uj = (np.concatenate(strict).astype(np.int64) if n and ui[-1]
+          else np.zeros(0, np.int64))
+    uv = np.zeros(ui[-1], np.float64)
+    d = np.zeros(n, np.float64)
+
+    # --- shift_top for the Manteuffel (positive_definite) strategy ---
+    shift_top = 0.0
+    if shift_type == "positive_definite":
+        shift_top = zeropivot
+        for i in range(n):
+            row = aa[ai[i]:ai[i + 1]]
+            cols = aj[ai[i]:ai[i + 1]]
+            dpos = np.searchsorted(cols, i)
+            dval = row[dpos] if dpos < len(cols) and cols[dpos] == i else 0.0
+            rs = float(np.abs(row).sum()) - abs(dval) - dval
+            shift_top = max(shift_top, rs)
+        shift_top *= 1.1
+
+    nshift = 0
+    nshift_max = 5
+    shift_lo, shift_hi, shift_fraction = 0.0, 1.0, 0.0
+    cur_shift = 0.0
+    rtmp = np.zeros(n, np.float64)
+
+    while True:                                  # the reference's do-while
+        newshift = False
+        il = np.zeros(n, np.int64)
+        bucket = [[] for _ in range(n)]          # c2r: rows keyed by column
+        for k in range(n):
+            cols_k = uj[ui[k]:ui[k + 1]]
+            rtmp[cols_k] = 0.0
+            # load unfactored upper row of A
+            arow = slice(ai[k], ai[k + 1])
+            upper = aj[arow] >= k
+            acols = aj[arow][upper]
+            avals = aa[arow][upper]
+            dk = cur_shift
+            sd = np.searchsorted(acols, k)
+            if sd < len(acols) and acols[sd] == k:
+                dk += avals[sd]
+            off = acols != k
+            rtmp[acols[off]] = avals[off]
+
+            # eliminate with prior rows whose active column is k
+            for i in bucket[k]:
+                ili = il[i]
+                stored = uv[ili]                 # = d_i · u_ik
+                uikdi = -stored / d[i]           # = −u_ik
+                dk += uikdi * stored
+                uv[ili] = uikdi
+                nxt = ili + 1
+                if nxt < ui[i + 1]:
+                    sl = slice(nxt, ui[i + 1])
+                    rtmp[uj[sl]] += uikdi * uv[sl]
+                    il[i] = nxt
+                    bucket[uj[nxt]].append(i)
+            bucket[k] = []
+
+            # copy into U(k,:) and compute the active row sum
+            sl = slice(ui[k], ui[k + 1])
+            uv[sl] = rtmp[cols_k]
+            rs = float(np.abs(uv[sl]).sum())
+            if len(cols_k):
+                il[k] = ui[k]
+                bucket[cols_k[0]].append(k)
+
+            # MatPivotCheck
+            if shift_type == "positive_definite":
+                if dk <= zeropivot * rs:
+                    if nshift == nshift_max:
+                        shift_fraction = shift_hi
+                    else:
+                        shift_lo = shift_fraction
+                        shift_fraction = (shift_hi + shift_lo) / 2.0
+                    cur_shift = shift_fraction * shift_top
+                    nshift += 1
+                    newshift = True
+                    break
+            elif shift_type == "nonzero":
+                if abs(dk) <= zeropivot * rs:
+                    cur_shift = (shift_amount if nshift == 0
+                                 else cur_shift * 2.0)
+                    nshift += 1
+                    newshift = True
+                    break
+            elif shift_type == "inblocks":
+                if abs(dk) <= zeropivot:
+                    dk += shift_amount
+                    nshift += 1
+            else:                                # none
+                if abs(dk) <= zeropivot:
+                    raise ZeroDivisionError(
+                        f"icc: zero pivot row {k} value {abs(dk):g} "
+                        f"tolerance {zeropivot:g}")
+            d[k] = dk
+        if not newshift:
+            break
+
+    # stored strict entries are −u_ij once consumed; entries of the last
+    # rows are consumed too (every column < n gets its bucket turn), so
+    # recover the unit-upper factor directly.
+    Ustrict = sp.csr_matrix((-uv, uj, ui), shape=(n, n))
+    return Ustrict, d, nshift, cur_shift
+
+
 def lu_factor(A):
     """Complete sparse LU via SuperLU (scipy splu) with permutations,
     exposed as (L, U, perm_r, perm_c) for level-scheduled device solves.

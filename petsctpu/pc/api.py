@@ -55,7 +55,20 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
                         drop_tol=opts.get_real("pc_factor_drop_tolerance",
                                                0.0),
                         fill_factor=opts.get_real("pc_factor_fill", 10.0))
-    if pc_type in ("lu", "cholesky", "icc"):
+    if pc_type == "icc":
+        _require_host(A_host, "icc")
+        from petsctpu.pc.factor import make_icc
+        return make_icc(
+            A_host, dtype=dt,
+            levels=opts.get_int("pc_factor_levels", 0),
+            ordering=opts.get_str("pc_factor_mat_ordering_type", "natural"),
+            tri=opts.get_str("pc_factor_tri_solve", "level"),
+            # the PCICC default is the Manteuffel shift (icc.c:198)
+            shift_type=opts.get_str("pc_factor_shift_type",
+                                    "positive_definite"),
+            shift_amount=opts.get("pc_factor_shift_amount"),
+            zeropivot=opts.get("pc_factor_zeropivot"))
+    if pc_type in ("lu", "cholesky"):
         _require_host(A_host, pc_type)
         return make_lu(A_host, dtype=dt)
     if pc_type == "mg":

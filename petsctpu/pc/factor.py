@@ -170,6 +170,57 @@ def _make_ilu_natural(A_host, dtype=None, levels: int = 0,
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
+class ICCPC:
+    """Incomplete Cholesky apply: x = U⁻¹ D⁻¹ U⁻ᵀ b with U unit upper
+    (A ≈ UᵀDU from mat/factor.icc_factor — the reference's SBAIJ-form
+    factor storage, MatSolve_SeqSBAIJ_1_NaturalOrdering)."""
+
+    Lplan: object                  # solves Uᵀ y = b (unit lower)
+    Uplan: object                  # solves U x = z (unit upper)
+    dinv: jax.Array
+
+    def apply(self, b):
+        y = self.Lplan.solve(b)
+        return self.Uplan.solve(self.dinv * y)
+
+
+def make_icc(A_host, dtype=None, levels: int = 0,
+             ordering: str = "natural", tri: str = "level",
+             shift_type: str = "positive_definite",
+             shift_amount: float = None, zeropivot: float = None):
+    """True ICC(k): symbolic level pattern (the same Saad/aijfact.c
+    rule as ILU(k), restricted to the upper triangle) + the reference's
+    UᵀDU numeric incomplete Cholesky with Manteuffel shift
+    (MatCholeskyFactorNumeric_SeqAIJ aijfact.c:2076; PCICC defaults
+    icc.c:198). Reproduces ksp ex32 testset5 icc monitor streams
+    digit-exact (natural ordering)."""
+    import scipy.sparse as sp
+
+    from petsctpu.mat.factor import icc_factor, icc_pattern
+
+    if ordering not in ("natural", ""):
+        from petsctpu.mat.order import get_ordering, permute_symmetric
+        perm = get_ordering(A_host, ordering)
+        inner = make_icc(permute_symmetric(A_host, perm), dtype=dtype,
+                         levels=levels, tri=tri, shift_type=shift_type,
+                         shift_amount=shift_amount, zeropivot=zeropivot)
+        return PermutedPC(inner, jnp.asarray(perm, jnp.int32))
+    pattern = (None if levels == 0
+               else icc_pattern(sp.csr_matrix(A_host), levels))
+    Ustrict, d, _, _ = icc_factor(A_host, pattern_rows=pattern,
+                                  shift_type=shift_type,
+                                  zeropivot=zeropivot,
+                                  shift_amount=shift_amount)
+    L = sp.csr_matrix(Ustrict.T)
+    mk = (make_band_trsv_plan if tri == "band" else make_sptrsv_plan)
+    dt = dtype or np.float64
+    return ICCPC(mk(L, lower=True, unit_diag=True, dtype=dtype),
+                 mk(Ustrict, lower=False, unit_diag=True, dtype=dtype),
+                 jnp.asarray(1.0 / d, dt))
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
 class LUPC:
     """Exact sparse LU (SuperLU factors, device triangular solves):
     x = Pc U⁻¹ L⁻¹ Pr b."""

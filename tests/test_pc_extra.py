@@ -179,55 +179,132 @@ class TestSupportGraph:
         np.testing.assert_allclose(A @ np.asarray(r.x), 1.0, atol=1e-6)
 
 
-class TestILUkLevelRule:
-    def test_ex32_testset5_cg_iluk_orderings(self):
-        """ksp/examples/tests/output/ex32_5.out (runex32_testset5,
-        natural ordering rows): 8³ 7-point operator, symmetrized and
-        halved like ex32.c:58-60, CG + incomplete factorization with
-        level fill 0..3. The symbolic level rule (Saad/aijfact.c)
-        reproduces the reference's iteration counts EXACTLY (6/5/4/3)
-        and the preconditioned histories to ~3 digits (the residual
-        difference is the reference ICC's shift-and-LDLᵀ arithmetic
-        vs our ILU-form factorization of the same pattern)."""
-        import scipy.sparse as sp
+def _ex32_matrix(M=8):
+    """The ex32.c operator (ksp/examples/tests/ex32.c): 8³ 7-point
+    DMDA Laplacian, symmetrized and halved (ex32.c:58-60). DMDA
+    matrices store explicit ZEROS at every in-domain stencil position
+    (fdda.c zero-filled MatSetValues) — the IC(k≥1) level pattern
+    grows from those structural zeros, so they must be kept (scipy
+    binops prune exact zeros; build the symmetrized values directly
+    in COO)."""
+    import scipy.sparse as sp
 
+    w = 1.0 / (M - 1)
+    N = M ** 3
+
+    def idx(i, j, k):
+        return i + M * (j + M * k)
+
+    def interior(i, j, k):
+        return 0 < i < M - 1 and 0 < j < M - 1 and 0 < k < M - 1
+
+    rows, cols, vals = [], [], []
+    for k in range(M):
+        for j in range(M):
+            for i in range(M):
+                r0 = idx(i, j, k)
+                rows.append(r0); cols.append(r0); vals.append(6.0 * w)
+                for ci, cj, ck in ((i - 1, j, k), (i + 1, j, k),
+                                   (i, j - 1, k), (i, j + 1, k),
+                                   (i, j, k - 1), (i, j, k + 1)):
+                    if 0 <= ci < M and 0 <= cj < M and 0 <= ck < M:
+                        v_rc = -w if interior(i, j, k) else 0.0
+                        v_cr = -w if interior(ci, cj, ck) else 0.0
+                        rows.append(r0); cols.append(idx(ci, cj, ck))
+                        vals.append(0.5 * (v_rc + v_cr))
+    A = sp.csr_matrix((vals, (rows, cols)), shape=(N, N))
+    A.sort_indices()
+    return A
+
+
+class TestICCLevelRule:
+    # ksp/examples/tests/output/ex32_5.out blocks [1]-[4]
+    GOLDEN = {
+        0: ['0.210648', '0.0786582', '0.0118368', '0.0011481',
+            '0.000133466', '9.08641e-06', '4.55986e-07'],
+        1: ['0.324333', '0.0504078', '0.00224249', '8.18975e-05',
+            '4.93908e-06', '5.52773e-07'],
+        2: ['0.388485', '0.0301977', '0.000785933', '2.45825e-05',
+            '1.31389e-06'],
+        3: ['0.443709', '0.0131473', '0.00015825', '3.04436e-06'],
+    }
+
+    def test_ex32_testset5_cg_icc_levels_digit_exact(self):
+        """runex32_testset5 natural-ordering rows: CG + true ICC(k)
+        (UᵀDU numeric, IC(k) column-driven level pattern) reproduces
+        the reference's -ksp_monitor_short streams DIGIT-EXACT for
+        level fill 0..3."""
+        from petsctpu.ksp.common import _fmt_short
         from petsctpu.mat import aij_from_scipy
-        from petsctpu.pc.factor import make_ilu
+        from petsctpu.pc.factor import make_icc
 
-        M = 8
-        w = 1.0 / (M - 1)
-        N = M ** 3
-
-        def idx(i, j, k):
-            return i + M * (j + M * k)
-
-        rows, cols, vals = [], [], []
-        for k in range(M):
-            for j in range(M):
-                for i in range(M):
-                    r0 = idx(i, j, k)
-                    rows.append(r0); cols.append(r0); vals.append(6.0 * w)
-                    if (0 < i < M - 1 and 0 < j < M - 1
-                            and 0 < k < M - 1):
-                        for ci, cj, ck in ((i - 1, j, k), (i + 1, j, k),
-                                           (i, j - 1, k), (i, j + 1, k),
-                                           (i, j, k - 1), (i, j, k + 1)):
-                            rows.append(r0)
-                            cols.append(idx(ci, cj, ck))
-                            vals.append(-w)
-        A0 = sp.csr_matrix((vals, (rows, cols)), shape=(N, N))
-        A = (0.5 * (A0 + A0.T)).tocsr()
-        b = jnp.asarray(np.full(N, 1.0 / ((M - 1) ** 3)))
+        A = _ex32_matrix()
+        b = jnp.asarray(np.full(A.shape[0], 1.0 / (7 ** 3)))
         Ad = aij_from_scipy(A)
-        golden_r0 = {0: 0.210648, 1: 0.324333, 2: 0.388485, 3: 0.443709}
-        golden_its = {0: 6, 1: 5, 2: 4, 3: 3}
         for lev in range(4):
-            pc = make_ilu(A, levels=lev)
+            pc = make_icc(A, levels=lev)
             r = ksp_solve(Ad, b, pc=pc, ksp_type="cg", rtol=1e-5,
                           atol=1e-50)
-            assert int(r.its) == golden_its[lev], lev
-            np.testing.assert_allclose(float(r.history[0]),
-                                       golden_r0[lev], rtol=2e-2)
+            hist = [_fmt_short(float(h))
+                    for h in np.asarray(r.history)[:int(r.its) + 1]]
+            assert hist == self.GOLDEN[lev], (lev, hist)
+
+    def test_ex32_testset5_cg_cholesky(self):
+        """ex32_5.out block [9]: complete cholesky converges at it 1
+        with r0 0.491924."""
+        from petsctpu.ksp.common import _fmt_short
+        from petsctpu.mat import aij_from_scipy
+        from petsctpu.pc.api import make_pc
+
+        A = _ex32_matrix()
+        b = jnp.asarray(np.full(A.shape[0], 1.0 / (7 ** 3)))
+        Ad = aij_from_scipy(A)
+        pc = make_pc("cholesky", A=Ad, A_host=A)
+        r = ksp_solve(Ad, b, pc=pc, ksp_type="cg", rtol=1e-5, atol=1e-50)
+        assert int(r.its) == 1
+        assert _fmt_short(float(r.history[0])) == "0.491924"
+        assert float(r.history[1]) < 1e-11
+
+    def test_icc_identity_utdu_on_pattern(self):
+        """A ≈ UᵀDU must be EXACT on the IC(0) pattern entries."""
+        import scipy.sparse as sp
+
+        from petsctpu.mat.factor import icc_factor
+        from petsctpu.models import laplacian_2d
+
+        A = laplacian_2d(7, 7)
+        U, d, nshift, shift = icc_factor(A)
+        assert nshift == 0 and shift == 0.0
+        n = A.shape[0]
+        M = ((sp.eye(n) + U).T @ sp.diags(d) @ (sp.eye(n) + U)).tocsr()
+        Au = sp.triu(A).tocsr()
+        for i in range(n):
+            for p in range(Au.indptr[i], Au.indptr[i + 1]):
+                assert abs(M[i, Au.indices[p]] - Au.data[p]) < 1e-14
+
+    def test_manteuffel_shift_indefinite(self):
+        """MAT_SHIFT_POSITIVE_DEFINITE (the PCICC default, icc.c:198):
+        on a mildly indefinite shifted Laplacian the factorization must
+        restart with a diagonal shift (nshift>0), produce positive
+        pivots, and still precondition CG on the SPD part."""
+        from petsctpu.mat.factor import icc_factor
+        from petsctpu.models import laplacian_2d
+
+        A = (laplacian_2d(10, 10) - 2.0 * sp.eye(100)).tocsr()
+        U, d, nshift, shift = icc_factor(A)
+        assert nshift > 0 and shift > 0
+        assert (d > 0).all()
+
+    def test_zero_pivot_raises_without_shift(self):
+        """shift_type='none' = MatPivotCheck_none: an exactly-zero
+        pivot is a hard error (matimpl.h:572-585)."""
+        import pytest
+
+        from petsctpu.mat.factor import icc_factor
+
+        A = sp.csr_matrix(np.array([[0.0, 1.0], [1.0, 2.0]]))
+        with pytest.raises(ZeroDivisionError):
+            icc_factor(A, shift_type="none")
 
     def test_iluk_monotone_fill_improves(self):
         """More level fill must not slow convergence (the bug this
