@@ -42,31 +42,26 @@ def estimate_lambda_max(A, pc, n, dtype, axis=None, iters: int = 12,
     return lam
 
 
-def estimate_eigen_arnoldi(A, pc, b, iters: int = 10):
-    """The reference Chebyshev eigenvalue estimator
-    (KSPChebyshevSetEstimateEigenvalues cheby.c:57-77 +
-    KSPChebyshevComputeExtremeEigenvalues_Private): a FIXED number
-    (default 10, KSPSetTolerances cheby.c:77) of left-preconditioned
-    GMRES/Arnoldi steps on the solve's actual right-hand side, then
-    (min, max) of the real parts of the Hessenberg Ritz values
-    (KSPComputeEigenvalues_GMRES). Plan-time host code; returns
-    Python floats. Apply the reference's a,b,c,d transform at the call
-    site: emin = a·min + b·max, emax = c·min + d·max."""
+def _arnoldi_hessenberg(A, pc, b, iters: int = 10):
+    """A fixed number (default 10, KSPSetTolerances cheby.c:77) of
+    left-preconditioned GMRES/Arnoldi steps on the solve's actual
+    right-hand side with classical Gram-Schmidt (the est-GMRES
+    default, borthog2.c, REFINE_NEVER). Returns the (k+1)×k
+    Hessenberg, host numpy fp64."""
     import numpy as np
 
     v = np.asarray(apply_pc(pc, b), np.float64)
     beta = float(np.linalg.norm(v))
-    if beta == 0.0:
-        return 0.0, 0.0
     n = v.shape[0]
     m = min(iters, n)
     V = np.zeros((m + 1, n))
     H = np.zeros((m + 1, m))
+    if beta == 0.0:
+        return H[:1, :0]
     V[0] = v / beta
     k = m
     for j in range(m):
         w = np.asarray(apply_pc(pc, A.mult(jnp.asarray(V[j]))), np.float64)
-        # classical Gram-Schmidt (est GMRES default orthogonalization)
         h = V[:j + 1] @ w
         w = w - V[:j + 1].T @ h
         H[:j + 1, j] = h
@@ -76,8 +71,44 @@ def estimate_eigen_arnoldi(A, pc, b, iters: int = 10):
             k = j + 1
             break
         V[j + 1] = w / hj1
+    return H[:k + 1, :k]
+
+
+def estimate_eigen_arnoldi(A, pc, b, iters: int = 10):
+    """(min, max) of the real parts of the Hessenberg Ritz values —
+    the KSPComputeEigenvalues_GMRES convention (gmreig.c geev path).
+    NOTE: the chebyest GOLDEN outputs correspond to the SINGULAR-value
+    convention below (estimate_extreme_singular_arnoldi), not this
+    one; see that docstring."""
+    import numpy as np
+
+    H = _arnoldi_hessenberg(A, pc, b, iters)
+    k = H.shape[1]
+    if k == 0:
+        return 0.0, 0.0
     ritz = np.linalg.eigvals(H[:k, :k])
     return float(ritz.real.min()), float(ritz.real.max())
+
+
+def estimate_extreme_singular_arnoldi(A, pc, b, iters: int = 10):
+    """Extreme SINGULAR values of the full (k+1)×k Hessenberg — the
+    KSPComputeExtremeSingularValues_GMRES convention (gmreig.c gesvd
+    of hh_origin). This is the estimator the reference's chebyest
+    golden outputs were generated with: reproducing
+    ex2_chebyest_1.out requires (σmin, σmax) of H̄₁₁ₓ₁₀, which this
+    returns digit-exact (0.0357405/1.1495838 on the 80×80 ex2 system)
+    — the tree's cheby.c:387 reads KSPComputeEigenvalues, whose
+    Hessenberg-eigenvalue Ritz pair (0.0249, 1.1490) does NOT
+    reproduce the golden; the goldens predate/postdate that line.
+    Apply the a,b,c,d transform at the call site:
+    emin = a·min + b·max, emax = c·min + d·max."""
+    import numpy as np
+
+    H = _arnoldi_hessenberg(A, pc, b, iters)
+    if H.shape[1] == 0:
+        return 0.0, 0.0
+    s = np.linalg.svd(H, compute_uv=False)
+    return float(s.min()), float(s.max())
 
 
 def solve_chebyshev(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
