@@ -1,20 +1,24 @@
-"""Distributed geometric multigrid: sharded fine level + agglomerated
-coarse hierarchy.
+"""Distributed geometric multigrid: multi-level sharded hierarchy with
+coarse-level agglomeration.
 
 Reference pattern: GAMG's coarse-grid agglomeration onto fewer ranks
 (src/ksp/pc/impls/gamg/gamg.c:131-198 createLevel with
--pc_gamg_repartition / proc reduction) — tiny levels must not be
-latency-dominated. TPU mapping (SURVEY §5.7): the FINE level smooths
-in SPMD (ShardedStencil Chebyshev — zero collectives per sweep); one
-`all_gather` per cycle brings the fine residual to every shard, and
-the whole coarse hierarchy runs REPLICATED (identical redundant
-compute, the PCREDUNDANT idea) — no further communication below the
-fine level.
+-pc_gamg_repartition / proc reduction; cf. -pc_gamg_process_eq_limit)
+— tiny levels must not be latency-dominated. TPU mapping (SURVEY
+§5.7): every level with more than `pc_mg_repl_size` true unknowns
+stays SHARDED over the mesh axis — Chebyshev smoothing uses only
+ppermute halo exchange (zero global collectives per sweep), and
+inter-level transfers are ShardedQ1Interp (one boundary-row ppermute
+each). Below the threshold, ONE `all_gather` brings the residual to
+every shard and the remaining hierarchy runs REPLICATED (identical
+redundant compute, the PCREDUNDANT idea) — no further communication
+below that point.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,91 +28,170 @@ from jax import lax
 
 from petsctpu.core.options import Options
 from petsctpu.dm.da import DA, Q1Interp, q1_interp_scipy
-from petsctpu.pc.mg import MGPC, ChebySmoother, _cheby_smoother, \
+from petsctpu.pc.mg import MGPC, ChebySmoother, _power_lambda_max, \
     make_geometric_mg
-from petsctpu.parallel.pstencil import ShardedStencil, sharded_stencil_from
+from petsctpu.parallel.pstencil import ShardedQ1Interp, ShardedStencil, \
+    sharded_q1_interp, sharded_stencil_from
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DistMGLevel:
+    A: ShardedStencil            # level operator (stacked shard axis)
+    smoother: ChebySmoother      # dinv stacked [P, nloc]
 
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class DistMGPC:
-    """One V-cycle: sharded fine smoothing + replicated coarse solve."""
+    """One MG cycle, sharded down to the agglomeration level.
 
-    A: ShardedStencil            # fine operator (stacked shard axis)
-    smoother: ChebySmoother      # dinv stacked [P, nloc]
-    P_t: Q1Interp                # full-grid fine↔coarse transfer
-    coarse: MGPC                 # replicated coarse hierarchy
-    grid: tuple = field(metadata=dict(static=True))     # true fine grid
+    levels[l] lives on grid grids[l] (true shape; leading axis padded
+    to nshards * mloc_l with identity rows). transfers[l] connects
+    levels l and l+1 (both sharded). P_t + coarse handle everything
+    below the coarsest sharded level, replicated on every shard.
+    """
+
+    levels: Tuple                # DistMGLevel, fine → coarsest sharded
+    transfers: Tuple             # ShardedQ1Interp, len(levels)-1
+    P_t: Q1Interp                # coarsest-sharded ↔ replicated transfer
+    coarse: MGPC                 # replicated hierarchy below
+    grids: tuple = field(metadata=dict(static=True))    # true grids/level
     axis: str = field(metadata=dict(static=True), default="rows")
     nshards: int = field(metadata=dict(static=True), default=1)
+    cycles: int = field(metadata=dict(static=True), default=1)  # 1=V 2=W
+
+    @property
+    def A(self) -> ShardedStencil:
+        """Fine-level operator (what the outer KSP should apply)."""
+        return self.levels[0].A
 
     def shard_specs(self, axis):
-        """Mixed layout: A/smoother stacked per shard; transfers and the
-        coarse hierarchy replicated on every shard."""
+        """Mixed layout: sharded levels/transfers stacked per shard;
+        the replicated coarse hierarchy identical on every shard."""
         from jax.sharding import PartitionSpec as PS
         sh, rep = PS(axis), PS()
         return DistMGPC(
-            A=jax.tree.map(lambda _: sh, self.A),
-            smoother=jax.tree.map(lambda _: sh, self.smoother),
+            levels=jax.tree.map(lambda _: sh, self.levels),
+            transfers=jax.tree.map(lambda _: sh, self.transfers),
             P_t=jax.tree.map(lambda _: rep, self.P_t),
             coarse=jax.tree.map(lambda _: rep, self.coarse),
-            grid=self.grid, axis=self.axis, nshards=self.nshards)
+            grids=self.grids, axis=self.axis, nshards=self.nshards,
+            cycles=self.cycles)
 
     def local(self) -> "DistMGPC":
-        # strip ONLY the stacked leaves (A, smoother); coarse hierarchy
-        # and transfers are replicated (unstacked)
-        A = jax.tree.map(lambda a: a[0], self.A)
-        sm = jax.tree.map(lambda a: a[0], self.smoother)
-        return DistMGPC(A, sm, self.P_t, self.coarse, self.grid, self.axis,
-                        self.nshards)
+        # strip ONLY the stacked leaves; coarse hierarchy + P_t are
+        # replicated (unstacked)
+        lv = jax.tree.map(lambda a: a[0], self.levels)
+        tr = jax.tree.map(lambda a: a[0], self.transfers)
+        return DistMGPC(lv, tr, self.P_t, self.coarse, self.grids,
+                        self.axis, self.nshards, self.cycles)
 
+    # -- apply (inside shard_map) ------------------------------------------
     def apply(self, b):
-        A = self.A
-        x = self.smoother.smooth(A, b, jnp.zeros_like(b))
-        r = b - A.mult(x)
+        return self._cycle(0, b)
+
+    def _cycle(self, l, b):
+        lev = self.levels[l]
+        x = lev.smoother.smooth(lev.A, b, jnp.zeros_like(b))
+        for _ in range(self.cycles):
+            r = b - lev.A.mult(x)
+            if l + 1 < len(self.levels):
+                rc = self.transfers[l].multT(r)
+                xc = self._cycle(l + 1, rc)
+                x = x + self.transfers[l].mult(xc)
+            else:
+                x = x + self._agglomerated(r)
+        return lev.smoother.smooth(lev.A, b, x)
+
+    def _agglomerated(self, r):
+        """Gather the coarsest-sharded residual once, run the replicated
+        hierarchy, slice my shard of the correction back out."""
         rfull = lax.all_gather(r, self.axis, tiled=True)   # padded global
-        ntrue = int(np.prod(self.grid))
+        ntrue = int(np.prod(self.grids[-1]))
         rc = self.P_t.multT(rfull[:ntrue])
         xc = self.coarse.apply(rc)                         # replicated
         xf = self.P_t.mult(xc)
-        xf = jnp.concatenate([xf, jnp.zeros(rfull.shape[0] - ntrue,
-                                            xf.dtype)])
-        nloc = b.shape[0]
+        xf = jnp.concatenate(
+            [xf, jnp.zeros(rfull.shape[0] - ntrue, xf.dtype)])
+        nloc = r.shape[0]
         me = lax.axis_index(self.axis)
-        x = x + lax.dynamic_slice(xf, (me * nloc,), (nloc,))
-        x = self.smoother.smooth(A, b, x)
-        return x
+        return lax.dynamic_slice(xf, (me * nloc,), (nloc,))
+
+
+def _stacked_cheby(Ah: sp.csr_matrix, npad: int, dtype, its: int,
+                   nshards: int) -> ChebySmoother:
+    """Chebyshev+Jacobi smoother with per-shard-stacked dinv; identity
+    pad rows get dinv = 1 (residual there stays zero)."""
+    d = np.ones(npad, dtype)
+    d[: Ah.shape[0]] = Ah.diagonal()
+    d = np.where(d != 0, d, 1.0)
+    lam = _power_lambda_max(Ah, 1.0 / d[: Ah.shape[0]])
+    return ChebySmoother(
+        jnp.asarray((1.0 / d).reshape(nshards, -1)),
+        jnp.broadcast_to(jnp.asarray(dtype(0.1 * lam)), (nshards,)),
+        jnp.broadcast_to(jnp.asarray(dtype(1.1 * lam)), (nshards,)), its)
 
 
 def make_dist_mg(A_host, grid, nshards: int, dtype=None,
                  options: Options = None) -> DistMGPC:
-    """Build: sharded fine stencil + Chebyshev smoother; Galerkin coarse
-    operator; serial MGPC below (PCSetUp_MG + agglomeration analog)."""
+    """Build the sharded Galerkin hierarchy (PCSetUp_MG + GAMG
+    agglomeration analog).
+
+    Levels stay sharded while the NEXT level still has more than
+    `pc_mg_repl_size` true unknowns (default 512 — the
+    -pc_gamg_process_eq_limit idea); per-level shard sizes are chosen
+    bottom-up so boundaries stay 2:1 aligned (mloc_f = 2*mloc_c).
+    """
     from petsctpu.mat.stencil import stencil_from_scipy
 
     opts = options or Options()
     dtype = np.dtype(dtype or A_host.dtype).type
-    da = DA(tuple(grid))
-    S = stencil_from_scipy(A_host, tuple(grid), dtype=dtype)
-    Sh = sharded_stencil_from(S, nshards)
-
-    # stacked smoother: diag of padded grid (identity rows → dinv = 1)
-    d = np.ones(Sh.shape[0], dtype)
-    d[: np.prod(grid)] = sp.csr_matrix(A_host).diagonal()
-    d = np.where(d != 0, d, 1.0)
+    repl_n = opts.get_int("pc_mg_repl_size", 512)
+    max_levels = opts.get_int("pc_mg_levels", 0)
     sm_its = opts.get_int("mg_levels_ksp_max_it", 2)
-    from petsctpu.pc.mg import _power_lambda_max
-    lam = _power_lambda_max(sp.csr_matrix(A_host), 1.0 / d[: np.prod(grid)])
-    P = nshards
-    smoother = ChebySmoother(
-        jnp.asarray((1.0 / d).reshape(P, -1)),
-        jnp.broadcast_to(jnp.asarray(dtype(0.1 * lam)), (P,)),
-        jnp.broadcast_to(jnp.asarray(dtype(1.1 * lam)), (P,)), sm_its)
+    cycles = 2 if opts.get_str("pc_mg_cycle_type", "v") == "w" else 1
 
-    coarse_da = da.coarsen()
-    Pt = da.interpolation(coarse_da)
-    Ps = q1_interp_scipy(tuple(grid), coarse_da.grid)
-    Ac = (Ps.T @ sp.csr_matrix(A_host) @ Ps).tocsr()
+    # ---- Galerkin chain over the sharded levels (host, scipy) ----
+    das = [DA(tuple(grid))]
+    Ahs = [sp.csr_matrix(A_host).astype(dtype)]
+    while das[-1].can_coarsen():
+        nxt = das[-1].coarsen()
+        if int(np.prod(nxt.grid)) <= repl_n or not nxt.can_coarsen():
+            break
+        if max_levels and len(das) >= max_levels - 1:
+            break
+        Ps = q1_interp_scipy(das[-1].grid, nxt.grid)
+        Ahs.append((Ps.T @ Ahs[-1] @ Ps).tocsr())
+        das.append(nxt)
+    if not das[-1].can_coarsen():
+        raise ValueError(f"grid {grid} has no 2x-1 coarsening")
+    L = len(das)
+
+    # per-level shard sizes, bottom-up (coarsest rounds up; finer = 2x)
+    mlocs = [0] * L
+    mlocs[L - 1] = -(-das[L - 1].grid[0] // nshards)
+    for l in range(L - 2, -1, -1):
+        mlocs[l] = 2 * mlocs[l + 1]
+
+    levels, transfers = [], []
+    for l in range(L):
+        S = stencil_from_scipy(Ahs[l], das[l].grid, dtype=dtype)
+        Sh = sharded_stencil_from(S, nshards, mloc=mlocs[l])
+        levels.append(DistMGLevel(
+            Sh, _stacked_cheby(Ahs[l], Sh.shape[0], dtype, sm_its,
+                               nshards)))
+        if l + 1 < L:
+            transfers.append(sharded_q1_interp(
+                das[l].grid, das[l + 1].grid, nshards, mlocs[l],
+                dtype=dtype))
+
+    # ---- replicated hierarchy below the agglomeration point ----
+    coarse_da = das[-1].coarsen()
+    Pt = das[-1].interpolation(coarse_da)
+    Ps = q1_interp_scipy(das[-1].grid, coarse_da.grid)
+    Ac = (Ps.T @ Ahs[-1] @ Ps).tocsr()
     coarse = make_geometric_mg(Ac, coarse_da, dtype=dtype, options=opts)
-    return DistMGPC(Sh, smoother, Pt, coarse, tuple(grid), Sh.axis,
-                    nshards)
+    return DistMGPC(tuple(levels), tuple(transfers), Pt, coarse,
+                    tuple(da.grid for da in das), levels[0].A.axis,
+                    nshards, cycles)

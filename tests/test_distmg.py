@@ -33,6 +33,61 @@ class TestDistributedMG:
         assert int(res.its) <= int(r_serial.its) + 4, (
             int(res.its), int(r_serial.its))
 
+    def test_multilevel_sharded_hierarchy(self):
+        """Two sharded levels (65² → 33² sharded, ≤512 replicated):
+        the GAMG proc-reduction analog keeps big levels SPMD."""
+        mesh = mesh_1d()
+        Pn = mesh.devices.size
+        m = 65
+        A, b, u = ex2_system(m, m)
+        pc = make_dist_mg(A, (m, m), Pn)
+        assert len(pc.levels) == 2 and len(pc.transfers) == 1
+        res = par_ksp_solve(mesh, pc.A, b, pc=pc, ksp_type="cg", rtol=1e-8)
+        assert int(res.reason) > 0
+        assert int(res.its) <= 10, int(res.its)
+        np.testing.assert_allclose(np.asarray(res.x)[: m * m], u, atol=1e-6)
+
+    def test_sharded_q1_transfer_matches_scipy(self):
+        """ShardedQ1Interp mult/multT == the scipy Q1 operator on the
+        true entries (pads stay zero)."""
+        from functools import partial
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as PS
+
+        from petsctpu.dm.da import q1_interp_scipy
+        from petsctpu.parallel.pstencil import sharded_q1_interp
+
+        mesh = mesh_1d()
+        Pn = mesh.devices.size
+        fg, cg = (33, 9), (17, 5)
+        T = sharded_q1_interp(fg, cg, Pn, mloc_f=2 * (-(-cg[0] // Pn)))
+        Ps = q1_interp_scipy(fg, cg)
+        rng = np.random.default_rng(3)
+        xc = rng.standard_normal(cg[0] * cg[1])
+        xf = rng.standard_normal(fg[0] * fg[1])
+        ncp = int(np.prod(T.coarse))
+        nfp = int(np.prod(T.fine))
+        xcp = np.zeros(ncp)
+        xcp[: xc.size] = xc
+        xfp = np.zeros(nfp)
+        xfp[: xf.size] = xf
+
+        @partial(shard_map, mesh=mesh, check_vma=False,
+                 in_specs=(PS("rows"), PS("rows"), PS("rows")),
+                 out_specs=(PS("rows"), PS("rows")))
+        def run(Tst, c, f):
+            Tl = Tst.local()
+            return Tl.mult(c), Tl.multT(f)
+
+        yf, yc = run(T, jnp.asarray(xcp), jnp.asarray(xfp))
+        np.testing.assert_allclose(np.asarray(yf)[: xf.size], Ps @ xc,
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(yf)[xf.size:], 0.0)
+        np.testing.assert_allclose(np.asarray(yc)[: xc.size], Ps.T @ xf,
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(yc)[xc.size:], 0.0)
+
     def test_distmg_3d(self):
         from petsctpu.models import ex45_system
 
