@@ -54,12 +54,16 @@ class DistMGPC:
 
     levels: Tuple                # DistMGLevel, fine → coarsest sharded
     transfers: Tuple             # ShardedQ1Interp, len(levels)-1
-    P_t: Q1Interp                # coarsest-sharded ↔ replicated transfer
-    coarse: MGPC                 # replicated hierarchy below
+    P_t: Q1Interp                # coarsest-sharded ↔ next-stage transfer
+    coarse: Any                  # replicated MGPC below (None if inner)
     grids: tuple = field(metadata=dict(static=True))    # true grids/level
-    axis: str = field(metadata=dict(static=True), default="rows")
+    axis: Any = field(metadata=dict(static=True), default="rows")
     nshards: int = field(metadata=dict(static=True), default=1)
     cycles: int = field(metadata=dict(static=True), default=1)  # 1=V 2=W
+    # re-sharded continuation on a sub-axis (GAMG rank reduction,
+    # gamg.c:174-198): another DistMGPC over fewer shards (e.g. the
+    # "ici" axis of a ("dcn","ici") mesh, redundant across "dcn")
+    inner: Any = None
 
     @property
     def A(self) -> ShardedStencil:
@@ -77,7 +81,9 @@ class DistMGPC:
             P_t=jax.tree.map(lambda _: rep, self.P_t),
             coarse=jax.tree.map(lambda _: rep, self.coarse),
             grids=self.grids, axis=self.axis, nshards=self.nshards,
-            cycles=self.cycles)
+            cycles=self.cycles,
+            inner=None if self.inner is None
+            else self.inner.shard_specs(self.inner.axis))
 
     def local(self) -> "DistMGPC":
         # strip ONLY the stacked leaves; coarse hierarchy + P_t are
@@ -85,7 +91,8 @@ class DistMGPC:
         lv = jax.tree.map(lambda a: a[0], self.levels)
         tr = jax.tree.map(lambda a: a[0], self.transfers)
         return DistMGPC(lv, tr, self.P_t, self.coarse, self.grids,
-                        self.axis, self.nshards, self.cycles)
+                        self.axis, self.nshards, self.cycles,
+                        None if self.inner is None else self.inner.local())
 
     # -- apply (inside shard_map) ------------------------------------------
     def apply(self, b):
@@ -105,18 +112,41 @@ class DistMGPC:
         return lev.smoother.smooth(lev.A, b, x)
 
     def _agglomerated(self, r):
-        """Gather the coarsest-sharded residual once, run the replicated
-        hierarchy, slice my shard of the correction back out."""
+        """Gather the coarsest-sharded residual once, solve the next
+        coarser grid — replicated (self.coarse) or re-sharded onto the
+        sub-axis (self.inner) — and slice my shard of the correction
+        back out. The gather over self.axis is the agglomeration
+        boundary: for the hierarchical mesh it is the ONE cross-host
+        collective per cycle, issued at a small level."""
         rfull = lax.all_gather(r, self.axis, tiled=True)   # padded global
         ntrue = int(np.prod(self.grids[-1]))
-        rc = self.P_t.multT(rfull[:ntrue])
-        xc = self.coarse.apply(rc)                         # replicated
+        rc = self.P_t.multT(rfull[:ntrue])                 # true coarse
+        if self.inner is None:
+            xc = self.coarse.apply(rc)                     # replicated
+        else:
+            xc = self._inner_apply(rc)
         xf = self.P_t.mult(xc)
         xf = jnp.concatenate(
             [xf, jnp.zeros(rfull.shape[0] - ntrue, xf.dtype)])
         nloc = r.shape[0]
         me = lax.axis_index(self.axis)
         return lax.dynamic_slice(xf, (me * nloc,), (nloc,))
+
+    def _inner_apply(self, rc):
+        """Run the re-sharded continuation: slice my sub-axis shard of
+        the (replicated) coarse residual, V-cycle over the sub-axis,
+        gather the correction back (sub-axis collective only — for
+        ("dcn","ici") meshes this stays intra-host; every host computes
+        the identical correction redundantly, the PCREDUNDANT idea)."""
+        inner = self.inner
+        n_in = inner.levels[0].A.shape[0]                  # inner padding
+        rin = jnp.concatenate(
+            [rc, jnp.zeros(n_in - rc.shape[0], rc.dtype)])
+        nloc = n_in // inner.nshards
+        ci = lax.axis_index(inner.axis)
+        x_in = inner.apply(lax.dynamic_slice(rin, (ci * nloc,), (nloc,)))
+        x_full = lax.all_gather(x_in, inner.axis, tiled=True)
+        return x_full[: rc.shape[0]]
 
 
 def _stacked_cheby(Ah: sp.csr_matrix, npad: int, dtype, its: int,
@@ -133,28 +163,17 @@ def _stacked_cheby(Ah: sp.csr_matrix, npad: int, dtype, its: int,
         jnp.broadcast_to(jnp.asarray(dtype(1.1 * lam)), (nshards,)), its)
 
 
-def make_dist_mg(A_host, grid, nshards: int, dtype=None,
-                 options: Options = None) -> DistMGPC:
-    """Build the sharded Galerkin hierarchy (PCSetUp_MG + GAMG
-    agglomeration analog).
-
-    Levels stay sharded while the NEXT level still has more than
-    `pc_mg_repl_size` true unknowns (default 512 — the
-    -pc_gamg_process_eq_limit idea); per-level shard sizes are chosen
-    bottom-up so boundaries stay 2:1 aligned (mloc_f = 2*mloc_c).
-    """
+def _sharded_stage(Ah, da, nshards, axis, repl_n, max_levels, sm_its,
+                   dtype):
+    """Build the sharded part of a hierarchy: Galerkin chain (host,
+    scipy) while the NEXT level still has more than repl_n true
+    unknowns, per-level shard sizes chosen bottom-up so boundaries stay
+    2:1 aligned (mloc_f = 2*mloc_c). Returns (levels, transfers, das,
+    Ahs) — das[-1]/Ahs[-1] is the coarsest SHARDED level."""
     from petsctpu.mat.stencil import stencil_from_scipy
 
-    opts = options or Options()
-    dtype = np.dtype(dtype or A_host.dtype).type
-    repl_n = opts.get_int("pc_mg_repl_size", 512)
-    max_levels = opts.get_int("pc_mg_levels", 0)
-    sm_its = opts.get_int("mg_levels_ksp_max_it", 2)
-    cycles = 2 if opts.get_str("pc_mg_cycle_type", "v") == "w" else 1
-
-    # ---- Galerkin chain over the sharded levels (host, scipy) ----
-    das = [DA(tuple(grid))]
-    Ahs = [sp.csr_matrix(A_host).astype(dtype)]
+    das = [da]
+    Ahs = [Ah]
     while das[-1].can_coarsen():
         nxt = das[-1].coarsen()
         if int(np.prod(nxt.grid)) <= repl_n or not nxt.can_coarsen():
@@ -165,10 +184,9 @@ def make_dist_mg(A_host, grid, nshards: int, dtype=None,
         Ahs.append((Ps.T @ Ahs[-1] @ Ps).tocsr())
         das.append(nxt)
     if not das[-1].can_coarsen():
-        raise ValueError(f"grid {grid} has no 2x-1 coarsening")
+        raise ValueError(f"grid {da.grid} has no 2x-1 coarsening")
     L = len(das)
 
-    # per-level shard sizes, bottom-up (coarsest rounds up; finer = 2x)
     mlocs = [0] * L
     mlocs[L - 1] = -(-das[L - 1].grid[0] // nshards)
     for l in range(L - 2, -1, -1):
@@ -177,21 +195,83 @@ def make_dist_mg(A_host, grid, nshards: int, dtype=None,
     levels, transfers = [], []
     for l in range(L):
         S = stencil_from_scipy(Ahs[l], das[l].grid, dtype=dtype)
-        Sh = sharded_stencil_from(S, nshards, mloc=mlocs[l])
+        Sh = sharded_stencil_from(S, nshards, axis=axis, mloc=mlocs[l])
         levels.append(DistMGLevel(
             Sh, _stacked_cheby(Ahs[l], Sh.shape[0], dtype, sm_its,
                                nshards)))
         if l + 1 < L:
             transfers.append(sharded_q1_interp(
                 das[l].grid, das[l + 1].grid, nshards, mlocs[l],
-                dtype=dtype))
+                axis=axis, dtype=dtype))
+    return levels, transfers, das, Ahs
 
-    # ---- replicated hierarchy below the agglomeration point ----
+
+def make_dist_mg(A_host, grid, nshards: int, dtype=None,
+                 options: Options = None, axis="rows") -> DistMGPC:
+    """Build the sharded Galerkin hierarchy (PCSetUp_MG + GAMG
+    agglomeration analog): levels with more than `pc_mg_repl_size`
+    (default 512 — the -pc_gamg_process_eq_limit idea) true unknowns
+    stay sharded; everything below runs replicated."""
+    opts = options or Options()
+    dtype = np.dtype(dtype or A_host.dtype).type
+    repl_n = opts.get_int("pc_mg_repl_size", 512)
+    max_levels = opts.get_int("pc_mg_levels", 0)
+    sm_its = opts.get_int("mg_levels_ksp_max_it", 2)
+    cycles = 2 if opts.get_str("pc_mg_cycle_type", "v") == "w" else 1
+
+    levels, transfers, das, Ahs = _sharded_stage(
+        sp.csr_matrix(A_host).astype(dtype), DA(tuple(grid)), nshards,
+        axis, repl_n, max_levels, sm_its, dtype)
+
     coarse_da = das[-1].coarsen()
     Pt = das[-1].interpolation(coarse_da)
     Ps = q1_interp_scipy(das[-1].grid, coarse_da.grid)
     Ac = (Ps.T @ Ahs[-1] @ Ps).tocsr()
     coarse = make_geometric_mg(Ac, coarse_da, dtype=dtype, options=opts)
     return DistMGPC(tuple(levels), tuple(transfers), Pt, coarse,
-                    tuple(da.grid for da in das), levels[0].A.axis,
-                    nshards, cycles)
+                    tuple(da.grid for da in das), axis, nshards, cycles)
+
+
+def make_dist_mg_hier(A_host, grid, H: int, C: int, dtype=None,
+                      options: Options = None,
+                      axes=("dcn", "ici")) -> DistMGPC:
+    """Two-level-mesh hierarchy for (H hosts × C chips) ("dcn","ici")
+    meshes — the full GAMG createLevel rank-reduction ladder
+    (gamg.c:174-198) mapped to the TPU fabric (SURVEY §5.7):
+
+      * levels > `pc_mg_dcn_repl_size` unknowns: sharded over ALL H·C
+        shards (flattened tuple axis; halo ppermutes ride ICI except
+        one boundary row per host pair);
+      * then ONE cross-host all_gather per cycle re-shards onto the C
+        chips of each host ("ici" axis, redundant across hosts);
+      * levels ≤ `pc_mg_repl_size`: fully replicated.
+    """
+    opts = options or Options()
+    dtype = np.dtype(dtype or A_host.dtype).type
+    dcn_repl_n = opts.get_int("pc_mg_dcn_repl_size", 2048)
+    repl_n = opts.get_int("pc_mg_repl_size", 512)
+    sm_its = opts.get_int("mg_levels_ksp_max_it", 2)
+    cycles = 2 if opts.get_str("pc_mg_cycle_type", "v") == "w" else 1
+
+    # ---- stage 1: sharded over the flattened (H·C) mesh ----
+    levels, transfers, das, Ahs = _sharded_stage(
+        sp.csr_matrix(A_host).astype(dtype), DA(tuple(grid)), H * C,
+        axes, max(dcn_repl_n, repl_n), 0, sm_its, dtype)
+
+    coarse_da = das[-1].coarsen()
+    Pt = das[-1].interpolation(coarse_da)
+    Ps = q1_interp_scipy(das[-1].grid, coarse_da.grid)
+    Ac = (Ps.T @ Ahs[-1] @ Ps).tocsr()
+
+    # ---- stage 2: re-sharded onto the intra-host axis ----
+    if int(np.prod(coarse_da.grid)) > repl_n and coarse_da.can_coarsen():
+        inner = make_dist_mg(Ac, coarse_da.grid, C, dtype=dtype,
+                             options=opts, axis=axes[1])
+        coarse = None
+    else:
+        inner = None
+        coarse = make_geometric_mg(Ac, coarse_da, dtype=dtype,
+                                   options=opts)
+    return DistMGPC(tuple(levels), tuple(transfers), Pt, coarse,
+                    tuple(da.grid for da in das), axes, H * C, cycles,
+                    inner)

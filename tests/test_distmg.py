@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -87,6 +88,32 @@ class TestDistributedMG:
         np.testing.assert_allclose(np.asarray(yc)[: xc.size], Ps.T @ xf,
                                    atol=1e-12)
         np.testing.assert_allclose(np.asarray(yc)[xc.size:], 0.0)
+
+    def test_hier_dcn_ici_mg(self):
+        """(2 hosts × 4 chips) mesh: fine level sharded over all 8
+        shards, mid level re-sharded onto each host's ici axis
+        (redundant across dcn), coarsest replicated — the GAMG
+        rank-reduction ladder on the two-level fabric."""
+        from jax.sharding import Mesh
+
+        from petsctpu.pc.distmg import make_dist_mg_hier
+
+        devs = np.asarray(jax.devices())
+        if devs.size < 8:
+            import pytest
+            pytest.skip("needs 8 devices")
+        mesh = Mesh(devs[:8].reshape(2, 4), ("dcn", "ici"))
+        m = 65
+        A, b, u = ex2_system(m, m)
+        pc = make_dist_mg_hier(A, (m, m), 2, 4)
+        assert pc.inner is not None and pc.coarse is None
+        assert pc.inner.nshards == 4 and pc.nshards == 8
+        res = par_ksp_solve(mesh, pc.A, b, pc=pc, ksp_type="cg",
+                            rtol=1e-8)
+        assert int(res.reason) > 0
+        assert int(res.its) <= 10, int(res.its)
+        np.testing.assert_allclose(np.asarray(res.x)[: m * m], u,
+                                   atol=1e-6)
 
     def test_distmg_3d(self):
         from petsctpu.models import ex45_system
