@@ -30,11 +30,15 @@ def get_ordering(A, kind: str = "natural") -> np.ndarray:
         return np.asarray(reverse_cuthill_mckee(S), dtype=np.int64)
     if kind == "nd":
         S = ((A + A.T) != 0).astype(np.int8).tocsr()
+        return gennd(S)
+    if kind == "ndrb":
+        S = ((A + A.T) != 0).astype(np.int8).tocsr()
         return nested_dissection(S)
     if kind in ("qmd", "md"):
         S = ((A + A.T) != 0).astype(np.int8).tocsr()
         return minimum_degree(S)
-    raise ValueError(f"unknown ordering {kind!r} (natural|rcm|nd|qmd)")
+    raise ValueError(f"unknown ordering {kind!r} "
+                     "(natural|rcm|nd|ndrb|qmd)")
 
 
 def minimum_degree(S: sp.csr_matrix) -> np.ndarray:
@@ -62,6 +66,107 @@ def minimum_degree(S: sp.csr_matrix) -> np.ndarray:
             deg[u] = len(adj[u])
         adj[i] = set()
     return perm
+
+
+def _rootls(S: sp.csr_matrix, root: int, mask: np.ndarray):
+    """Rooted level structure of the masked component (rootls.f
+    behavior): BFS from `root` over mask-true nodes, neighbors taken
+    in CSR column order. Returns the list of levels."""
+    vis = ~mask
+    vis = vis.copy()
+    vis[root] = True
+    levels = [np.array([root], dtype=np.int64)]
+    indptr, indices = S.indptr, S.indices
+    while True:
+        nxt = []
+        for u in levels[-1]:
+            for v in indices[indptr[u]:indptr[u + 1]]:
+                if not vis[v]:
+                    vis[v] = True
+                    nxt.append(v)
+        if not nxt:
+            return levels
+        levels.append(np.asarray(nxt, dtype=np.int64))
+
+
+def _fnroot(S: sp.csr_matrix, root: int, mask: np.ndarray):
+    """Pseudo-peripheral node finder (fnroot.f behavior): repeatedly
+    re-root at the minimum-masked-degree node of the last level while
+    the structure keeps getting taller. Returns (root, levels) of the
+    final rooted level structure."""
+    indptr, indices = S.indptr, S.indices
+    levels = _rootls(S, root, mask)
+    ccsize = sum(len(l) for l in levels)
+    nlvl = len(levels)
+    if nlvl == 1 or nlvl == ccsize:
+        return root, levels
+    while True:
+        last = levels[-1]
+        mindeg, root = ccsize, int(last[0])
+        for u in last:
+            nd = int(np.count_nonzero(mask[indices[indptr[u]:
+                                               indptr[u + 1]]]))
+            if nd < mindeg:
+                mindeg, root = nd, int(u)
+        lvl2 = _rootls(S, root, mask)
+        if len(lvl2) <= nlvl:
+            return root, lvl2
+        nlvl, levels = len(lvl2), lvl2
+        if nlvl >= ccsize:
+            return root, lvl2
+
+
+def _fndsep(S: sp.csr_matrix, root: int, mask: np.ndarray):
+    """Find a small separator of root's masked component (fndsep.f
+    behavior): nodes of the middle level of the pseudo-peripheral
+    rooted level structure that have a neighbor in the middle+1 level
+    (whole component if fewer than 3 levels). Marks them numbered."""
+    indptr, indices = S.indptr, S.indices
+    root, levels = _fnroot(S, root, mask)
+    nlvl = len(levels)
+    if nlvl < 3:
+        sep = np.concatenate(levels)
+        mask[sep] = False
+        return sep
+    midlvl = (nlvl + 2) // 2                 # 1-based SPARSPAK index
+    mid, mid1 = levels[midlvl - 1], levels[midlvl]
+    inmid1 = np.zeros(S.shape[0], bool)
+    inmid1[mid1] = True
+    sep = [int(u) for u in mid
+           if inmid1[indices[indptr[u]:indptr[u + 1]]].any()]
+    sep = np.asarray(sep, dtype=np.int64)
+    mask[sep] = False
+    return sep
+
+
+def gennd(S: sp.csr_matrix) -> np.ndarray:
+    """SPARSPAK general nested dissection (gennd.f behavior, the
+    reference's MatGetOrdering ND — src/mat/order/gennd.c via
+    spnd.c): for each lowest-numbered remaining vertex, peel middle-
+    level separators off its component, numbering separator nodes
+    consecutively; reverse the whole numbering at the end so
+    separators found first are eliminated last. Self-loops in S are
+    harmless (uniform degree shift, never in the mid+1 marking).
+
+    Returns perm with perm[k] = old index of new row k — digit-exact
+    iteration parity with the reference's `-permute nd` runs (ksp
+    ex18_1) depends on this exact separator choice."""
+    S = sp.csr_matrix(S)
+    n = S.shape[0]
+    mask = np.ones(n, bool)
+    perm = []
+    num = 0
+    for i in range(n):
+        while mask[i]:
+            sep = _fndsep(S, i, mask)
+            perm.append(sep)
+            num += sep.size
+            if num >= n:
+                break
+        if num >= n:
+            break
+    out = np.concatenate(perm)[::-1]
+    return np.ascontiguousarray(out)
 
 
 def nested_dissection(S, leaf: int = 24) -> np.ndarray:

@@ -399,3 +399,116 @@ class TestEx13:
             err = np.asarray(r.x) - sol
             np.testing.assert_allclose(float(np.sum(err * err) * hx * hy),
                                        1.44146e-05, rtol=2e-5)
+
+
+class TestEx2BJacobi:
+    """runex2_bjacobi[_2/_3] (makefile:349-363, mpiexec -n 4): outer
+    GMRES (rtol 1e-2/72, ex2.c:182) + PCBJACOBI with 1/2/4 blocks,
+    every block solved by an inner GMRES+Jacobi at the sub-KSP
+    defaults (rtol 1e-5; no CGS refinement on either level)."""
+
+    def _solve(self, nblocks):
+        from petsctpu.pc.parallel import make_bjacobi_ksp
+
+        m, n = 8, 7
+        A, b, u = ex2_system(m, n)
+        N = m * n
+        bs = N // nblocks
+        blocks = [(i * bs, (i + 1) * bs) for i in range(nblocks)]
+        cfg = KSPConfig(ksp_type="gmres", rtol=1e-5, atol=1e-50,
+                        maxits=10000)
+        pc = make_bjacobi_ksp(A, blocks=blocks, cfgs=[cfg] * nblocks,
+                              sub_pcs=["jacobi"] * nblocks)
+        r = ksp_solve(aij_from_scipy(A), jnp.asarray(b), pc=pc,
+                      ksp_type="gmres", rtol=1e-2 / ((m + 1) * (n + 1)),
+                      atol=1e-50, maxits=10000)
+        return r, u
+
+    def test_ex2_bjacobi_one_block(self):
+        """output/ex2_bjacobi.out: a single block = the whole system
+        solved by the inner GMRES → outer converges in 1 iteration."""
+        r, u = self._solve(1)
+        assert int(r.its) == 1
+        np.testing.assert_allclose(np.asarray(r.history[:2]),
+                                   [7.48331, 2.10143e-06], rtol=2e-5)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(r.x) - u), 2.10144e-06, rtol=1e-3)
+
+    def test_ex2_bjacobi_two_blocks(self):
+        """output/ex2_bjacobi_2.out: 2 blocks of 28 rows."""
+        r, u = self._solve(2)
+        assert int(r.its) == 4
+        golden = [5.18566, 0.882327, 0.232433, 0.0193881, 0.000403063]
+        np.testing.assert_allclose(np.asarray(r.history[:5]), golden,
+                                   rtol=2e-5)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(r.x) - u), 0.000496964, rtol=1e-3)
+
+    def test_ex2_bjacobi_four_blocks(self):
+        """output/ex2_bjacobi_3.out: 4 blocks of 14 rows."""
+        r, u = self._solve(4)
+        assert int(r.its) == 7
+        golden = [3.44632, 1.321, 0.720888, 0.383469, 0.0585789,
+                  0.0187709, 0.00119179, 0.000321916]
+        np.testing.assert_allclose(np.asarray(r.history[:8]), golden,
+                                   rtol=2e-5)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(r.x) - u), 0.000404746, rtol=1e-3)
+
+
+class TestEx18Permuted:
+    """runex18[_2] (makefile:843-850, mpiexec -n 3): solve the 39x18
+    Poisson system in ND- / RCM-permuted indexing (ex18.c:168-175:
+    parallel MatGetOrdering orders each rank's DIAGONAL block and
+    shifts by rstart — sorder.c:198-223), default GMRES + BJacobi(3)
+    ILU(0), rtol 1e-2/760."""
+
+    def _solve(self, kind):
+        from petsctpu.mat.order import get_ordering
+
+        m, n = 39, 18
+        A, b, u = ex2_system(m, n)
+        N = m * n
+        P = 3
+        bs = N // P
+        perm = np.concatenate([
+            r * bs + get_ordering(
+                sp.csr_matrix(A[r * bs:(r + 1) * bs,
+                                r * bs:(r + 1) * bs]), kind)
+            for r in range(P)])
+        Ap = sp.csr_matrix(A[perm][:, perm])
+        pc = make_pc("bjacobi", A=aij_from_scipy(Ap), A_host=Ap,
+                     options=Options({"pc_bjacobi_blocks": P}))
+        r = ksp_solve(aij_from_scipy(Ap), jnp.asarray(b[perm]), pc=pc,
+                      ksp_type="gmres", rtol=1e-2 / ((m + 1) * (n + 1)),
+                      atol=1e-50, maxits=10000)
+        xun = np.empty(N)
+        xun[perm] = np.asarray(r.x)        # VecPermute(x, rowperm, TRUE)
+        return r, float(np.linalg.norm(xun - u))
+
+    def test_ex18_1_nd(self):
+        """output/ex18_1.out: -permute nd — requires the SPARSPAK
+        gennd separator choice exactly (mat/order.gennd)."""
+        r, err = self._solve("nd")
+        assert int(r.its) == 26
+        golden = [5.51398, 2.02732, 1.2223, 0.845891, 0.6166, 0.490831,
+                  0.428377, 0.360329, 0.28561, 0.225126, 0.177985]
+        np.testing.assert_allclose(np.asarray(r.history[:11]), golden,
+                                   rtol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(r.history[24:27]),
+            [0.00013449, 8.52232e-05, 6.6145e-05], rtol=2e-5)
+        np.testing.assert_allclose(err, 0.00127187, rtol=1e-4)
+
+    def test_ex18_2_rcm(self):
+        """output/ex18_2.out: -permute rcm."""
+        r, err = self._solve("rcm")
+        assert int(r.its) == 20
+        golden = [6.86661, 2.58242, 1.45553, 1.01322, 0.793201,
+                  0.632822, 0.448455, 0.322895, 0.240618, 0.174347]
+        np.testing.assert_allclose(np.asarray(r.history[:10]), golden,
+                                   rtol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(r.history[18:21]),
+            [0.000187022, 0.000110275, 6.73336e-05], rtol=2e-5)
+        np.testing.assert_allclose(err, 0.000348016, rtol=1e-4)
