@@ -33,7 +33,7 @@ from petsctpu.ksp.ibcgs import solve_ibcgs
 from petsctpu.ksp.dgmres import solve_dgmres
 
 # host-driven solvers (between-cycle LAPACK work): never wrapped in jit
-HOST_DRIVEN = {"dgmres", "agmres"}
+HOST_DRIVEN = {"dgmres", "agmres", "fgmres_host"}
 
 KSP_REGISTRY = {
     "dgmres": solve_dgmres,
@@ -60,18 +60,23 @@ KSP_REGISTRY = {
     "groppcg": solve_pipecg,    # same single-reduction structure on TPU
     "gmres": solve_gmres,
     "fgmres": solve_fgmres,
+    "fgmres_host": None,       # filled below (import-cycle: needs registry)
     "bcgs": solve_bcgs,
     "cgs": solve_cgsq,
     "bicg": solve_bicg,
     "chebyshev": solve_chebyshev,
-    "specest": solve_chebyshev,  # KSPSPECEST: auto spectral-bound wrapper —
-                                 # cheby.py's power-iteration estimate IS the
-                                 # specest path (src/ksp/ksp/impls/cheby)
+    "specest": solve_chebyshev,  # one-shot functional view (auto bounds);
+                                 # the TRUE stateful two-phase KSPSPECEST is
+                                 # ksp/specest.SpecEstPC (+ fgmres_host)
     "richardson": solve_richardson,
     "preonly": solve_preonly,
     "minres": solve_minres,
     "lsqr": solve_lsqr,
 }
+
+
+from petsctpu.ksp.specest import solve_fgmres_host  # noqa: E402
+KSP_REGISTRY["fgmres_host"] = solve_fgmres_host
 
 
 def register_ksp(name: str, fn) -> None:
@@ -139,6 +144,10 @@ def ksp_solve(A, b, x0=None, pc=None, axis: Optional[str] = None,
     (MatSetNullSpace + KSP_RemoveNullSpace analog): projected out of
     b, out of every preconditioned residual, and out of x."""
     cfg = replace(cfg or KSPConfig(), **kw) if (kw or cfg is None) else cfg
+    # host-stateful PCs (SpecEstPC & friends) cannot be traced inside a
+    # jitted while_loop — route the flexible outer to the host driver
+    if getattr(pc, "host_stateful", False) and cfg.ksp_type == "fgmres":
+        cfg = replace(cfg, ksp_type="fgmres_host")
     if x0 is None:
         x0 = jnp.zeros_like(b)      # preserves b's (possibly grid) shape
     if nullspace is not None:

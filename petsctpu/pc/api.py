@@ -117,8 +117,24 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
         inner = opts.prefixed("ksp_")
         icfg = config_from_options(inner, KSPConfig(ksp_type="gmres",
                                                     rtol=1e-2, maxits=20))
-        ipc_type = inner.get_str("pc_type", "jacobi")
+        ipc_type = inner.get_str("pc_type",
+                                 "ilu" if A_host is not None else "jacobi")
         ipc = make_pc(ipc_type, A=A, A_host=A_host, options=inner, axis=axis)
+        if icfg.ksp_type == "specest":
+            # -pc_type ksp -ksp_ksp_type specest: the stateful two-phase
+            # estimator (specest.c); needs the host-driven flexible outer
+            from petsctpu.ksp.specest import SpecEstPC
+            spec = inner.prefixed("specest_")
+            cheap = inner.prefixed("speccheap_")
+            return SpecEstPC(
+                A, pc=ipc,
+                est_type=spec.get_str("ksp_type", "gmres"),
+                cheap_type=cheap.get_str("ksp_type", "chebyshev"),
+                est_maxits=spec.get_int("ksp_max_it", 5),
+                cheap_maxits=cheap.get_int("ksp_max_it", 5),
+                minfactor=inner.get_real("ksp_specest_minfactor", 0.9),
+                maxfactor=inner.get_real("ksp_specest_maxfactor", 1.1),
+                richfactor=inner.get_real("ksp_specest_richfactor", 1.0))
         return KSPPC(A, ipc, icfg, axis)
     if pc_type == "composite":
         from petsctpu.pc.composite import CompositePC

@@ -512,3 +512,47 @@ class TestEx18Permuted:
             np.asarray(r.history[18:21]),
             [0.000187022, 0.000110275, 6.73336e-05], rtol=2e-5)
         np.testing.assert_allclose(err, 0.000348016, rtol=1e-4)
+
+
+class TestEx2SpecEst:
+    """runex2_specest_1/_2 (makefile:364-371): -m 80 -n 80 -ksp_type
+    fgmres -pc_type ksp -ksp_ksp_type specest [-ksp_specest_ksp_type
+    cg]. The TRUE two-phase KSPSPECEST (specest.c): first PC
+    application runs the estimation KSP (maxits 5) and bakes
+    [0.9·σmin, 1.1·σmax] Chebyshev bounds from its own Krylov process
+    (GMRES H̄ SVD / CG Lanczos tridiagonal eigenvalues); later
+    applications run the 5-step norm-free Chebyshev. Host-stateful PC
+    + host-driven flexible outer (ksp/specest.py)."""
+
+    def _run(self, extra):
+        m = n = 80
+        A, b, u = ex2_system(m, n)
+        Ad = aij_from_scipy(A)
+        opts = Options(dict({"ksp_ksp_type": "specest"}, **extra))
+        pc = make_pc("ksp", A=Ad, A_host=A, options=opts)
+        r = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="fgmres",
+                      rtol=1e-2 / ((m + 1) * (n + 1)), atol=1e-50,
+                      maxits=10000)
+        return r, float(np.linalg.norm(np.asarray(r.x) - u))
+
+    def test_ex2_specest_1_gmres_estimator(self):
+        """output/ex2_specest_1.out."""
+        r, err = self._run({})
+        assert int(r.its) == 10
+        golden = [18.1108, 0.7762, 0.27643, 0.152954, 0.111672,
+                  0.0703825, 0.0136785, 0.00246763, 0.000273231,
+                  0.000106717, 2.31197e-05]
+        np.testing.assert_allclose(np.asarray(r.history[:11]), golden,
+                                   rtol=2e-5)
+        np.testing.assert_allclose(err, 0.000963735, rtol=1e-4)
+
+    def test_ex2_specest_2_cg_estimator(self):
+        """output/ex2_specest_2.out: -ksp_specest_ksp_type cg."""
+        r, err = self._run({"ksp_specest_ksp_type": "cg"})
+        assert int(r.its) == 10
+        golden = [18.1108, 1.37858, 0.252385, 0.153389, 0.109447,
+                  0.0557274, 0.011307, 0.00200416, 0.000233753,
+                  8.63144e-05, 1.62899e-05]
+        np.testing.assert_allclose(np.asarray(r.history[:11]), golden,
+                                   rtol=2e-5)
+        np.testing.assert_allclose(err, 0.000747533, rtol=1e-4)
