@@ -188,6 +188,25 @@ class Q1Interp:
         return X.reshape(-1)
 
 
+def q0_interp_scipy(fine: tuple, coarse: tuple) -> sp.csr_matrix:
+    """Piecewise-constant (cell-centered) interpolation — the DMDA_Q0
+    path (DMCreateInterpolation_DA_3D_Q0, dainterp.c:588): fine cell
+    (i,j,k) takes coarse cell (i//r, j//r, k//r)'s value, ratio
+    r = mf/mc per axis ∈ {1,2}. Restriction (Pᵀ) sums the children."""
+    assert len(fine) == len(coarse)
+    nf = int(np.prod(fine))
+    idx = np.arange(nf)
+    coords = np.unravel_index(idx, fine)      # C-order, last axis fastest
+    ccoords = []
+    for ax in range(len(fine)):
+        r = fine[ax] // coarse[ax]
+        assert r * coarse[ax] == fine[ax] and r in (1, 2), (fine, coarse)
+        ccoords.append(coords[ax] // r)
+    col = np.ravel_multi_index(tuple(ccoords), coarse)
+    return sp.csr_matrix((np.ones(nf), (idx, col)),
+                         shape=(nf, int(np.prod(coarse))))
+
+
 def q1_interp_scipy(fine: tuple, coarse: tuple) -> sp.csr_matrix:
     """scipy twin of Q1Interp (for Galerkin PᵀAP setup and tests)."""
     def p1d(nc, nf):

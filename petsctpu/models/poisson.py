@@ -70,3 +70,50 @@ def ex45_system(m: int = 8, n: int = 8, p: int = 8, dtype=np.float64):
     u = np.ones(m * n * p, dtype)
     b = A @ u
     return A, b, u
+
+
+def cell_neumann_laplacian_3d(m: int, dtype=np.float64) -> sp.csr_matrix:
+    """Cell-centered 7-point Neumann Laplacian on an m³ grid of cells,
+    scaled by the face weights Hy·Hz/Hx etc. (ksp ex34.c ComputeMatrix,
+    lines 173-267): each cell couples −w to every EXISTING neighbor and
+    the diagonal counts only existing neighbors — a singular matrix
+    with the constant null space. Row ordering i + m·j + m²·k."""
+    H = 1.0 / m
+    w = H                                  # Hy*Hz/Hx = H for the cube
+    n = m ** 3
+    idx = np.arange(n)
+    i = idx % m
+    j = (idx // m) % m
+    k = idx // (m * m)
+    rows, cols, vals = [], [], []
+    diag = np.zeros(n, dtype)
+    for di, dj, dk in ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                       (0, 0, 1), (0, 0, -1)):
+        ii, jj, kk = i + di, j + dj, k + dk
+        ok = ((ii >= 0) & (ii < m) & (jj >= 0) & (jj < m)
+              & (kk >= 0) & (kk < m))
+        rows.append(idx[ok])
+        cols.append((ii + m * jj + m * m * kk)[ok])
+        vals.append(np.full(ok.sum(), -w, dtype))
+        diag[ok] += w
+    rows.append(idx)
+    cols.append(idx)
+    vals.append(diag)
+    return sp.csr_matrix((np.concatenate(vals),
+                          (np.concatenate(rows), np.concatenate(cols))),
+                         shape=(n, n))
+
+
+def ex34_system(m: int = 12, dtype=np.float64):
+    """ksp ex34: cell-centered 3-D Neumann Poisson, forcing
+    12π²·cos(2πx)cos(2πy)cos(2πz)·H³ with the mean removed
+    (MatNullSpaceRemove — ex34.c ComputeRHS), exact solution
+    cos·cos·cos. Returns (A, b, u_exact)."""
+    A = cell_neumann_laplacian_3d(m, dtype)
+    H = 1.0 / m
+    c = np.cos(2 * np.pi * (np.arange(m) + 0.5) * H)
+    u = (c[None, None, :] * c[None, :, None]
+         * c[:, None, None]).reshape(-1).astype(dtype)
+    b = 12 * np.pi ** 2 * u * H ** 3
+    b = b - b.mean()
+    return A, b, u

@@ -283,3 +283,165 @@ def make_algebraic_mg_from_hierarchy(As, Ps, dtype=None, sm_its: int = 2,
     coarse_pc = make_lu(As[-1], dtype=dtype)
     coarse_A = aij_from_scipy(As[-1], dtype=dtype)
     return MGPC(tuple(levels), coarse_pc, coarse_A, cycles, mg_type)
+
+
+# ---------------------------------------------------------------------------
+# Reference-exact Chebyshev smoother + estimated-on-first-application MG
+# ---------------------------------------------------------------------------
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class RefChebySmoother:
+    """KSPSolve_Chebyshev's omega/c recurrence verbatim (cheby.c:
+    scale = 2/(emax+emin), pre-loop p₁ = p₀ + scale·B⁻¹r, then maxit
+    steps of p⁺ = ω(p + scale·B⁻¹r) + (1−ω)p⁻). `denull` removes the
+    constant null space after every preconditioner application — the
+    KSP_PCApply → MatNullSpaceRemove path a singular (Neumann) level
+    operator triggers (kspimpl.h:185)."""
+
+    pc: Any                     # SSOR/Jacobi plan (apply())
+    emin: jax.Array
+    emax: jax.Array
+    its: int = field(metadata=dict(static=True), default=2)
+    denull: bool = field(metadata=dict(static=True), default=False)
+
+    def _prec(self, r):
+        z = self.pc.apply(r)
+        if self.denull:
+            z = z - jnp.mean(z)
+        return z
+
+    def smooth(self, A, b, x):
+        scale = 2.0 / (self.emax + self.emin)
+        alpha = 1.0 - scale * self.emin
+        mu = 1.0 / alpha
+        omegaprod = 2.0 / alpha
+        ckm1, ck = jnp.ones_like(mu), mu
+        pkm1 = x
+        r = b - A.mult(pkm1)
+        pk = pkm1 + scale * self._prec(r)
+        for _ in range(self.its):
+            ckp1 = 2.0 * mu * ck - ckm1
+            omega = omegaprod * ck / ckp1
+            r = b - A.mult(pk)
+            z = self._prec(r)
+            pkp1 = omega * (pk + scale * z) + (1.0 - omega) * pkm1
+            ckm1, ck = ck, ckp1
+            pkm1, pk = pk, pkp1
+        return pk
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PinvCoarsePC:
+    """Dense pseudo-inverse coarse solve with constant-null-space
+    removal — numerically equivalent to the reference's shifted-LU +
+    MatNullSpaceRemove coarse stack on singular Neumann coarse grids
+    (the solution component in range(A) is identical; the null
+    component is projected out either way)."""
+
+    Ainv: jax.Array
+    denull: bool = field(metadata=dict(static=True), default=True)
+
+    def apply(self, r):
+        if self.denull:
+            r = r - jnp.mean(r)
+        y = self.Ainv @ r
+        if self.denull:
+            y = y - jnp.mean(y)
+        return y
+
+
+def _ssor_minv_host(Ah: sp.csr_matrix):
+    """Host SSOR(ω=1) preconditioner apply: (D+U)⁻¹ D (D+L)⁻¹ —
+    MatSOR SOR_LOCAL_SYMMETRIC_SWEEP, the mg.c default smoother PC."""
+    import scipy.sparse.linalg as spla
+
+    L = sp.tril(Ah, 0).tocsr()
+    U = sp.triu(Ah, 0).tocsr()
+    d = Ah.diagonal()
+
+    def m_inv(r):
+        y = spla.spsolve_triangular(L, r, lower=True)
+        return spla.spsolve_triangular(U, d * y, lower=False)
+
+    return m_inv
+
+
+def _est_sigma_max_host(Ah: sp.csr_matrix, m_inv, b: np.ndarray,
+                        iters: int = 10) -> float:
+    """The Chebyshev smoother's eigenvalue estimation replayed on host
+    (cheby.c est-on-first-application): 10 classical-Gram-Schmidt
+    Arnoldi steps of the left-SSOR-preconditioned operator starting
+    from M⁻¹b, WITHOUT null-space removal (the est KSP shares the PC
+    object but not the operators — cheby.c:68 KSPSetPC — so
+    KSP_RemoveNullSpace never fires inside the estimation), then σmax
+    of the Hessenberg (KSPComputeExtremeSingularValues_GMRES: gesvd of
+    the triangularized R, gmreig.c — σ(R) = σ(H̄))."""
+    v = m_inv(np.asarray(b, np.float64))
+    beta = np.linalg.norm(v)
+    if beta == 0.0:
+        return 1.0
+    n = v.shape[0]
+    m = min(iters, n)
+    V = np.zeros((m + 1, n))
+    V[0] = v / beta
+    H = np.zeros((m + 1, m))
+    for j in range(m):
+        w = m_inv(Ah @ V[j])
+        h = V[:j + 1] @ w
+        w = w - V[:j + 1].T @ h
+        H[:j + 1, j] = h
+        H[j + 1, j] = np.linalg.norm(w)
+        if H[j + 1, j] == 0.0:
+            H = H[:j + 2, :j + 1]
+            break
+        V[j + 1] = w / H[j + 1, j]
+    return float(np.linalg.svd(H, compute_uv=False).max())
+
+
+def make_full_mg_ref(As, Ps, b, dtype=None, sm_its: int = 2,
+                     mg_type: str = "full", cycles: int = 1,
+                     nullspace: bool = False, est_its: int = 10):
+    """MG stack with the reference's DEFAULT smoother configuration
+    reproduced exactly: per-level Chebyshev(+SSOR) whose eigenvalue
+    bounds are estimated at setup by replaying cheby.c's
+    est-on-first-application — the est input on level l is the outer
+    rhs restricted down the F-cycle's b-chain (PCMGFCycle_Private
+    fmg.c restricts b through all levels BEFORE any smoothing, so the
+    first smoother call on level l sees exactly that vector) — with
+    bounds transform [0, 0.1; 0, 1.1] (cheby.c defaults).
+
+    nullspace=True: singular Neumann levels — the smoothers remove the
+    constant component after each SSOR application and the coarse
+    solve is a null-space-projected pseudo-inverse (ksp ex34's
+    configuration; its golden output is digit-exact through this
+    path)."""
+    from petsctpu.mat.ell import aij_from_scipy
+    from petsctpu.pc.sor import make_sor
+
+    dtype = np.dtype(dtype or As[0].dtype).type
+    # restrict the outer rhs down the chain (est inputs per level)
+    bs = [np.asarray(b, np.float64)]
+    for P in Ps:
+        bs.append(P.T @ bs[-1])
+
+    levels = []
+    for l in range(len(Ps)):
+        Ah = sp.csr_matrix(As[l])
+        smax = _est_sigma_max_host(Ah, _ssor_minv_host(Ah), bs[l],
+                                   est_its)
+        ssor = make_sor(Ah, omega=1.0, sweeps=1, symmetric=True,
+                        dtype=dtype)
+        sm = RefChebySmoother(ssor, jnp.asarray(dtype(0.1 * smax)),
+                              jnp.asarray(dtype(1.1 * smax)), sm_its,
+                              nullspace)
+        levels.append(MGLevel(aij_from_scipy(As[l], dtype=dtype),
+                              aij_from_scipy(Ps[l], dtype=dtype), sm))
+    Ac = sp.csr_matrix(As[-1])
+    if nullspace:
+        coarse_pc = PinvCoarsePC(jnp.asarray(
+            np.linalg.pinv(Ac.toarray()).astype(dtype)))
+    else:
+        coarse_pc = make_lu(Ac, dtype=dtype)
+    return MGPC(tuple(levels), coarse_pc, aij_from_scipy(Ac, dtype=dtype),
+                cycles, mg_type)

@@ -436,3 +436,49 @@ class TestEx29FullMG:
         assert int(r.its) <= 3                   # reference: 2
         assert float(r.history[int(r.its)]) \
             <= 1e-5 * float(r.history[0])
+
+
+class TestEx34FullMGNeumann:
+    def test_ex34_1_cell_centered_neumann_full_mg(self):
+        """ksp ex34 (runex34: -pc_type mg -pc_mg_type full -ksp_type
+        fgmres -ksp_monitor_short -pc_mg_levels 3
+        -mg_coarse_pc_factor_shift_type nonzero; output/ex34_1.out):
+        cell-centered 12³ Neumann Poisson (singular, constant null
+        space), DMDA_Q0 injection transfers (12³→6³→3³), rediscretized
+        levels, FULL MG, Chebyshev+SSOR smoothers with the reference's
+        est-on-first-application eigenvalue bounds. DIGIT-EXACT: the
+        per-level bounds (0.10017/1.10187, 0.100602/1.10662 in the
+        -ksp_view), all 5 monitor lines, the final residual norm and
+        all three error norms. Pinned reference semantics: the est
+        GMRES does NOT remove the null space (cheby.c:68 shares the PC
+        object, not the operators) while the smoothers and coarse
+        solve DO (KSP_PCApply, kspimpl.h:185)."""
+        from petsctpu.dm.da import q0_interp_scipy
+        from petsctpu.models import ex34_system
+        from petsctpu.models.poisson import cell_neumann_laplacian_3d
+        from petsctpu.pc.mg import make_full_mg_ref
+
+        A, b, u = ex34_system(12)
+        As = [A, cell_neumann_laplacian_3d(6), cell_neumann_laplacian_3d(3)]
+        Ps = [q0_interp_scipy((12,) * 3, (6,) * 3),
+              q0_interp_scipy((6,) * 3, (3,) * 3)]
+        pc = make_full_mg_ref(As, Ps, b, nullspace=True)
+        np.testing.assert_allclose(
+            [float(l.smoother.emax) for l in pc.levels],
+            [1.1066216, 1.1018735], rtol=1e-6)     # -ksp_view bounds
+        r = ksp_solve(aij_from_scipy(A), jnp.asarray(b), pc=pc,
+                      ksp_type="fgmres", rtol=1e-5, atol=1e-50,
+                      maxits=10000)
+        assert int(r.its) == 4
+        golden = [1.00731, 0.0422914, 0.00290556, 9.48719e-05,
+                  4.05385e-06]
+        np.testing.assert_allclose(np.asarray(r.history[:5]), golden,
+                                   rtol=2e-5)
+        x = np.asarray(r.x)
+        np.testing.assert_allclose(np.linalg.norm(b - A @ x),
+                                   4.05385e-06, rtol=1e-4)
+        err = x - u
+        np.testing.assert_allclose(
+            [np.abs(err).max(), np.abs(err).sum() / 1728,
+             np.linalg.norm(err) / 1728],
+            [0.0208756, 0.00618519, 0.000197005], rtol=1e-5)
