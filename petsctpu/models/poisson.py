@@ -117,3 +117,52 @@ def ex34_system(m: int = 12, dtype=np.float64):
     b = 12 * np.pi ** 2 * u * H ** 3
     b = b - b.mean()
     return A, b, u
+
+
+def ex29_system(m: int, neumann: bool = False, nu: float = 0.1,
+                dtype=np.float64):
+    """ksp ex29: vertex-centered 2-D variable-ρ (ρ=1 default) Poisson
+    on an m×m grid, Gaussian forcing exp(−x²/ν)exp(−y²/ν)·Hx·Hy
+    (ex29.c ComputeRHS). Dirichlet: boundary rows are decoupled
+    diag-2ρ(HxdHy+HydHx) rows (ex29.c:169-171); Neumann: diagonal
+    counts only existing neighbors (singular, constant null space,
+    rhs mean-removed). Returns (A, b)."""
+    Hx = Hy = 1.0 / (m - 1)
+    HxdHy, HydHx = Hx / Hy, Hy / Hx
+    idx = np.arange(m * m)
+    i = idx % m
+    j = idx // m
+    rows, cols, vals = [], [], []
+    if neumann:
+        diag = np.zeros(m * m, dtype)
+        for di, dj, w in ((-1, 0, HydHx), (1, 0, HydHx),
+                          (0, -1, HxdHy), (0, 1, HxdHy)):
+            ii, jj = i + di, j + dj
+            ok = (ii >= 0) & (ii < m) & (jj >= 0) & (jj < m)
+            rows.append(idx[ok])
+            cols.append((ii + m * jj)[ok])
+            vals.append(np.full(ok.sum(), -w, dtype))
+            diag[ok] += w
+        rows.append(idx)
+        cols.append(idx)
+        vals.append(diag)
+    else:
+        interior = (i > 0) & (i < m - 1) & (j > 0) & (j < m - 1)
+        rows.append(idx)
+        cols.append(idx)
+        vals.append(np.full(m * m, 2.0 * (HxdHy + HydHx), dtype))
+        for di, dj, w in ((-1, 0, HydHx), (1, 0, HydHx),
+                          (0, -1, HxdHy), (0, 1, HxdHy)):
+            ii, jj = i + di, j + dj
+            rows.append(idx[interior])
+            cols.append((ii + m * jj)[interior])
+            vals.append(np.full(interior.sum(), -w, dtype))
+    A = sp.csr_matrix((np.concatenate(vals),
+                       (np.concatenate(rows), np.concatenate(cols))),
+                      shape=(m * m, m * m))
+    x = np.arange(m) * Hx
+    g = np.exp(-x * x / nu)
+    b = (g[None, :] * g[:, None] * Hx * Hy).reshape(-1).astype(dtype)
+    if neumann:
+        b = b - b.mean()
+    return A, b
