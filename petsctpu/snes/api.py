@@ -70,7 +70,10 @@ def _check(fnorm, fnorm0, snorm, xnorm, its, cfg: SNESConfig):
             jnp.where(
                 fnorm <= cfg.rtol * fnorm0, R.CONVERGED_FNORM_RELATIVE,
                 jnp.where(
-                    (its > 0) & (snorm < cfg.stol * jnp.maximum(xnorm, 1e-30)),
+                    # snesut.c:30: strict snorm < stol*xnorm (NO floor
+                    # on xnorm — with xnorm=snorm=0, as FAS passes
+                    # per fas.c:824, this must NOT fire)
+                    (its > 0) & (snorm < cfg.stol * xnorm),
                     R.CONVERGED_SNORM_RELATIVE,
                     jnp.where(its >= cfg.maxits, R.DIVERGED_MAX_IT,
                               R.ITERATING)))))

@@ -234,8 +234,12 @@ def snes_fas(levels: Sequence[FASLevel], x0: jax.Array,
         its = c["its"] + 1
         history = c["history"].at[its].set(fn)
         _monitor(cfg, its, fn)
-        reason = _check(fn, fnorm0, ops.norm(x - c["x"], axis),
-                        ops.norm(x, axis), its, cfg)
+        # fas.c:824 passes xnorm=snorm=0 to the convergence test —
+        # the step tolerance NEVER fires for FAS cycles (matching the
+        # oracle's 23-cycle ex5_5_fas trajectory; with a live stol the
+        # run stops 10 cycles early)
+        reason = _check(fn, fnorm0, jnp.zeros((), fn.dtype),
+                        jnp.zeros((), fn.dtype), its, cfg)
         return dict(x=x, its=its, history=history, reason=reason)
 
     out = lax.while_loop(cond, body, dict(x=x0, its=jnp.int32(0),
