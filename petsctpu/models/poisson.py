@@ -166,3 +166,35 @@ def ex29_system(m: int, neumann: bool = False, nu: float = 0.1,
     if neumann:
         b = b - b.mean()
     return A, b
+
+
+def ex45_true_system(m: int = 7, dtype=np.float64):
+    """ksp ex45's EXACT discretization (ex45.c ComputeMatrix/RHS):
+    vertex-centered 7-point Laplacian on m³ with face-weights
+    HxHy/Hz etc., DECOUPLED boundary rows diag 2(HxHydHz+HxHzdHy+
+    HyHzdHx); rhs = same boundary value, Hx·Hy·Hz interior. Returns
+    (A, b)."""
+    H = 1.0 / (m - 1)
+    w = H                                   # HxHy/Hz = H on the cube
+    bdiag = 2.0 * 3 * w
+    n = m ** 3
+    idx = np.arange(n)
+    i = idx % m
+    j = (idx // m) % m
+    k = idx // (m * m)
+    interior = ((i > 0) & (i < m - 1) & (j > 0) & (j < m - 1)
+                & (k > 0) & (k < m - 1))
+    rows = [idx]
+    cols = [idx]
+    vals = [np.where(interior, 2.0 * 3 * w, bdiag).astype(dtype)]
+    for di, dj, dk in ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                       (0, 0, 1), (0, 0, -1)):
+        ii, jj, kk = i + di, j + dj, k + dk
+        rows.append(idx[interior])
+        cols.append((ii + m * jj + m * m * kk)[interior])
+        vals.append(np.full(interior.sum(), -w, dtype))
+    A = sp.csr_matrix((np.concatenate(vals),
+                       (np.concatenate(rows), np.concatenate(cols))),
+                      shape=(n, n))
+    b = np.where(interior, H ** 3, bdiag).astype(dtype)
+    return A, b

@@ -471,3 +471,44 @@ def make_full_mg_ref(As, Ps, b, dtype=None, sm_its: int = 2,
         coarse_pc = make_lu(Ac, dtype=dtype)
     return MGPC(tuple(levels), coarse_pc, aij_from_scipy(Ac, dtype=dtype),
                 cycles, mg_type)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class RichardsonSmoother:
+    """KSPRichardson as an MG smoother (KSPSolve_Richardson with
+    KSPSkipConverged/norm NONE: exactly `its` applications of
+    x += scale·B⁻¹(b − A x), rich.c)."""
+
+    pc: Any
+    scale: float = field(metadata=dict(static=True), default=1.0)
+    its: int = field(metadata=dict(static=True), default=1)
+
+    def smooth(self, A, b, x):
+        for _ in range(self.its):
+            x = x + self.scale * self.pc.apply(b - A.mult(x))
+        return x
+
+
+def make_mg_richardson_ilu(As, Ps, dtype=None, sm_its: int = 1,
+                           mg_type: str = "multiplicative",
+                           cycles: int = 1):
+    """MG with Richardson+ILU(0) level smoothers — the
+    `-mg_levels_ksp_type richardson -mg_levels_ksp_max_it 1
+    -mg_levels_pc_type bjacobi` configuration of ksp ex45 run
+    serially (block Jacobi with one block = ILU(0) on the level
+    operator); coarse = exact LU."""
+    from petsctpu.mat.ell import aij_from_scipy
+    from petsctpu.pc.factor import make_ilu
+
+    dtype = np.dtype(dtype or As[0].dtype).type
+    levels = []
+    for l in range(len(Ps)):
+        Ah = sp.csr_matrix(As[l])
+        sm = RichardsonSmoother(make_ilu(Ah, dtype=dtype), 1.0, sm_its)
+        levels.append(MGLevel(aij_from_scipy(As[l], dtype=dtype),
+                              aij_from_scipy(Ps[l], dtype=dtype), sm))
+    coarse_pc = make_lu(sp.csr_matrix(As[-1]), dtype=dtype)
+    return MGPC(tuple(levels), coarse_pc,
+                aij_from_scipy(sp.csr_matrix(As[-1]), dtype=dtype),
+                cycles, mg_type)

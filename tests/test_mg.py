@@ -535,3 +535,37 @@ class TestEx29FullMGOracle:
             np.asarray(r.history[:4]),
             [0.00144931, 1.67868e-05, 2.17787e-07, 5.35208e-09],
             rtol=2e-5)
+
+
+class TestEx45RichardsonILU:
+    def test_ex45_2_serial_variant_oracle(self):
+        """ksp ex45 runex45_2 configuration run SERIALLY (-da_grid
+        21³ -pc_type mg -pc_mg_levels 3 -mg_levels_ksp_type richardson
+        -mg_levels_ksp_max_it 1 -mg_levels_pc_type bjacobi): on one
+        rank bjacobi = ILU(0) of the level operator, so the smoother
+        is one Richardson+ILU(0) sweep; levels are REDISCRETIZED
+        21³→11³→6³ (KSPSetComputeOperators), default GMRES outer. The
+        reference-source oracle prints [97.1387, 1.45713, 0.0719792,
+        0.00069467], final residual 6.67463e-05 — reproduced to all
+        printed digits. (The checked-in ex45_2.out is the 4-rank run
+        whose bjacobi blocks follow the DMDA decomposition.)"""
+        from petsctpu.dm.da import q1_interp_scipy
+        from petsctpu.models import ex45_true_system
+        from petsctpu.pc.mg import make_mg_richardson_ilu
+
+        sizes = [21, 11, 6]
+        As = [ex45_true_system(m)[0] for m in sizes]
+        Ps = [q1_interp_scipy((sizes[l],) * 3, (sizes[l + 1],) * 3)
+              for l in range(2)]
+        _, b = ex45_true_system(21)
+        pc = make_mg_richardson_ilu(As, Ps)
+        r = ksp_solve(aij_from_scipy(As[0]), jnp.asarray(b), pc=pc,
+                      ksp_type="gmres", rtol=1e-5, atol=1e-50,
+                      maxits=50)
+        assert int(r.its) == 3
+        np.testing.assert_allclose(
+            np.asarray(r.history[:4]),
+            [97.1387, 1.45713, 0.0719792, 0.00069467], rtol=2e-5)
+        np.testing.assert_allclose(
+            np.linalg.norm(b - As[0] @ np.asarray(r.x)), 6.67463e-05,
+            rtol=1e-4)
