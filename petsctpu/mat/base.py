@@ -205,3 +205,42 @@ class Identity:
 
     def apply(self, x):  # usable directly as PCNone
         return x
+
+
+def csr_submatrix_keep_zeros(A, rows, cols):
+    """A[rows][:, cols] PRESERVING explicitly-stored zeros.
+
+    scipy's fancy-indexed extraction is selection-matrix matmul, which
+    prunes stored zeros — but the reference's MatGetSubMatrix keeps
+    them, and pattern-sensitive consumers (ILU(0)/ICC of fieldsplit/
+    ASM blocks) factor on the FULL stored pattern: snes ex19's
+    fieldsplit_0 ILU runs on the 576-entry DMDA-preallocated pattern,
+    not the 136 true nonzeros, and the monitor digits differ by ~3%
+    between the two."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A)
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    colmap = np.full(A.shape[1], -1, dtype=np.int64)
+    colmap[cols] = np.arange(cols.size)
+    out_indptr = np.zeros(rows.size + 1, dtype=np.int64)
+    out_ind = []
+    out_val = []
+    for k, r in enumerate(rows):
+        s, e = A.indptr[r], A.indptr[r + 1]
+        cj = colmap[A.indices[s:e]]
+        keep = cj >= 0
+        cjk = cj[keep]
+        vk = A.data[s:e][keep]
+        order = np.argsort(cjk, kind="stable")
+        out_ind.append(cjk[order])
+        out_val.append(vk[order])
+        out_indptr[k + 1] = out_indptr[k] + cjk.size
+    ind = (np.concatenate(out_ind) if out_ind
+           else np.zeros(0, np.int64))
+    val = (np.concatenate(out_val) if out_val
+           else np.zeros(0, A.dtype))
+    return sp.csr_matrix((val, ind, out_indptr),
+                         shape=(rows.size, cols.size))

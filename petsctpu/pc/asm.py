@@ -104,7 +104,8 @@ def make_asm(A_host, nblocks: int = 4, overlap: int = 1,
         valid[k, :len(ext)] = True
         own[k, :len(ext)] = np.isin(ext, base)
         # subdomain matrix padded to bmax with identity tail
-        Sub = A[np.ix_(ext, ext)].tocsr()
+        from petsctpu.mat.base import csr_submatrix_keep_zeros
+        Sub = csr_submatrix_keep_zeros(A, ext, ext)   # keeps stored 0s
         if len(ext) < bmax:
             pad = bmax - len(ext)
             Sub = sp.block_diag([Sub, sp.eye(pad)]).tocsr()

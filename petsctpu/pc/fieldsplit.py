@@ -158,11 +158,14 @@ def make_fieldsplit(A_host, fields, options: Options = None, dtype=None,
                     else fields[0], dtype=np.int64)
     ib = np.asarray(fields[1].indices if hasattr(fields[1], "indices")
                     else fields[1], dtype=np.int64)
+    from petsctpu.mat.base import csr_submatrix_keep_zeros
     A = sp.csr_matrix(A_host)
-    A00 = A[np.ix_(ia, ia)].tocsr()
-    A01 = A[np.ix_(ia, ib)].tocsr()
-    A10 = A[np.ix_(ib, ia)].tocsr()
-    A11 = A[np.ix_(ib, ib)].tocsr()
+    # MatGetSubMatrix keeps stored zeros; the inner ILU(0)/ICC patterns
+    # depend on them (csr_submatrix_keep_zeros docstring)
+    A00 = csr_submatrix_keep_zeros(A, ia, ia)
+    A01 = csr_submatrix_keep_zeros(A, ia, ib)
+    A10 = csr_submatrix_keep_zeros(A, ib, ia)
+    A11 = csr_submatrix_keep_zeros(A, ib, ib)
 
     fs_type = opts.get_str("pc_fieldsplit_type", "additive")
     schur_fact = opts.get_str("pc_fieldsplit_schur_fact_type", "full")
@@ -240,7 +243,8 @@ def make_multi_fieldsplit(A_host, fields, options: Options = None,
     for k, f in enumerate(fields):
         idx = np.asarray(f.indices if hasattr(f, "indices") else f,
                          dtype=np.int64)
-        Akk = A[np.ix_(idx, idx)].tocsr()
+        from petsctpu.mat.base import csr_submatrix_keep_zeros
+        Akk = csr_submatrix_keep_zeros(A, idx, idx)
         dk = aij_from_scipy(Akk, dtype=dtype)
         ptype = opts.get_str(f"fieldsplit_{k}_pc_type", "ilu")
         pcs.append(make_pc(ptype, A=dk, A_host=Akk,

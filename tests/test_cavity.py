@@ -125,3 +125,97 @@ class TestEx19FieldSplit:
             x = x - r.x
         np.testing.assert_allclose(float(jnp.linalg.norm(F(x))),
                                    snes_golden[2], rtol=1e-3)
+
+
+class TestEx19FieldSplitVariants:
+    """runex19_fieldsplit_2/3/4 (snes makefile:638-652, 1 rank, 4×4
+    default grid): grouped splits — fields (u,v,ω)=0,1,2 as ONE split
+    and T=3 as the other (-pc_fieldsplit_0_fields 0,1,2) — additive
+    with ILU subs / additive with LU subs / SCHUR-full with LU subs.
+    Goldens verified current against the reference-source oracle;
+    monitor streams digit-exact."""
+
+    def _newton(self, fs_opts, ksp0_golden, snes_golden, its0):
+        import scipy.sparse as sp
+
+        from petsctpu.core.options import Options
+        from petsctpu.ksp import ksp_solve
+        from petsctpu.mat import aij_from_scipy
+        from petsctpu.pc.fieldsplit import make_fieldsplit
+
+        mx = my = 4
+        F = cavity_residual(mx, my)
+        x = cavity_initial_guess(mx, my)
+        patt = cavity_jacobian_pattern(mx, my)
+        plan = ColoredJacobian.from_sparsity(patt, aij_from_scipy(patt))
+        N = mx * my * 4
+        is0 = np.sort(np.concatenate([np.arange(f, N, 4)
+                                      for f in (0, 1, 2)]))
+        is1 = np.arange(3, N, 4)
+
+        P = sp.csr_matrix(patt)
+        row_nnz = np.diff(P.indptr)
+
+        def aij_to_scipy(J):
+            # reconstruct WITH the DMDA structural zeros (fdda.c zero-
+            # fills every stencil slot; the split ILU(0) patterns
+            # depend on them)
+            vals = np.asarray(J.vals)
+            mask = np.arange(vals.shape[1])[None, :] < row_nnz[:, None]
+            return sp.csr_matrix((vals[mask], P.indices.copy(),
+                                  P.indptr.copy()), shape=P.shape)
+
+        for newton_it in range(2):
+            Fx = F(x)
+            fnorm = float(jnp.linalg.norm(Fx))
+            np.testing.assert_allclose(fnorm, snes_golden[newton_it],
+                                       rtol=2e-5)
+            J = plan.assemble(F, x, Fx)
+            pc = make_fieldsplit(aij_to_scipy(J), [is0, is1],
+                                 options=Options(dict(fs_opts)),
+                                 A_dev=J)
+            r = ksp_solve(J, Fx, pc=pc, ksp_type="fgmres", rtol=1e-5,
+                          maxits=200)
+            if newton_it == 0:
+                assert int(r.its) == its0, int(r.its)
+                h = np.asarray(r.history[:its0 + 1])
+                for hv, gv in zip(h, ksp0_golden):
+                    if gv <= 1e-11:      # golden prints "< 1.e-11"
+                        assert hv < 1e-11
+                    else:
+                        np.testing.assert_allclose(hv, gv, rtol=2e-5)
+            x = x - r.x
+        np.testing.assert_allclose(float(jnp.linalg.norm(F(x))),
+                                   snes_golden[2], rtol=2e-3,
+                                   atol=1e-11)
+
+    def test_ex19_fieldsplit_2_additive_ilu(self):
+        """output/ex19_fieldsplit_2.out (subs at fieldsplit defaults:
+        preonly+ILU(0))."""
+        self._newton(
+            {"pc_fieldsplit_type": "additive",
+             "fieldsplit_0_pc_type": "ilu",
+             "fieldsplit_1_pc_type": "ilu"},
+            [0.239155, 0.0397523, 0.00401484, 0.000749174, 8.36744e-05,
+             9.68825e-06, 2.05679e-06],
+            [0.239155, 6.81704e-05, 5.940e-10], 6)
+
+    def test_ex19_fieldsplit_3_additive_lu(self):
+        """output/ex19_fieldsplit_3.out."""
+        self._newton(
+            {"pc_fieldsplit_type": "additive",
+             "fieldsplit_0_pc_type": "lu",
+             "fieldsplit_1_pc_type": "lu"},
+            [0.239155, 0.00208502, 0.000317113, 2.87706e-07],
+            [0.239155, 6.81924e-05, 2.898e-11], 3)
+
+    def test_ex19_fieldsplit_4_schur_lu(self):
+        """output/ex19_fieldsplit_4.out: full Schur factorization,
+        LU(A00) + GMRES-on-S preconditioned by LU(A11) — one outer
+        iteration to < 1e-11."""
+        self._newton(
+            {"pc_fieldsplit_type": "schur",
+             "fieldsplit_0_pc_type": "lu",
+             "fieldsplit_1_pc_type": "lu"},
+            [0.239155, 1e-12],
+            [0.239155, 6.81969e-05, 1e-12], 1)
