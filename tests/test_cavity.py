@@ -219,3 +219,67 @@ class TestEx19FieldSplitVariants:
              "fieldsplit_1_pc_type": "lu"},
             [0.239155, 1e-12],
             [0.239155, 6.81969e-05, 1e-12], 1)
+
+
+class TestEx19CompositeFieldSplit:
+    def test_ex19_composite_fieldsplit(self):
+        """runex19_composite_fieldsplit (snes makefile:663-667, 1
+        rank): PCCOMPOSITE MULTIPLICATIVE of [fieldsplit(additive,
+        grouped 0,1,2|3, ILU subs), none] — the none stage adds the
+        raw residual (y += b − A·y). output/
+        ex19_composite_fieldsplit.out (oracle-verified current);
+        both Newton iterations' KSP streams digit-exact."""
+        import scipy.sparse as sp
+
+        from petsctpu.core.options import Options
+        from petsctpu.ksp import ksp_solve
+        from petsctpu.mat import aij_from_scipy
+        from petsctpu.pc.composite import CompositePC
+        from petsctpu.pc.fieldsplit import make_fieldsplit
+        from petsctpu.pc.simple import NonePC
+
+        mx = my = 4
+        F = cavity_residual(mx, my)
+        x = cavity_initial_guess(mx, my)
+        patt = cavity_jacobian_pattern(mx, my)
+        plan = ColoredJacobian.from_sparsity(patt, aij_from_scipy(patt))
+        N = mx * my * 4
+        is0 = np.sort(np.concatenate([np.arange(f, N, 4)
+                                      for f in (0, 1, 2)]))
+        is1 = np.arange(3, N, 4)
+        P = sp.csr_matrix(patt)
+        row_nnz = np.diff(P.indptr)
+        snes_golden = [0.239155, 6.8147e-05, 5.629e-10]
+        ksp_goldens = [
+            [0.239155, 0.141937, 0.00716688, 0.00117796, 0.000241841,
+             3.05084e-05, 3.12138e-06, 7.29294e-07],
+            [6.8147e-05, 1.16666e-05, 9.79903e-07, 1.19278e-07,
+             1.78204e-08, 3.2221e-09, 5.640e-10],
+        ]
+        for newton_it in range(2):
+            Fx = F(x)
+            np.testing.assert_allclose(float(jnp.linalg.norm(Fx)),
+                                       snes_golden[newton_it], rtol=2e-5)
+            J = plan.assemble(F, x, Fx)
+            vals = np.asarray(J.vals)
+            mask = np.arange(vals.shape[1])[None, :] < row_nnz[:, None]
+            Jh = sp.csr_matrix((vals[mask], P.indices.copy(),
+                                P.indptr.copy()), shape=P.shape)
+            fs = make_fieldsplit(Jh, [is0, is1], options=Options(
+                {"pc_fieldsplit_type": "additive",
+                 "fieldsplit_0_pc_type": "ilu",
+                 "fieldsplit_1_pc_type": "ilu"}), A_dev=J)
+            pc = CompositePC((fs, NonePC()), J, "multiplicative")
+            r = ksp_solve(J, Fx, pc=pc, ksp_type="fgmres", rtol=1e-5,
+                          maxits=200)
+            g = np.asarray(ksp_goldens[newton_it])
+            assert int(r.its) == len(g) - 1, int(r.its)
+            h = np.asarray(r.history[:len(g)])
+            # monitor_short prints %5.3e (4 digits) below 1e-9
+            np.testing.assert_allclose(h[g >= 1e-9], g[g >= 1e-9],
+                                       rtol=2e-5)
+            np.testing.assert_allclose(h[g < 1e-9], g[g < 1e-9],
+                                       rtol=5e-4)
+            x = x - r.x
+        np.testing.assert_allclose(float(jnp.linalg.norm(F(x))),
+                                   snes_golden[2], rtol=2e-3)
