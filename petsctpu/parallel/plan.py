@@ -144,3 +144,42 @@ def ell_pack(M: sp.csr_matrix, K: int, pad_col: int = 0):
     cols[rr, slot] = M.indices
     vals[rr, slot] = M.data
     return cols, vals
+
+
+def partition_rect_csr(A, nshards: int):
+    """Row-partition a RECTANGULAR matrix (e.g. a GAMG prolongator
+    P: coarse → fine) with the column space partitioned by its own
+    Layout: per shard a diag block (my coarse columns) + off block
+    (ghost coarse columns, garray-compressed) + the same halo plan
+    machinery as square MPIAIJ (mmaij.c garray/lvec for a non-square
+    operator — the reference stores P as an ordinary MPIAIJ).
+
+    Pad rows are ZERO (a prolongator's pad fine rows must stay 0, not
+    identity). Returns (row_layout, col_layout, diag_blocks,
+    off_blocks, garrays, halo)."""
+    A = sp.csr_matrix(A)
+    nr, nc = A.shape
+    rlay = Layout(nr, nshards)
+    clay = Layout(nc, nshards)
+    sr, sc = rlay.shard_size, clay.shard_size
+
+    diag_blocks, off_blocks, garrays = [], [], []
+    for p in range(nshards):
+        r0, r1 = p * sr, min((p + 1) * sr, nr)
+        c0, c1 = p * sc, min((p + 1) * sc, nc)
+        rows = (A[r0:r1] if r0 < nr
+                else sp.csr_matrix((0, nc)))
+        coo = rows.tocoo()
+        md = (coo.col >= c0) & (coo.col < c1)
+        D = sp.coo_matrix((coo.data[md], (coo.row[md], coo.col[md] - c0)),
+                          shape=(sr, sc)).tocsr()
+        mo = ~md
+        garray, inv = np.unique(coo.col[mo], return_inverse=True)
+        O = sp.coo_matrix((coo.data[mo], (coo.row[mo], inv)),
+                          shape=(sr, max(len(garray), 1))).tocsr()
+        diag_blocks.append(D)
+        off_blocks.append(O)
+        garrays.append(garray.astype(np.int64))
+
+    halo = _build_halo(clay, garrays, nshards)
+    return rlay, clay, diag_blocks, off_blocks, garrays, halo

@@ -176,3 +176,102 @@ def sharded_aij_from_scipy(A, nshards: int, dtype=None,
 def sp_nnz(A):
     import scipy.sparse as sp
     return sp.csr_matrix(A).nnz
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ShardedRectAIJ:
+    """Row-partitioned RECTANGULAR ELL operator — the sharded form of
+    a GAMG/AMG prolongator P: coarse → fine. Rows follow the fine
+    layout, columns the coarse layout; `mult` halos the COARSE vector
+    (garray plan over the column space), `multT` runs the plan in
+    reverse with scatter-adds (MatMultTranspose's scatter-reverse).
+    Same leaves/conventions as ShardedAIJ; runs inside shard_map."""
+
+    diag_cols: jax.Array    # int32 [P, nrloc, K1] local coarse cols
+    diag_vals: jax.Array
+    off_cols: jax.Array     # int32 [P, nrloc, K2] ghost slots (pad=gmax)
+    off_vals: jax.Array
+    send_idx: jax.Array     # int32 [P, P, smax] into local coarse vec
+    ghost_src: jax.Array    # int32 [P, gmax]
+    shape: tuple = field(metadata=dict(static=True))   # padded (nf, nc)
+    ncloc: int = field(metadata=dict(static=True), default=1)
+    nshards: int = field(metadata=dict(static=True), default=1)
+    axis: str = field(metadata=dict(static=True), default="rows")
+    nnz: int = field(metadata=dict(static=True), default=0)
+
+    def local(self) -> "ShardedRectAIJ":
+        return jax.tree.map(lambda a: a[0], self)
+
+    @property
+    def nrloc(self):
+        return self.diag_cols.shape[-2]
+
+    def _ghosts(self, xc_local):
+        send = xc_local[self.send_idx]               # [P, smax]
+        recv = lax.all_to_all(send, self.axis, split_axis=0,
+                              concat_axis=0)
+        return recv.reshape(-1)[self.ghost_src]      # [gmax]
+
+    def mult(self, xc_local: jax.Array) -> jax.Array:
+        """Prolongate: local coarse [ncloc] → local fine [nrloc]."""
+        if self.nshards == 1:
+            return jnp.sum(self.diag_vals * xc_local[self.diag_cols],
+                           axis=1)
+        g = self._ghosts(xc_local)
+        y = jnp.sum(self.diag_vals * xc_local[self.diag_cols], axis=1)
+        return y + jnp.sum(self.off_vals * g[self.off_cols], axis=1)
+
+    def multT(self, xf_local: jax.Array) -> jax.Array:
+        """Restrict: local fine [nrloc] → local coarse [ncloc]."""
+        dt = xf_local.dtype
+        dw = (self.diag_vals * xf_local[:, None]).reshape(-1)
+        y = jnp.zeros(self.ncloc, dt).at[
+            self.diag_cols.reshape(-1)].add(dw)
+        if self.nshards == 1:
+            return y
+        gmax = self.ghost_src.shape[-1]
+        gbuf = jnp.zeros(gmax + 1, dt)               # sentinel pad slot
+        ow = (self.off_vals * xf_local[:, None]).reshape(-1)
+        gbuf = gbuf.at[self.off_cols.reshape(-1)].add(ow)[:gmax]
+        P, smax = self.send_idx.shape[-2:]
+        rbuf = jnp.zeros(P * smax, dt).at[self.ghost_src].add(gbuf)
+        back = lax.all_to_all(rbuf.reshape(P, smax), self.axis,
+                              split_axis=0, concat_axis=0)
+        return y.at[self.send_idx.reshape(-1)].add(back.reshape(-1))
+
+
+def sharded_rect_from_scipy(A, nshards: int, dtype=None,
+                            axis: str = "rows") -> ShardedRectAIJ:
+    """Partition a rectangular scipy matrix (prolongator) over the
+    mesh axis; see parallel.plan.partition_rect_csr."""
+    import scipy.sparse as sp
+
+    from petsctpu.parallel.plan import partition_rect_csr
+
+    A = sp.csr_matrix(A)
+    rlay, clay, Ds, Os, gars, halo = partition_rect_csr(A, nshards)
+    P = nshards
+    dtype = dtype or A.dtype
+    K1 = max(max(int(np.diff(D.indptr).max()) if D.nnz else 0
+                 for D in Ds), 1)
+    K2 = max(max(int(np.diff(O.indptr).max()) if O.nnz else 0
+                 for O in Os), 1)
+    gmax = halo.gmax
+    sr = rlay.shard_size
+    dc = np.zeros((P, sr, K1), np.int32)
+    dv = np.zeros((P, sr, K1), dtype)
+    oc = np.full((P, sr, K2), gmax, np.int32)
+    ov = np.zeros((P, sr, K2), dtype)
+    from petsctpu.parallel.plan import ell_pack
+    for p in range(P):
+        c, v = ell_pack(Ds[p], K1)
+        dc[p], dv[p] = c, v.astype(dtype)
+        c, v = ell_pack(Os[p], K2)
+        oc[p], ov[p] = c, v.astype(dtype)
+    return ShardedRectAIJ(
+        jnp.asarray(dc), jnp.asarray(dv), jnp.asarray(oc),
+        jnp.asarray(ov), jnp.asarray(halo.send_idx),
+        jnp.asarray(halo.ghost_src),
+        shape=(rlay.n_padded, clay.n_padded), ncloc=clay.shard_size,
+        nshards=P, axis=axis, nnz=int(A.nnz))

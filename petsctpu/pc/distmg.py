@@ -232,6 +232,64 @@ def make_dist_mg(A_host, grid, nshards: int, dtype=None,
                     tuple(da.grid for da in das), axis, nshards, cycles)
 
 
+def make_dist_gamg(A_host, nshards: int, dtype=None,
+                   options: Options = None, axis="rows",
+                   theta: float = 0.0, coarsen: str = "mis") -> DistMGPC:
+    """DISTRIBUTED algebraic multigrid: the GAMG hierarchy (smoothed
+    aggregation, pc/gamg.py) built on host at setup, then applied
+    SHARDED — levels with more than `pc_mg_repl_size` unknowns are
+    ShardedAIJ operators with Chebyshev+Jacobi smoothing (halo
+    all_to_all only), inter-level transfers are ShardedRectAIJ
+    prolongators (the reference stores P as an ordinary MPIAIJ;
+    MatMultTranspose's scatter-reverse is the restriction), and the
+    small tail of the hierarchy runs replicated after one all_gather
+    (gamg.c:174-198 proc reduction). Reuses the DistMGPC cycle."""
+    from petsctpu.mat.ell import aij_from_scipy
+    from petsctpu.parallel.pmat import (sharded_aij_from_scipy,
+                                        sharded_rect_from_scipy)
+    from petsctpu.pc.gamg import gamg_hierarchy
+    from petsctpu.pc.mg import make_algebraic_mg_from_hierarchy, make_lu
+
+    opts = options or Options()
+    dtype = np.dtype(dtype or A_host.dtype).type
+    repl_n = opts.get_int("pc_mg_repl_size", 512)
+    sm_its = opts.get_int("mg_levels_ksp_max_it", 2)
+    cycles = 2 if opts.get_str("pc_mg_cycle_type", "v") == "w" else 1
+    coarse_n = opts.get_int("pc_gamg_coarse_eq_limit", 64)
+
+    As, Ps = gamg_hierarchy(sp.csr_matrix(A_host).astype(dtype),
+                            theta=theta, coarse_n=coarse_n,
+                            coarsen=coarsen)
+    # how many levels stay sharded (the NEXT one must still be big)
+    L = 1
+    while (L < len(As) - 1 and As[L].shape[0] > repl_n):
+        L += 1
+    if L >= len(As):              # hierarchy too shallow: keep 1 sharded
+        L = max(1, len(As) - 1)
+
+    levels, transfers = [], []
+    for l in range(L):
+        Sh, _ = sharded_aij_from_scipy(As[l], nshards, dtype=dtype,
+                                       axis=axis)
+        levels.append(DistMGLevel(
+            Sh, _stacked_cheby(sp.csr_matrix(As[l]), Sh.shape[0], dtype,
+                               sm_its, nshards)))
+        if l + 1 < L:
+            transfers.append(sharded_rect_from_scipy(
+                Ps[l], nshards, dtype=dtype, axis=axis))
+
+    # replicated tail: P_t bridges the coarsest sharded level to it
+    Pt = aij_from_scipy(Ps[L - 1], dtype=dtype)
+    if L < len(As) - 1:
+        coarse = make_algebraic_mg_from_hierarchy(
+            As[L:], Ps[L:], dtype=dtype, sm_its=sm_its, cycles=cycles)
+    else:
+        coarse = make_lu(sp.csr_matrix(As[-1]), dtype=dtype)
+    return DistMGPC(tuple(levels), tuple(transfers), Pt, coarse,
+                    tuple((A.shape[0],) for A in As[:L]), axis,
+                    nshards, cycles)
+
+
 def make_dist_mg_hier(A_host, grid, H: int, C: int, dtype=None,
                       options: Options = None,
                       axes=("dcn", "ici")) -> DistMGPC:
