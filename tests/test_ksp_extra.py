@@ -168,3 +168,44 @@ class TestComputeEigenvalues:
         smin, smax = ksp_compute_extreme_singular_values(Ad, pc, b, 25)
         assert smax >= ritz.max() - 1e-10
         assert 0 < smin <= ritz.min() + 1e-6
+
+
+class TestChebyEstCG:
+    GOLDEN = ['18.1108', '4.56465', '0.934345', '0.216465', '0.099141',
+              '0.0699106', '0.028588', '0.00610458', '0.00124185',
+              '0.000229694', '4.64629e-05', '8.92605e-06']
+
+    def test_ex2_chebyest_2_cg_estimator(self):
+        """runex2_chebyest_2 (makefile:376-379): same PCKSP-Chebyshev
+        stack but the eigenvalue estimation runs a 10-step CG
+        (-ksp_est_ksp_type cg) — bounds from the CG-Lanczos
+        tridiagonal extremes (KSPComputeExtremeSingularValues_CG,
+        cgeig.c tql1) with the 0.9,0,0,1.1 transform. Golden verified
+        current against the reference-source oracle; the 12 monitor
+        lines and final error are digit-exact."""
+        from petsctpu.ksp.common import KSPConfig, _fmt_short
+        from petsctpu.ksp.specest import _cg_lanczos
+        from petsctpu.models import ex2_system
+        from petsctpu.pc.composite import KSPPC
+        from petsctpu.pc.factor import make_ilu
+
+        A, b, u = ex2_system(80, 80)
+        Ad = aij_from_scipy(A)
+        ilu = make_ilu(A)
+        bj = jnp.asarray(b)
+        eigs, _ = _cg_lanczos(Ad, ilu, bj, 10)
+        np.testing.assert_allclose(
+            [eigs[0], eigs[-1]], [0.026370488772, 1.15128405608],
+            rtol=1e-6)                       # oracle: est sv min/max
+        inner = KSPConfig(ksp_type="chebyshev", maxits=5,
+                          cheby_emin=0.9 * float(eigs[0]),
+                          cheby_emax=1.1 * float(eigs[-1]), rtol=1e-5)
+        pc = KSPPC(Ad, ilu, inner)
+        r = ksp_solve(Ad, bj, pc=pc, ksp_type="fgmres",
+                      rtol=1e-2 / 6561, atol=1e-50)
+        hist = [_fmt_short(float(h))
+                for h in np.asarray(r.history)[:int(r.its) + 1]]
+        assert hist == self.GOLDEN, hist
+        np.testing.assert_allclose(
+            float(np.linalg.norm(np.asarray(r.x) - u)), 0.000161289,
+            rtol=1e-4)
