@@ -84,8 +84,16 @@ def _monitor(cfg, step, t, u):
 
 def ts_solve(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
              axis: Optional[str] = None, cfl_fn: Optional[Callable] = None,
-             jac=None, pc_builder=None, **kw) -> TSResult:
+             jac=None, pc_builder=None, ifunc: Callable = None,
+             **kw) -> TSResult:
     """Integrate u' = rhs(t, u) from t0 until max_time/max_steps.
+
+    ifunc: optional IMPLICIT form F(t, u, u̇) = 0 (the TSSetIFunction
+    analog, ts.c:902) for the theta/beuler steppers — supports DAEs
+    whose algebraic rows have no u̇ (e.g. ts ex17's Dirichlet rows
+    F = u). The theta stage solve becomes
+    F(t+θdt, X, (X−u)/(θdt)) = 0 with u⁺ = u + (X−u)/θ (TSStep_Theta
+    shift σ = 1/(θdt)). Pass rhs=None when only ifunc is given.
 
     cfl_fn: optional (t, u) -> max stable dt; when given, the step size
     is capped at cfl_safety·cfl_fn each step (TSAdapt 'cfl',
@@ -221,6 +229,18 @@ def ts_solve(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
 
     def theta_step(t, u, dt):
         th = cfg.theta
+        if ifunc is not None:
+            assert not cfg.endpoint, "ifunc supports the stage form"
+
+            def G(v):
+                return ifunc(t + th * dt, v, (v - u) / (th * dt))
+
+            res = snes_solve(G, u, jac=jac or "jvp",
+                             pc_builder=pc_builder, cfg=cfg.snes,
+                             ksp_cfg=cfg.ksp, axis=axis)
+            v = res.x
+            un = u + (v - u) / th if th > 0 else v
+            return un, dt, dt
         if cfg.endpoint:
             # u⁺ = u + dt[(1−θ)F(t,u) + θF(t+dt,u⁺)]
             known = u + dt * (1.0 - th) * rhs(t, u)

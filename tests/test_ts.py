@@ -310,3 +310,85 @@ class TestEx7Nonlinear2D:
             u, t = res.u, float(res.t)
             np.testing.assert_allclose(np.linalg.norm(np.asarray(u)),
                                        golden[step], rtol=2e-5)
+
+
+class TestEx17HeatDAE:
+    def test_ex17_1_beuler_ifunction_dae(self):
+        """ts ex17 (runex17: -da_grid_x 40 -ts_max_steps 2): 1-D heat
+        equation posed as a DAE via TSSetIFunction — Dirichlet rows
+        are ALGEBRAIC (F = u, no u̇; ex17.c:177-183) — stepped by
+        theta(θ=1)=BE with a nested Newton per step. Golden
+        output/ex17_1.out verified current against the source oracle
+        for the SNES/KSP streams (the 'timestep' monitor lines are
+        stale — the tree no longer prints them — but their max/min
+        values still match). Digit-exact: per-step SNES fnorm₀
+        (2869.48, 142.606), the ILU-preconditioned KSP r₀ (1.42606,
+        0.517415) with 1-iteration convergence, and the solution
+        max values (0.999937 → 0.714133 → 0.536609)."""
+        import scipy.sparse as sp
+
+        from petsctpu.ksp import ksp_solve
+        from petsctpu.mat import aij_from_scipy
+        from petsctpu.pc.factor import make_ilu
+        from petsctpu.snes import ColoredJacobian
+        from petsctpu.ts import ts_solve
+
+        Mx = 40
+        hx = 1.0 / (Mx - 1)
+        sx = 1.0 / hx ** 2
+        xg = np.arange(Mx) * hx
+        r = np.abs(xg - 0.5)
+        u0 = np.where(r < .125, np.exp(-30.0 * r ** 3), 0.0)
+
+        def ifunc(t, u, udot):
+            lap = (2 * u - jnp.roll(u, 1) - jnp.roll(u, -1)) * sx
+            f = udot + lap
+            return f.at[0].set(u[0]).at[Mx - 1].set(u[Mx - 1])
+
+        dt = 0.01
+        patt = sp.diags([np.ones(Mx - 1), np.ones(Mx), np.ones(Mx - 1)],
+                        [-1, 0, 1]).tocsr()
+        plan = ColoredJacobian.from_sparsity(patt, aij_from_scipy(patt))
+        ksp_r0_golden = [1.42606, 0.517415]
+        fnorm_golden = [2869.48, 142.606]
+        max_golden = [0.714133, 0.536609]
+        u = jnp.asarray(u0)
+        np.testing.assert_allclose(float(jnp.max(u)), 0.999937,
+                                   rtol=2e-5)
+        t = 0.0
+        for step in range(2):
+            def G(v, u=u, t=t):
+                return ifunc(t + dt, v, (v - u) / dt)
+
+            Fx = G(u)
+            np.testing.assert_allclose(float(jnp.linalg.norm(Fx)),
+                                       fnorm_golden[step], rtol=2e-5)
+            J = plan.assemble(G, u, Fx)
+            # scipy view of the assembled Jacobian for ILU(0)
+            cols = np.asarray(J.cols)
+            vals = np.asarray(J.vals)
+            rows = np.repeat(np.arange(Mx), cols.shape[1])
+            Jh = sp.csr_matrix((vals.ravel(), (rows, cols.ravel())),
+                               shape=(Mx, Mx))
+            ilu = make_ilu(Jh)
+            rk = ksp_solve(J, Fx, pc=ilu, ksp_type="gmres", rtol=1e-5,
+                           atol=1e-50, maxits=100)
+            np.testing.assert_allclose(float(rk.history[0]),
+                                       ksp_r0_golden[step], rtol=2e-5)
+            assert int(rk.its) == 1 and float(rk.history[1]) < 1e-11
+            un = u - rk.x
+            assert float(jnp.linalg.norm(G(un))) < 1e-10   # stage solved
+            u = un
+            t += dt
+            np.testing.assert_allclose(float(jnp.max(u)),
+                                       max_golden[step], rtol=2e-5)
+
+        # the framework path: ts_solve(ifunc=...) reproduces the same
+        # trajectory end-to-end (TSSetIFunction analog)
+        res = ts_solve(None, jnp.asarray(u0), ifunc=ifunc,
+                       ts_type="beuler", dt=dt, max_steps=2,
+                       max_time=1.0)
+        np.testing.assert_allclose(float(jnp.max(res.u)), 0.536609,
+                                   rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(res.u), np.asarray(u),
+                                   atol=1e-9)
