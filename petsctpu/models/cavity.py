@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 
 def cavity_residual(mx: int, my: int, lidvelocity: float = None,
@@ -113,3 +114,206 @@ def cavity_jacobian_pattern(mx: int, my: int):
                          (np.concatenate(rows), np.concatenate(cols))),
                         shape=(n, n)).tocsr()
     return sp.kron(adj, np.ones((4, 4)), format="csr")
+
+
+def cavity_nonlinear_gs(mx: int, my: int, lidvelocity: float = None,
+                        prandtl: float = 1.0, grashof: float = 1.0,
+                        sweeps: int = 1, max_its: int = 50,
+                        rtol: float = 1e-5, atol: float = 1e-15,
+                        stol: float = 1e-12):
+    """ex19.c's user NonlinearGS (ex19.c:375-...) as a jittable
+    SEQUENTIAL lexicographic sweep: per point, a pointwise Newton on
+    the 4×4 lower-triangular local system (u,v decoupled; ω,T
+    back-substituted), boundary rows handled exactly as the C code —
+    u/v boundary pre-assignments before the sweep (bottom, top, left,
+    right — later edges win the corners), ω/T boundary constraint
+    branches applied IN ORDER (i==0, i==mx−1, j==0, j==my−1; corners
+    run two branches sequentially). The per-point convergence test
+    replicates the reference verbatim INCLUDING its quirk that pfnorm
+    is overwritten with √pynorm (the update norm). Returns
+    smooth(xflat, bflat=None) for use as a FAS level smoother (b is
+    the FAS τ-corrected rhs)."""
+    if lidvelocity is None:
+        lidvelocity = 1.0 / (mx * my)
+    lid = lidvelocity
+    dhx, dhy = float(mx - 1), float(my - 1)
+    hx, hy = 1.0 / dhx, 1.0 / dhy
+    hxdhy, hydhx = hx * dhy, hy * dhx
+
+    def point_newton(x4, nbrs, b4, interior, is_w, is_e, is_s, is_n):
+        W, E, S, N = nbrs
+
+        def body(carry):
+            x, l, pf0, done = carry
+            u, v, o, t = x[0], x[1], x[2], x[3]
+            # interior 4x4 Newton step (ex19.c NonlinearGS body)
+            uxx = (2.0 * u - W[0] - E[0]) * hydhx
+            uyy = (2.0 * u - S[0] - N[0]) * hxdhy
+            fu = uxx + uyy - .5 * (N[2] - S[2]) * hx - b4[0]
+            dfudu = 2.0 * (hydhx + hxdhy)
+            vxx = (2.0 * v - W[1] - E[1]) * hydhx
+            vyy = (2.0 * v - S[1] - N[1]) * hxdhy
+            fv = vxx + vyy + .5 * (E[2] - W[2]) * hy - b4[1]
+            dfvdv = 2.0 * (hydhx + hxdhy)
+            avx, avy = jnp.abs(u), jnp.abs(v)
+            vxp, vxm = .5 * (u + avx), .5 * (u - avx)
+            vyp, vym = .5 * (v + avy), .5 * (v - avy)
+            oxx = (2.0 * o - W[2] - E[2]) * hydhx
+            oyy = (2.0 * o - S[2] - N[2]) * hxdhy
+            fo = (oxx + oyy
+                  + (vxp * (o - W[2]) + vxm * (E[2] - o)) * hy
+                  + (vyp * (o - S[2]) + vym * (N[2] - o)) * hx
+                  - .5 * grashof * (E[3] - W[3]) * hy - b4[2])
+            dfodo = 2.0 * (hydhx + hxdhy) + ((vxp - vxm) * hy
+                                             + (vyp - vym) * hx)
+            dfodu = jnp.where(u > 0.0, (o - W[2]) * hy, (E[2] - o) * hy)
+            dfodv = jnp.where(v > 0.0, (o - S[2]) * hx, (N[2] - o) * hx)
+            txx = (2.0 * t - W[3] - E[3]) * hydhx
+            tyy = (2.0 * t - S[3] - N[3]) * hxdhy
+            ft = (txx + tyy + prandtl * (
+                (vxp * (t - W[3]) + vxm * (E[3] - t)) * hy
+                + (vyp * (t - S[3]) + vym * (N[3] - t)) * hx) - b4[3])
+            dftdt = 2.0 * (hydhx + hxdhy) + prandtl * (
+                (vxp - vxm) * hy + (vyp - vym) * hx)
+            dftdu = jnp.where(u > 0.0, prandtl * (t - W[3]) * hy,
+                              prandtl * (E[3] - t) * hy)
+            dftdv = jnp.where(v > 0.0, prandtl * (t - S[3]) * hx,
+                              prandtl * (N[3] - t) * hx)
+            yu = fu / dfudu
+            yv = fv / dfvdv
+            yo = (fo - (dfodu * yu + dfodv * yv)) / dfodo
+            yt = (ft - (dftdu * yu + dftdv * yv)) / dftdt
+            xi = jnp.stack([u - yu, v - yv, o - yo, t - yt])
+            x = jnp.where(interior, xi, x)
+            yu = jnp.where(interior, yu, 0.0)
+            yv = jnp.where(interior, yv, 0.0)
+            yo = jnp.where(interior, yo, 0.0)
+            yt = jnp.where(interior, yt, 0.0)
+            # boundary constraint branches, IN ORDER (ex19.c:232-263)
+            o_, t_ = x[2], x[3]
+            fo1 = o_ - (E[1] - x[1]) * dhx - b4[2]
+            ft1 = t_ - b4[3]
+            o_ = jnp.where(is_w, o_ - fo1, o_)
+            t_ = jnp.where(is_w, t_ - ft1, t_)
+            yo = jnp.where(is_w, fo1, yo)
+            yt = jnp.where(is_w, ft1, yt)
+            fo2 = o_ - (x[1] - W[1]) * dhx - b4[2]
+            ft2 = t_ - float(grashof > 0) - b4[3]
+            o_ = jnp.where(is_e, o_ - fo2, o_)
+            t_ = jnp.where(is_e, t_ - ft2, t_)
+            yo = jnp.where(is_e, fo2, yo)
+            yt = jnp.where(is_e, ft2, yt)
+            fo3 = o_ + (N[0] - x[0]) * dhy - b4[2]
+            ft3 = t_ - N[3] - b4[3]
+            o_ = jnp.where(is_s, o_ - fo3, o_)
+            t_ = jnp.where(is_s, t_ - ft3, t_)
+            yo = jnp.where(is_s, fo3, yo)
+            yt = jnp.where(is_s, ft3, yt)
+            fo4 = o_ + (x[0] - S[0]) * dhy - b4[2]
+            ft4 = t_ - S[3] - b4[3]
+            o_ = jnp.where(is_n, o_ - fo4, o_)
+            t_ = jnp.where(is_n, t_ - ft4, t_)
+            yo = jnp.where(is_n, fo4, yo)
+            yt = jnp.where(is_n, ft4, yt)
+            x = x.at[2].set(o_).at[3].set(t_)
+            # convergence (ex19.c:265-275 verbatim incl. the
+            # pfnorm = sqrt(pynorm) overwrite)
+            pynorm = yu * yu + yv * yv + yo * yo + yt * yt
+            pfnorm = jnp.sqrt(pynorm)
+            pxnorm = jnp.sqrt(jnp.sum(x * x))
+            pf0 = jnp.where(l == 0, pfnorm, pf0)
+            conv = ((rtol * pf0 > pfnorm) | (atol > pfnorm)
+                    | (pxnorm * stol > pynorm))
+            return (x, l + 1, pf0, conv)
+
+        def cond(carry):
+            _, l, _, done = carry
+            return (l < max_its) & ~done
+
+        x, _, _, _ = lax.while_loop(
+            cond, body, (x4, jnp.int32(0), jnp.zeros((), x4.dtype),
+                         jnp.zeros((), bool)))
+        return x
+
+    def smooth(xflat, bflat=None):
+        X = xflat.reshape(my, mx, 4)
+        B = (jnp.zeros_like(X) if bflat is None
+             else bflat.reshape(my, mx, 4))
+        # u/v Dirichlet pre-assignments (bottom, top, left, right —
+        # the later edges win the corners, ex19.c NonlinearGS)
+        X = X.at[0, :, 0].set(B[0, :, 0]).at[0, :, 1].set(B[0, :, 1])
+        X = X.at[-1, :, 0].set(lid + B[-1, :, 0]).at[-1, :, 1].set(
+            B[-1, :, 1])
+        X = X.at[:, 0, 0].set(B[:, 0, 0]).at[:, 0, 1].set(B[:, 0, 1])
+        X = X.at[:, -1, 0].set(B[:, -1, 0]).at[:, -1, 1].set(B[:, -1, 1])
+
+        def point(Xc, ji):
+            j = ji // mx
+            i = ji % mx
+            jm = jnp.maximum(j - 1, 0)
+            jp = jnp.minimum(j + 1, my - 1)
+            im = jnp.maximum(i - 1, 0)
+            ip = jnp.minimum(i + 1, mx - 1)
+            nbrs = (Xc[j, im], Xc[j, ip], Xc[jm, i], Xc[jp, i])
+            x4 = point_newton(
+                Xc[j, i], nbrs, B[j, i],
+                (i != 0) & (i != mx - 1) & (j != 0) & (j != my - 1),
+                i == 0, i == mx - 1, j == 0, j == my - 1)
+            return Xc.at[j, i].set(x4), None
+
+        for _ in range(sweeps):
+            X, _ = lax.scan(point, X, jnp.arange(my * mx))
+        return X.reshape(-1)
+
+    return smooth
+
+
+class _FieldQ1:
+    """Q1 interpolation ⊗ I_dof on a (my, mx, dof) grid — the MAIJ
+    transfer DMDA builds for dof>1 (dainterp.c MatCreateMAIJ)."""
+
+    def __init__(self, fine, coarse, dof=4):
+        self.fine, self.coarse, self.dof = fine, coarse, dof
+
+    def mult(self, xc):
+        from petsctpu.dm.da import _interp_axis
+        X = xc.reshape(self.coarse + (self.dof,))
+        for ax in (0, 1):
+            X = _interp_axis(X, ax, self.fine[ax])
+        return X.reshape(-1)
+
+    def multT(self, xf):
+        from petsctpu.dm.da import _restrict_axis
+        X = xf.reshape(self.fine + (self.dof,))
+        for ax in (0, 1):
+            X = _restrict_axis(X, ax, self.coarse[ax])
+        return X.reshape(-1)
+
+
+def cavity_fas_levels(m0: int, nlevels: int, lidvelocity: float,
+                      prandtl: float = 1.0, grashof: float = 1.0,
+                      gs_kw: dict = None):
+    """FAS hierarchy for snes ex19: rediscretized cavity residuals on
+    the 2m−1 vertex chain, MAIJ Q1 transfers, node injection, and the
+    user NonlinearGS smoother per level (SNESSetGS). Returns
+    (levels, smoothers) — fine first."""
+    from petsctpu.snes.fas import FASLevel
+
+    sizes = [m0]
+    for _ in range(nlevels - 1):
+        sizes.append((sizes[-1] + 1) // 2)
+    levels, smoothers = [], []
+    for l, m in enumerate(sizes):
+        F = cavity_residual(m, m, lidvelocity, prandtl, grashof)
+        smoothers.append(cavity_nonlinear_gs(
+            m, m, lidvelocity, prandtl, grashof, **(gs_kw or {})))
+        colors = np.zeros(m * m * 4, np.int32)       # unused with "user"
+        if l < nlevels - 1:
+            mc = (m + 1) // 2
+            interp = _FieldQ1((m, m), (mc, mc))
+            idx = np.arange(m * m * 4).reshape(m, m, 4)
+            inject = idx[::2, ::2, :].reshape(-1).copy()
+            levels.append(FASLevel(F, colors, 1, interp, inject, None))
+        else:
+            levels.append(FASLevel(F, colors, 1))
+    return levels, smoothers

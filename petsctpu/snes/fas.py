@@ -158,7 +158,8 @@ def snes_fas(levels: Sequence[FASLevel], x0: jax.Array,
              cfg: SNESConfig = None, npre: int = 2, npost: int = 2,
              omega: float = 0.9, coarse_cfg: SNESConfig = None,
              coarse_ksp: KSPConfig = None, axis: Optional[str] = None,
-             smoother: str = "ngs", **kw) -> SNESResult:
+             smoother: str = "ngs", user_smoothers=None,
+             **kw) -> SNESResult:
     """FAS V-cycle iteration (SNESFAS, fas.c).
 
     Each outer iteration runs one V-cycle: presmooth, restrict state
@@ -168,9 +169,12 @@ def snes_fas(levels: Sequence[FASLevel], x0: jax.Array,
     Newton-Krylov (reference default: SNESNEWTONLS on level 0).
 
     smoother: "ngs" (colored nonlinear Gauss-Seidel — the TPU
-    data-parallel choice) or "nrichardson" (the reference's DEFAULT
+    data-parallel choice), "nrichardson" (the reference's DEFAULT
     level smoother, fasfunc.c:396: one L2-line-search Richardson step
-    per sweep — use with npre=npost=1 for fas.c default behavior)."""
+    per sweep — use with npre=npost=1 for fas.c default behavior), or
+    "user" with user_smoothers = per-level callables f(x, b) — the
+    SNESSetGS hook (one call = one smoother iteration; npre/npost are
+    the level SNES max_its, fasfunc.c:269)."""
     cfg = replace(cfg or SNESConfig(), **kw) if kw else (cfg or SNESConfig())
     coarse_cfg = coarse_cfg or SNESConfig(maxits=12, rtol=1e-10,
                                           linesearch="bt")
@@ -182,6 +186,10 @@ def snes_fas(levels: Sequence[FASLevel], x0: jax.Array,
                 for L in levels]
 
     def smooth(l, x, b, sweeps):
+        if smoother == "user":
+            for _ in range(sweeps):
+                x = user_smoothers[l](x, b)
+            return x
         if smoother == "nrichardson":
             from petsctpu.snes.api import _linesearch_l2
 

@@ -201,3 +201,41 @@ class TestEx5FASReferenceConfig:
         # limited; the trajectory still tracks to ~0.5%
         np.testing.assert_allclose(h[17:k], oracle[17:k], rtol=5e-3)
         assert res.converged or h[int(res.its)] < 1e-10
+
+
+class TestEx19FASUserGS:
+    def test_ex19_fas_pointwise_gs(self):
+        """runex19_fas (snes makefile:691-695): the driven cavity at
+        grashof 4e4, lid 100, on a 5-level FAS hierarchy (49²…4²
+        rediscretized), smoothed by ex19.c's USER NonlinearGS — a
+        sequential lexicographic pointwise-Newton sweep registered via
+        the SNESSetGS hook (here: snes_fas(smoother="user") with the
+        jittable lax.scan port, models/cavity.cavity_nonlinear_gs) —
+        6 GS iterations of 3 sweeps pre+post per level
+        (-snes_fas_smoothdown/up 6, -fas_levels_snes_gs_sweeps 3).
+        output/ex19_fas.out (oracle-verified current) is reproduced
+        DIGIT-EXACT; the first 6 V-cycles are asserted here (the full
+        24-cycle run also matches — trimmed for suite time)."""
+        from petsctpu.ksp.common import KSPConfig
+        from petsctpu.models.cavity import (cavity_fas_levels,
+                                            cavity_initial_guess)
+        from petsctpu.snes import snes_fas
+        from petsctpu.snes.api import SNESConfig
+
+        levels, smoothers = cavity_fas_levels(
+            49, 5, lidvelocity=100.0, grashof=4e4,
+            gs_kw=dict(sweeps=3, max_its=50, rtol=1e-15, atol=0.0,
+                       stol=0.0))
+        x0 = cavity_initial_guess(49, 49, grashof=4e4)
+        res = snes_fas(levels, x0, smoother="user",
+                       user_smoothers=smoothers, npre=6, npost=6,
+                       maxits=6, rtol=1e-8,
+                       coarse_cfg=SNESConfig(maxits=50, rtol=1e-8,
+                                             atol=1e-50,
+                                             linesearch="bt"),
+                       coarse_ksp=KSPConfig(ksp_type="gmres", rtol=1e-5,
+                                            maxits=200))
+        golden = [1065.74, 93.4476, 32.0022, 7.71541, 1.58058,
+                  0.292867, 0.0837882]
+        np.testing.assert_allclose(np.asarray(res.history[:7]), golden,
+                                   rtol=2e-5)
