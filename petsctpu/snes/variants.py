@@ -428,7 +428,8 @@ def snes_ngmres(F: Callable, x0: jax.Array, msize: int = 30,
                 cfg: SNESConfig = None, axis: Optional[str] = None,
                 gammaA: float = 2.0, gammaC: float = 2.0,
                 epsilonB: float = 0.1, deltaB: float = 0.9,
-                restart_it: int = 2, **kw) -> SNESResult:
+                restart_it: int = 2, npc: Optional[Callable] = None,
+                **kw) -> SNESResult:
     """SNESNGMRES verbatim (src/snes/impls/ngmres/snesngmres.c):
     each iteration takes an L2-line-search Richardson step to (XM, FM),
     minimizes ‖FM − Σβ(FM − F_i)‖ over the stored subspace via the
@@ -465,8 +466,15 @@ def snes_ngmres(F: Callable, x0: jax.Array, msize: int = 30,
         fminnorm = c["fminnorm"]
         ivec = k_restart % m
 
-        # Richardson step with the L2 line search → (XM, FM)
-        XM, FM, fMnorm, _, _ = _linesearch_l2(F, X, Fc, fnorm, axis)
+        if npc is not None:
+            # right nonlinear preconditioning (snesngmres.c:254-266):
+            # XM = one inner npc solve from X; FM = F at its iterate
+            XM = npc(X)
+            FM = F(XM)
+            fMnorm = ops.norm(FM, axis)
+        else:
+            # Richardson step with the L2 line search → (XM, FM)
+            XM, FM, fMnorm, _, _ = _linesearch_l2(F, X, Fc, fnorm, axis)
         nu = fMnorm * fMnorm
         fminnorm = jnp.minimum(fminnorm, fMnorm)
 

@@ -239,3 +239,39 @@ class TestEx19FASUserGS:
                   0.292867, 0.0837882]
         np.testing.assert_allclose(np.asarray(res.history[:7]), golden,
                                    rtol=2e-5)
+
+
+class TestEx19NGMRESFAS:
+    def test_ex19_ngmres_fas(self):
+        """runex19_ngmres_fas: NGMRES RIGHT-preconditioned by one FAS
+        V-cycle with the user NonlinearGS smoother (snesngmres.c:
+        254-266 — XM = inner SNESSolve from X, FM = its final
+        residual). output/ex19_ngmres_fas.out (oracle-verified
+        current); first 6 accelerated iterations digit-exact."""
+        from petsctpu.ksp.common import KSPConfig
+        from petsctpu.models.cavity import (cavity_fas_levels,
+                                            cavity_initial_guess)
+        from petsctpu.snes import snes_fas
+        from petsctpu.snes.api import SNESConfig
+        from petsctpu.snes.variants import snes_ngmres
+
+        levels, smoothers = cavity_fas_levels(
+            49, 5, lidvelocity=100.0, grashof=4e4,
+            gs_kw=dict(sweeps=3, max_its=50, rtol=1e-15, atol=0.0,
+                       stol=0.0))
+
+        def npc(x):
+            return snes_fas(
+                levels, x, smoother="user", user_smoothers=smoothers,
+                npre=6, npost=6, maxits=1, rtol=1e-8, monitor=False,
+                coarse_cfg=SNESConfig(maxits=50, rtol=1e-8, atol=1e-50,
+                                      linesearch="bt"),
+                coarse_ksp=KSPConfig(ksp_type="gmres", rtol=1e-5,
+                                     maxits=200)).x
+
+        x0 = cavity_initial_guess(49, 49, grashof=4e4)
+        res = snes_ngmres(levels[0].F, x0, npc=npc, maxits=6, rtol=1e-8)
+        golden = [1065.74, 94.1355, 21.1753, 5.85898, 0.730301,
+                  0.15855, 0.0296328]
+        np.testing.assert_allclose(np.asarray(res.history[:7]), golden,
+                                   rtol=2e-5)
