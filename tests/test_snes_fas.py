@@ -275,3 +275,41 @@ class TestEx19NGMRESFAS:
                   0.15855, 0.0296328]
         np.testing.assert_allclose(np.asarray(res.history[:7]), golden,
                                    rtol=2e-5)
+
+
+class TestEx5NGMRESFAS:
+    def test_ex5_5_ngmres_fas_oracle(self):
+        """runex5_5_ngmres_fas: NGMRES(m=10) right-preconditioned by
+        one FAS V-cycle (nrichardson smoothers, 1-it Newton-LU
+        coarse) on the 193² Bratu λ=6. The shipped golden is stale
+        (tree prints 0.151067 at iter 1 vs golden 0.156469); the
+        reference-source oracle stream is reproduced to ~1e-6
+        relative across all 10 iterations."""
+        from petsctpu.dm import DA
+        from petsctpu.ksp.common import KSPConfig
+        from petsctpu.models.bratu import (bratu_initial_guess,
+                                           bratu_residual)
+        from petsctpu.snes import fas_levels_from_da, snes_fas
+        from petsctpu.snes.api import SNESConfig
+        from petsctpu.snes.variants import snes_ngmres
+
+        da = DA((193, 193))
+        levels = fas_levels_from_da(da, lambda d: bratu_residual(d, 6.0),
+                                    7)
+
+        def npc(x):
+            return snes_fas(
+                levels, x, maxits=1, rtol=1e-12, monitor=False,
+                smoother="nrichardson", npre=1, npost=1,
+                coarse_cfg=SNESConfig(maxits=1, linesearch="bt"),
+                coarse_ksp=KSPConfig(ksp_type="gmres", rtol=1e-12,
+                                     maxits=64)).x
+
+        x0 = bratu_initial_guess(da, 6.0)
+        res = snes_ngmres(levels[0].F, x0, msize=10, npc=npc, maxits=10,
+                          rtol=1e-12)
+        oracle = [1.07178, 0.151067, 0.0131294, 0.00157748, 0.000159249,
+                  1.72001e-05, 1.95428e-06, 2.49682e-07, 3.21522e-08,
+                  3.88154e-09]
+        np.testing.assert_allclose(np.asarray(res.history[:10]), oracle,
+                                   rtol=2e-5)
