@@ -47,6 +47,21 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
         return make_pbjacobi(A, bs=bs)
     if pc_type == "ilu":
         _require_host(A_host, "ilu")
+        dtv = opts.get("pc_factor_drop_tolerance")
+        if dtv is not None and opts.get_str(
+                "pc_factor_drop_solver", "superlu") == "petsc":
+            # the reference's NATIVE drop-tolerance ILU
+            # (MatILUDTFactor_SeqAIJ — validated against a direct call
+            # into the reference source; note the tree's PCILU options
+            # path never reaches it, so -pc_factor_drop_tolerance is a
+            # no-op there and ksp ex2_7 runs plain ILU(0))
+            from petsctpu.pc.factor import make_iludt
+            parts = ([float(x) for x in str(dtv).split(",")]
+                     if isinstance(dtv, str) else [float(dtv)])
+            return make_iludt(
+                A_host, dt=parts[0],
+                dtcount=int(parts[2]) if len(parts) > 2 else None,
+                dtype=dt)
         return make_ilu(A_host, dtype=dt,
                         levels=opts.get_int("pc_factor_levels", 0),
                         ordering=opts.get_str("pc_factor_mat_ordering_type",

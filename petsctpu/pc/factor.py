@@ -244,3 +244,171 @@ def make_lu(A_host, dtype=None) -> LUPC:
     return LUPC(make_sptrsv_plan(L, lower=True, unit_diag=False, dtype=dtype),
                 make_sptrsv_plan(U, lower=False, unit_diag=False, dtype=dtype),
                 jnp.asarray(perm_r, jnp.int32), jnp.asarray(perm_c, jnp.int32))
+
+
+def iludt_factor_host(A, dt: float = 0.005, dtcount: int = None,
+                      shift: float = 0.0):
+    """The reference's NATIVE drop-tolerance ILU, MatILUDTFactor_SeqAIJ
+    (aijfact.c:3230), replicated exactly on host numpy — including the
+    PetscLLAddSortedLU incremental fill scan (the persistent im[] scan
+    limits), the multiplier-magnitude update-dropping rule
+    (|m| > dt applies the pivot-row update; m is KEPT in L either
+    way), the (nzi_l + dtcount)-largest-magnitude row cut selected by
+    the PetscSortSplit quickselect VERBATIM (its tie-handling decides
+    which equal-magnitude entries survive), and the zero-pivot
+    dt+shift substitution. Returns (L_strict, U) scipy CSR with U
+    carrying the TRUE (non-inverted) diagonal.
+
+    Defaults follow the reference: dt=0.005, dtcount=1.5·max row nnz.
+    """
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A)
+    A.sort_indices()
+    n = A.shape[0]
+    rmax = int(np.diff(A.indptr).max())
+    if dtcount is None:
+        dtcount = int(1.5 * rmax)
+    dtcount = min(dtcount, n - 1)
+
+    def sort_split(ncut, v, idx):
+        """PetscSortSplit verbatim (sorti.c quickselect partition)."""
+        first, last = 0, len(v) - 1
+        if ncut < first or ncut > last:
+            return
+        while True:
+            mid = first
+            abskey = abs(v[mid])
+            for j in range(first + 1, last + 1):
+                if abs(v[j]) >= abskey:
+                    mid += 1
+                    v[mid], v[j] = v[j], v[mid]
+                    idx[mid], idx[j] = idx[j], idx[mid]
+            v[mid], v[first] = v[first], v[mid]
+            idx[mid], idx[first] = idx[first], idx[mid]
+            if mid == ncut:
+                return
+            if mid > ncut:
+                last = mid - 1
+            else:
+                first = mid + 1
+
+    Lrows = [None] * n              # per row: (cols list, vals list)
+    Urows = [None] * n              # per row: (cols list incl diag first,
+    #                                 vals list; diag NOT inverted here)
+    im = np.zeros(n, np.int64)
+    ai, aj, aa = A.indptr, A.indices, A.data
+    adiag = np.zeros(n, np.int64)
+    for i in range(n):
+        s, e = ai[i], ai[i + 1]
+        d = np.searchsorted(aj[s:e], i)
+        assert aj[s + d] == i, f"missing diagonal in row {i}"
+        adiag[i] = s + d
+
+    rtmp = np.zeros(n, np.float64)          # PERSISTENT dense work row:
+    # the reference only zeroes the jtmp positions after each row, so
+    # values written by pivot updates at columns OUTSIDE the kept
+    # pattern LEAK into later rows' fill positions — replicated.
+    import bisect
+    for i in range(n):
+        s, e = ai[i], ai[i + 1]
+        cols0 = [int(c) for c in aj[s:e]]
+        nzi_al = int(adiag[i] - s)
+        nzi_au = int(e - adiag[i] - 1)
+        jset = sorted(cols0)
+        inset = set(jset)
+        for c, v in zip(cols0, aa[s:e]):
+            rtmp[c] = v                      # overwrite (load)
+        # symbolic: walk pivot rows in (dynamic) sorted order
+        pos = 0
+        while pos < len(jset) and jset[pos] < i:
+            row = jset[pos]
+            nzbd = len(Lrows[row][0]) + 1
+            nidx = int(im[row]) - nzbd
+            ucols = Urows[row][0][1:]        # exclude diagonal
+            for k in range(nidx):
+                entry = ucols[k]
+                nzbd += 1
+                if entry == i:
+                    im[row] = nzbd
+                if entry not in inset:
+                    inset.add(entry)
+                    bisect.insort(jset, entry)
+            pos += 1
+        jtmp = jset
+        # numeric elimination
+        for row in jtmp:
+            if row >= i:
+                break
+            multiplier = rtmp[row] * Urows[row][1][0]   # inverted diag
+            rtmp[row] = multiplier
+            if abs(multiplier) > dt:
+                for uc, uv in zip(Urows[row][0][1:], Urows[row][1][1:]):
+                    rtmp[uc] -= multiplier * uv
+        diag_tmp = rtmp[i]
+        vtmp = [rtmp[c] for c in jtmp]
+        for c in jtmp:
+            rtmp[c] = 0.0
+        nzi_bl = sum(1 for c in jtmp if c < i)
+        nzi_bu = len(jtmp) - nzi_bl - 1
+        jl = list(jtmp[:nzi_bl])
+        vl = vtmp[:nzi_bl]
+        ncut = nzi_al + dtcount
+        if ncut < nzi_bl:
+            sort_split(ncut, vl, jl)
+            pair = sorted(zip(jl[:ncut], vl[:ncut]))
+            jl = [p[0] for p in pair]
+            vl = [p[1] for p in pair]
+        else:
+            ncut = nzi_bl
+        Lrows[i] = (jl[:ncut], vl[:ncut])
+        nzi = ncut + 1
+        ju = list(jtmp[nzi_bl + 1:])
+        vu = vtmp[nzi_bl + 1:]
+        ncut = nzi_au + dtcount
+        if ncut < nzi_bu:
+            sort_split(ncut, vu, ju)
+            pair = sorted(zip(ju[:ncut], vu[:ncut]))
+            ju = [p[0] for p in pair]
+            vu = [p[1] for p in pair]
+        else:
+            ncut = nzi_bu
+        nzi += ncut
+        if diag_tmp == 0.0:
+            diag_tmp = dt + shift
+        Urows[i] = ([i] + ju[:ncut], [1.0 / diag_tmp] + vu[:ncut])
+        im[i] = nzi
+
+    import scipy.sparse as sp
+    Lr, Lc, Lv, Ur, Uc, Uv = [], [], [], [], [], []
+    for i in range(n):
+        for c, v in zip(*Lrows[i]):
+            Lr.append(i)
+            Lc.append(c)
+            Lv.append(v)
+        cols, vals = Urows[i]
+        Ur.append(i)
+        Uc.append(i)
+        Uv.append(1.0 / vals[0])             # back to the true diagonal
+        for c, v in zip(cols[1:], vals[1:]):
+            Ur.append(i)
+            Uc.append(c)
+            Uv.append(v)
+    L = sp.csr_matrix((Lv, (Lr, Lc)), shape=(n, n))
+    U = sp.csr_matrix((Uv, (Ur, Uc)), shape=(n, n))
+    return L, U
+
+
+def make_iludt(A_host, dt: float = 0.005, dtcount: int = None,
+               dtype=None, tri: str = "level"):
+    """PCILU with the reference's NATIVE drop-tolerance factorization
+    (-pc_factor_drop_tolerance dt,dtcol,maxrowcount -> MatILUDTFactor;
+    ksp ex2_7). Apply = the usual level-scheduled L/U solves."""
+    import scipy.sparse as sp
+
+    L, U = iludt_factor_host(A_host, dt=dt, dtcount=dtcount)
+    return ILUPC(
+        make_sptrsv_plan(sp.csr_matrix(L), lower=True, unit_diag=True,
+                         dtype=dtype),
+        make_sptrsv_plan(sp.csr_matrix(U), lower=False, unit_diag=False,
+                         dtype=dtype))
