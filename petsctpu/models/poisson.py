@@ -198,3 +198,50 @@ def ex45_true_system(m: int = 7, dtype=np.float64):
                       shape=(n, n))
     b = np.where(interior, H ** 3, bdiag).astype(dtype)
     return A, b
+
+
+def ex54_system(ne: int = 4, soft_alpha: float = 1e-3,
+                dtype=np.float64):
+    """ksp ex54: Q1 FEM Laplacian on an ne×ne element grid (nodes
+    (ne+1)²) with a soft circular inclusion (α inside radius 0.25) and
+    the bottom-row BC applied by the modified element DD2 (ex54.c:
+    60-120). Returns (A, b, coords)."""
+    n1 = ne + 1
+    M = n1 * n1
+    h = 1.0 / ne
+    DD1 = np.array([
+        [0.66666666666666663, -0.16666666666666669,
+         -0.33333333333333343, -0.16666666666666666],
+        [-0.16666666666666669, 0.66666666666666663,
+         -0.16666666666666666, -0.33333333333333343],
+        [-0.33333333333333343, -0.16666666666666666,
+         0.66666666666666663, -0.16666666666666663],
+        [-0.16666666666666666, -0.33333333333333343,
+         -0.16666666666666663, 0.66666666666666663]])
+    DD2 = DD1.copy()
+    for i in range(4):
+        for j in range(4):
+            if i < 2 or j < 2:
+                DD2[i, j] = 0.1 * DD1[i, j] if i == j else 0.0
+    rows, cols, vals = [], [], []
+    for Ii in range(M):
+        j, i = Ii // n1, Ii % n1
+        if i < ne and j < ne:
+            x, y = h * i, h * j
+            idx = np.array([Ii, Ii + 1, Ii + n1 + 1, Ii + n1])
+            radius = np.sqrt((x - .5 + h / 2) ** 2 + (y - .5 + h / 2) ** 2)
+            alpha = soft_alpha if radius < 0.25 else 1.0
+            DD = alpha * (DD1 if j > 0 else DD2)
+            rows.append(np.repeat(idx, 4))
+            cols.append(np.tile(idx, 4))
+            vals.append(DD.reshape(-1))
+    A = sp.csr_matrix((np.concatenate(vals),
+                       (np.concatenate(rows), np.concatenate(cols))),
+                      shape=(M, M)).astype(dtype)
+    b = np.zeros(M, dtype)
+    jj = np.arange(M) // n1
+    b[jj > 0] = h * h
+    xs = h * (np.arange(M) % n1)
+    ys = h * (np.arange(M) // n1)
+    coords = np.stack([xs, ys], axis=1)
+    return A, b, coords
