@@ -84,3 +84,55 @@ def elasticity_2d(mx: int, my: int, E=1.0, nu=0.3, traction=-0.1):
     A = K[free][:, free].tocsr()
     coords = coords_all[free[::2]]   # both dofs of a node share status
     return A, coords, b[free]
+
+
+def ex55_system(ne: int = 4, soft_alpha: float = 1e-3, dtype=np.float64):
+    """ksp ex55: 2-D Q1 ELASTICITY (2 dof/node, interleaved) on an
+    ne×ne element grid with a soft circular inclusion and the
+    bottom-row BC element (ex55.c:30-200; the hardwired 8×8 element —
+    the data-file override is dead code since assembly rescales from
+    DD1). Load h² in the x-direction on all non-bottom nodes. Returns
+    (A, b, coords[nnode,2])."""
+    import scipy.sparse as sp
+
+    n1 = ne + 1
+    nn = n1 * n1
+    h = 1.0 / ne
+    t = 1.0 / 3.0
+    DD1 = np.array([
+        [8 / 15, .2, -t, 0.0, -4 / 15, -.2, 1 / 15, 0.0],
+        [.2, 8 / 15, 0.0, 1 / 15, -.2, -4 / 15, 0.0, -t],
+        [-t, 0.0, 8 / 15, -.2, 1 / 15, 0.0, -4 / 15, .2],
+        [0.0, 1 / 15, -.2, 8 / 15, 0.0, -t, .2, -4 / 15],
+        [-4 / 15, -.2, 1 / 15, 0.0, 8 / 15, .2, -t, 0.0],
+        [-.2, -4 / 15, 0.0, -t, .2, 8 / 15, 0.0, 1 / 15],
+        [1 / 15, 0.0, -4 / 15, .2, -t, 0.0, 8 / 15, -.2],
+        [0.0, -t, .2, -4 / 15, 0.0, 1 / 15, -.2, 8 / 15]])
+    DD2 = DD1.copy()
+    for i in range(8):
+        for j in range(8):
+            if i < 4 or j < 4:
+                DD2[i, j] = 0.1 * DD1[i, j] if i == j else 0.0
+    rows, cols, vals = [], [], []
+    for Ii in range(nn):
+        j, i = Ii // n1, Ii % n1
+        if i < ne and j < ne:
+            x, y = h * i, h * j
+            nodes = np.array([Ii, Ii + 1, Ii + n1 + 1, Ii + n1])
+            dof = np.stack([2 * nodes, 2 * nodes + 1], 1).reshape(-1)
+            radius = np.sqrt((x - .5 + h / 2) ** 2
+                             + (y - .5 + h / 2) ** 2)
+            alpha = soft_alpha if radius < 0.25 else 1.0
+            DD = alpha * (DD1 if j > 0 else DD2)
+            rows.append(np.repeat(dof, 8))
+            cols.append(np.tile(dof, 8))
+            vals.append(DD.reshape(-1))
+    A = sp.csr_matrix((np.concatenate(vals),
+                       (np.concatenate(rows), np.concatenate(cols))),
+                      shape=(2 * nn, 2 * nn)).astype(dtype)
+    b = np.zeros(2 * nn, dtype)
+    jj = np.arange(nn) // n1
+    b[2 * np.arange(nn)[jj > 0]] = h * h
+    xs = h * (np.arange(nn) % n1)
+    ys = h * (np.arange(nn) // n1)
+    return A, b, np.stack([xs, ys], axis=1)

@@ -49,24 +49,57 @@ def tentative_prolongator_multi(agg: np.ndarray, B: np.ndarray):
     P0 = sp.coo_matrix((np.concatenate(vals),
                         (np.concatenate(rows), np.concatenate(cols))),
                        shape=(n, na * k)).tocsr()
+    # rank safety: aggregates smaller than k (or rank-deficient B[r])
+    # leave ZERO coarse columns, which would make PᵀAP exactly
+    # singular — prune them and renumber (the reference sizes the
+    # coarse block by the actual aggregate rank)
+    colnnz = np.asarray((P0 != 0).sum(axis=0)).ravel()
+    keep = np.flatnonzero(colnnz > 0)
+    if keep.size < P0.shape[1]:
+        P0 = P0[:, keep].tocsr()
+        Bc = Bc[keep]
     return P0, Bc
 
 
+def _collapse_by_block(M, bs: int):
+    """Node graph of a bs-dof-interleaved operator: sum of |entries|
+    over each bs×bs block (the reference's bs>1 graph construction,
+    PCGAMGgraph_AGG on the blocked matrix)."""
+    coo = sp.coo_matrix(abs(M))
+    nb = M.shape[0] // bs
+    return sp.coo_matrix((coo.data, (coo.row // bs, coo.col // bs)),
+                         shape=(nb, nb)).tocsr()
+
+
 def asa_hierarchy(A, B, theta: float = 0.0, coarse_n: int = 64,
-                  max_levels: int = 10, smooth: bool = True):
-    """SA hierarchy interpolating the candidate block B exactly."""
+                  max_levels: int = 10, smooth: bool = True,
+                  bs: int = 1):
+    """SA hierarchy interpolating the candidate block B exactly.
+
+    bs > 1: dof-interleaved block operators (elasticity) — aggregation
+    runs on the bs-collapsed NODE graph and aggregates expand to all
+    dofs of their nodes; coarser levels use bs = k (one dof per
+    candidate), like the reference's cr_bs = ncand."""
     As, Ps = [sp.csr_matrix(A)], []
     Bl = np.asarray(B, np.float64)
+    k = Bl.shape[1]
+    cur_bs = bs
     while As[-1].shape[0] > coarse_n and len(As) < max_levels:
         Ac = As[-1]
-        S = strength_graph(Ac, theta)
-        agg = aggregate(S)
-        if int(agg.max()) + 1 >= Ac.shape[0]:
+        G = _collapse_by_block(Ac, cur_bs) if cur_bs > 1 else Ac
+        S = strength_graph(G, theta)
+        agg_node = aggregate(S)
+        agg = (np.repeat(agg_node, cur_bs) if cur_bs > 1 else agg_node)
+        if int(agg_node.max()) + 1 >= G.shape[0]:
             break
         P0, Bc = tentative_prolongator_multi(agg, Bl)
         P = smooth_prolongator(Ac, P0) if smooth else P0
         As.append((P.T @ Ac @ P).tocsr())
         Ps.append(P)
+        na = int(agg_node.max()) + 1
+        # coarse block structure only survives when NO rank pruning
+        # disturbed the k-dof-per-aggregate alignment
+        cur_bs = k if Bc.shape[0] == na * k else 1
         Bl = Bc
     return As, Ps
 

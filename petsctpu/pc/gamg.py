@@ -198,12 +198,23 @@ def make_gamg(A_host, dtype=None, options: Options = None):
     smooth = opts.get_int("pc_gamg_agg_nsmooths", 1) > 0
     sm_its = opts.get_int("mg_levels_ksp_max_it", 2)
     coords = opts.get("pc_gamg_coordinates")
+    dof = opts.get_int("pc_gamg_dof", 0)
     if coords is not None:
         from petsctpu.pc.asa import asa_hierarchy
-        B = rigid_body_modes(np.asarray(coords),
-                             dof=opts.get_int("pc_gamg_dof", 0) or None)
+        B = rigid_body_modes(np.asarray(coords), dof=dof or None)
         As, Ps = asa_hierarchy(A_host, B, theta=theta, coarse_n=coarse_n,
-                               max_levels=max_levels, smooth=smooth)
+                               max_levels=max_levels, smooth=smooth,
+                               bs=dof or 1)
+    elif dof > 1:
+        # bs>1 without coordinates: the reference's DEFAULT null space
+        # for blocked operators = the dof translational vectors
+        # (agg.c default data when PCSetCoordinates was not called)
+        from petsctpu.pc.asa import asa_hierarchy
+        n = sp.csr_matrix(A_host).shape[0]
+        B = np.tile(np.eye(dof), (n // dof, 1))
+        As, Ps = asa_hierarchy(A_host, B, theta=theta, coarse_n=coarse_n,
+                               max_levels=max_levels, smooth=smooth,
+                               bs=dof)
     else:
         As, Ps = gamg_hierarchy(A_host, theta=theta, coarse_n=coarse_n,
                                 max_levels=max_levels, smooth=smooth,

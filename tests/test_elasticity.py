@@ -60,3 +60,50 @@ class TestElasticityModel:
         assert int(r1.its) < int(r0.its)       # rigid modes help
         x = np.asarray(r1.x)
         np.testing.assert_allclose(A @ x, b, atol=1e-7)
+
+
+class TestEx55ElasticityGAMG:
+    """ksp ex55: 2-D Q1 elasticity (2 dof/node interleaved) with a
+    soft inclusion — the reference's flagship GAMG elasticity test.
+    Model pinned digit-exact via an oracle-minted Jacobi-CG stream;
+    GAMG runs at count-level (aggregation tie-breaking differs)."""
+
+    def test_model_digit_exact(self):
+        from petsctpu.ksp import ksp_solve
+        from petsctpu.mat import aij_from_scipy
+        from petsctpu.models.elasticity import ex55_system
+        from petsctpu.pc import make_pc
+
+        A, b, _ = ex55_system(29, 1e-3)
+        Ad = aij_from_scipy(A)
+        r = ksp_solve(Ad, jnp.asarray(b), pc=make_pc("jacobi", A=Ad),
+                      ksp_type="cg", rtol=1e-30, maxits=3)
+        np.testing.assert_allclose(
+            np.asarray(r.history[:4]),
+            [6.59495, 10.9339, 8.90538, 6.6421], rtol=2e-5)
+
+    def test_gamg_translation_and_rbm_candidates(self):
+        """runex55_NC (translational default null space for bs=2) and
+        runex55_SA (-use_coordinates → rigid-body modes): node-level
+        (bs-collapsed) aggregation + rank-safe block tentative
+        prolongators. Oracle: 15 its (NC), 11 its (RBM); ours must
+        match or beat (currently 12 / 8)."""
+        from petsctpu.core.options import Options
+        from petsctpu.ksp import ksp_solve
+        from petsctpu.mat import aij_from_scipy
+        from petsctpu.models.elasticity import ex55_system
+        from petsctpu.pc import make_pc
+
+        A, b, coords = ex55_system(29, 1e-3)
+        Ad = aij_from_scipy(A)
+        pc = make_pc("gamg", A=Ad, A_host=A, options=Options(
+            {"pc_gamg_coarse_eq_limit": 80, "pc_gamg_dof": 2}))
+        r = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="cg",
+                      rtol=1e-5, atol=1e-50, maxits=100)
+        assert int(r.reason) > 0 and int(r.its) <= 15, int(r.its)
+        pc = make_pc("gamg", A=Ad, A_host=A, options=Options(
+            {"pc_gamg_coarse_eq_limit": 80, "pc_gamg_dof": 2,
+             "pc_gamg_coordinates": coords}))
+        r = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="cg",
+                      rtol=1e-5, atol=1e-50, maxits=100)
+        assert int(r.reason) > 0 and int(r.its) <= 11, int(r.its)
