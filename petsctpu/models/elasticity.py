@@ -136,3 +136,67 @@ def ex55_system(ne: int = 4, soft_alpha: float = 1e-3, dtype=np.float64):
     xs = h * (np.arange(nn) % n1)
     ys = h * (np.arange(nn) // n1)
     return A, b, np.stack([xs, ys], axis=1)
+
+
+def ex56_system(ne: int = 4, soft_alpha: float = 1e-3,
+                elem_file: str = None, dtype=np.float64):
+    """ksp ex56: 3-D Q1 ELASTICITY (3 dof/node, interleaved) on an
+    ne³ element grid with a soft spherical inclusion; the 24×24
+    element stiffness is the reference's shipped data artifact
+    (data/elem_3d_elast_v_25.txt). Bottom-layer (k=0) elements use the
+    BC-modified element (rows/cols < 12 diagonalized ×0.1); element
+    loads vv = (h², 2h², 0) per node, bottom elements load only their
+    top 4 nodes (ex56.c:93-171, 200-232). Returns (A, b, coords)."""
+    import scipy.sparse as sp
+
+    if elem_file is None:
+        elem_file = "/root/reference/src/ksp/ksp/examples/tutorials/" \
+                    "data/elem_3d_elast_v_25.txt"
+    DD1 = np.loadtxt(elem_file).reshape(24, 24)
+    DD2 = DD1.copy()
+    for i in range(24):
+        for j in range(24):
+            if i < 12 or j < 12:
+                DD2[i, j] = 0.1 * DD1[i, j] if i == j else 0.0
+    vv = np.zeros(24)
+    v2 = np.zeros(24)
+    h = 1.0 / ne
+    for i in range(24):
+        if i % 3 == 0:
+            vv[i] = h * h
+        elif i % 3 == 1:
+            vv[i] = 2.0 * h * h
+        if i >= 12:
+            v2[i] = vv[i]
+    nn = ne + 1
+    nnode = nn ** 3
+    rows, cols, vals = [], [], []
+    b = np.zeros(3 * nnode, dtype)
+    for k in range(ne):
+        for j in range(ne):
+            for i in range(ne):
+                idn = i + nn * j + nn * nn * k
+                nodes = np.array([idn, idn + 1, idn + nn + 1, idn + nn,
+                                  idn + nn * nn, idn + 1 + nn * nn,
+                                  idn + nn + 1 + nn * nn,
+                                  idn + nn + nn * nn])
+                dof = (3 * nodes[:, None]
+                       + np.arange(3)[None, :]).reshape(-1)
+                x, y, z = h * i, h * j, h * k
+                radius = np.sqrt((x - .5 + h / 2) ** 2
+                                 + (y - .5 + h / 2) ** 2
+                                 + (z - .5 + h / 2) ** 2)
+                alpha = soft_alpha if radius < 0.25 else 1.0
+                DD = alpha * (DD1 if k > 0 else DD2)
+                rows.append(np.repeat(dof, 24))
+                cols.append(np.tile(dof, 24))
+                vals.append(DD.reshape(-1))
+                b[dof] += vv if k > 0 else v2
+    A = sp.csr_matrix((np.concatenate(vals),
+                       (np.concatenate(rows), np.concatenate(cols))),
+                      shape=(3 * nnode, 3 * nnode)).astype(dtype)
+    ii = np.arange(nnode) % nn
+    jj = (np.arange(nnode) // nn) % nn
+    kk = np.arange(nnode) // (nn * nn)
+    coords = np.stack([h * ii, h * jj, h * kk], axis=1)
+    return A, b, coords
