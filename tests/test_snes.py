@@ -181,3 +181,126 @@ class TestSNESTypeDispatch:
             r = s.solve(x0)
             assert r.converged, t
             assert int(r.its) <= cap, (t, int(r.its))
+
+
+class TestEx28Multiphysics:
+    """snes ex28: 1-D multiphysics prototype — a PDE (staggered
+    variable-coefficient Poisson for u) coupled to a pointwise
+    ALGEBRAIC system for k on a DMComposite [u(20); k(19)] packing.
+    Serial streams minted from the reference-source oracle for all
+    three -problem_type runs; Newton = assembled exact Jacobian
+    (jacfwd onto the analytic sparsity) + ILU(0)/GMRES(rtol 1e-5)
+    inner + bt-cubic line search — digit-exact."""
+
+    MU, MK = 20, 19
+
+    def _residuals(self):
+        mu, mk = self.MU, self.MK
+        hu, hk = 1.0 / mu, 1.0 / mk
+
+        def Fu(u, k):
+            f = jnp.zeros(mu)
+            f = f.at[0].set(u[0] / hu)
+            f = f.at[-1].set((u[-1] - 1.0) / hu)
+            i = jnp.arange(1, mu - 1)
+            f = f.at[i].set(hu * ((k[i - 1] * (u[i] - u[i - 1])
+                                   - k[i] * (u[i + 1] - u[i])) / hu ** 2
+                                  - 1.0))
+            return f
+
+        def Fk(u, k):
+            ubar = 0.5 * (u[1:] + u[:-1])
+            gradu = (u[1:] - u[:-1]) / hk
+            g = 1.0 + gradu * gradu
+            w = 1.0 / (1.0 + ubar) + 1.0 / g
+            return hk * (jnp.exp(k - 1.0) + k - 1.0 / w)
+
+        return Fu, Fk
+
+    def _initial(self):
+        mu, mk = self.MU, self.MK
+        hk = 1.0 / mk
+        u0 = np.arange(mu) * hk * (1.0 - np.arange(mu) * hk)
+        k0 = 1.0 + 0.5 * np.sin(2 * np.pi * np.arange(mk) * hk)
+        return u0, k0
+
+    def _pattern(self, ptype):
+        import scipy.sparse as sp
+        mu, mk = self.MU, self.MK
+        if ptype == 0:
+            rows, cols = [0, mu - 1], [0, mu - 1]
+            for i in range(1, mu - 1):
+                rows += [i] * 3
+                cols += [i - 1, i, i + 1]
+            return sp.csr_matrix((np.ones(len(rows)), (rows, cols)),
+                                 shape=(mu, mu))
+        if ptype == 1:
+            return sp.eye(mk, format="csr")
+        rows, cols = [0, mu - 1], [0, mu - 1]
+        for i in range(1, mu - 1):
+            rows += [i] * 5
+            cols += [i - 1, i, i + 1, mu + i - 1, mu + i]
+        for i in range(mk):
+            rows += [mu + i] * 3
+            cols += [mu + i, i, i + 1]
+        n = mu + mk
+        return sp.csr_matrix((np.ones(len(rows)), (rows, cols)),
+                             shape=(n, n))
+
+    def _newton(self, F, x0, patt, golden, final_small, rtol=2e-5):
+        import scipy.sparse as sp
+
+        from petsctpu.ksp import ksp_solve
+        from petsctpu.mat import aij_from_scipy
+        from petsctpu.pc.factor import make_ilu
+        from petsctpu.snes.api import SNESConfig, _linesearch_bt
+        from petsctpu.vec import ops
+
+        x = jnp.asarray(x0)
+        cfg = SNESConfig(linesearch="bt")
+        jacf = jax.jacfwd(F)
+        P = sp.csr_matrix(patt)
+        for it in range(len(golden)):
+            Fx = F(x)
+            fnorm = float(jnp.linalg.norm(Fx))
+            np.testing.assert_allclose(fnorm, golden[it], rtol=rtol,
+                                       err_msg=f"iteration {it}")
+            J = np.asarray(jacf(x))
+            Jh = sp.csr_matrix((J[P.nonzero()], P.nonzero()),
+                               shape=P.shape)
+            rk = ksp_solve(aij_from_scipy(Jh), Fx,
+                           pc=make_ilu(Jh), ksp_type="gmres",
+                           rtol=1e-5, atol=1e-50, maxits=200)
+            x, _, fn2, _, _ = _linesearch_bt(
+                F, x, rk.x, Fx, jnp.asarray(fnorm), cfg, None)
+        assert float(jnp.linalg.norm(F(x))) < final_small
+
+    def test_problem_type_0_u_only(self):
+        Fu, Fk = self._residuals()
+        u0, k0 = self._initial()
+        kfix = jnp.asarray(k0)
+        self._newton(lambda u: Fu(u, kfix), u0, self._pattern(0),
+                     [20.0032], 1e-11)
+
+    def test_problem_type_1_k_only(self):
+        Fu, Fk = self._residuals()
+        u0, k0 = self._initial()
+        ufix = jnp.asarray(u0)
+        self._newton(lambda k: Fk(ufix, k), k0, self._pattern(1),
+                     [0.372904, 0.0717451, 0.00363009, 1.10244e-05],
+                     1e-9)
+
+    def test_problem_type_2_coupled(self):
+        Fu, Fk = self._residuals()
+        u0, k0 = self._initial()
+        mu = self.MU
+
+        def F(x):
+            return jnp.concatenate([Fu(x[:mu], x[mu:]),
+                                    Fk(x[:mu], x[mu:])])
+
+        # inner GMRES+ILU stops at rtol 1e-5; the Newton steps agree
+        # with the oracle only to that tolerance ball (~5 digits here)
+        self._newton(F, np.concatenate([u0, k0]), self._pattern(2),
+                     [20.0067, 0.150179, 0.109934, 0.0140264,
+                      0.000304759, 1.23654e-07], 1e-6, rtol=2e-3)
