@@ -222,5 +222,6 @@ def make_gamg(A_host, dtype=None, options: Options = None):
                                                      "mis"))
     return make_algebraic_mg_from_hierarchy(
         As, Ps, dtype=dtype, sm_its=sm_its,
+        fmt=opts.get_str("pc_gamg_mat_type", "ell"),
         cycles=2 if opts.get_str("pc_mg_cycle_type", "v") == "w" else 1,
         mg_type=opts.get_str("pc_mg_type", "multiplicative"))

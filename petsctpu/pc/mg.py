@@ -266,23 +266,44 @@ def make_geometric_mg(A_host, da, dtype=None, options: Options = None):
 def make_algebraic_mg_from_hierarchy(As, Ps, dtype=None, sm_its: int = 2,
                                      cycles: int = 1,
                                      mg_type: str = "multiplicative",
-                                     sm_pc: str = "jacobi"):
+                                     sm_pc: str = "jacobi",
+                                     fmt: str = "ell"):
     """Assemble an MGPC from explicit (A_l, P_l) scipy hierarchies —
     used by GAMG (pc/gamg.py) after aggregation builds the transfers,
     and directly for rediscretized (non-Galerkin) grid hierarchies
-    (the KSPSetComputeOperators pattern, e.g. ksp ex29)."""
+    (the KSPSetComputeOperators pattern, e.g. ksp ex29).
+
+    fmt="band": level operators run through the MXU-tiled BandMat
+    path (751 GB/s measured vs ~1 GB/s for ELL gathers on v5e) — each
+    level is RCM-permuted internally and the transfers are conjugated
+    with the per-level permutations, so the cycle is mathematically
+    identical; the returned PC is PermutedPC-wrapped so it applies in
+    the ORIGINAL ordering (two n-gathers per apply)."""
     from petsctpu.mat.ell import aij_from_scipy
 
     dtype = np.dtype(dtype or As[0].dtype).type
+    if fmt == "band":
+        from petsctpu.mat.band import band_from_scipy
+        from petsctpu.mat.order import get_ordering
+        perms = [get_ordering(sp.csr_matrix(A), "rcm") for A in As]
+        As = [sp.csr_matrix(A)[p][:, p].tocsr()
+              for A, p in zip(As, perms)]
+        Ps = [sp.csr_matrix(P)[perms[l]][:, perms[l + 1]].tocsr()
+              for l, P in enumerate(Ps)]
     levels = []
     for l in range(len(Ps)):
-        Ad = aij_from_scipy(As[l], dtype=dtype)
+        Ad = (band_from_scipy(As[l], dtype=dtype) if fmt == "band"
+              else aij_from_scipy(As[l], dtype=dtype))
         Pd = aij_from_scipy(Ps[l], dtype=dtype)
         levels.append(MGLevel(Ad, Pd,
                               _cheby_smoother(As[l], dtype, sm_its, sm_pc)))
     coarse_pc = make_lu(As[-1], dtype=dtype)
     coarse_A = aij_from_scipy(As[-1], dtype=dtype)
-    return MGPC(tuple(levels), coarse_pc, coarse_A, cycles, mg_type)
+    mg = MGPC(tuple(levels), coarse_pc, coarse_A, cycles, mg_type)
+    if fmt == "band":
+        from petsctpu.pc.factor import PermutedPC
+        return PermutedPC(mg, jnp.asarray(perms[0], jnp.int32))
+    return mg
 
 
 # ---------------------------------------------------------------------------
