@@ -608,3 +608,25 @@ class TestEx54GAMGThermal:
                       rtol=1e-5, atol=1e-50, maxits=100)
         assert int(r.reason) > 0
         assert int(r.its) <= 7, int(r.its)      # oracle: 7 (ours: 5)
+
+
+class TestBandFormatGAMG:
+    def test_band_levels_match_ell(self):
+        """pc_gamg_mat_type=band (MXU-tiled BandMat level operators,
+        per-level RCM conjugation, PermutedPC wrap): mathematically
+        the same cycle — same CG iteration count as the ELL path."""
+        from petsctpu.core.options import Options
+        from petsctpu.models import ex2_system
+
+        A, b, u = ex2_system(33, 33)
+        Ad = aij_from_scipy(A)
+        its = {}
+        for fmt in ("ell", "band"):
+            pc = make_pc("gamg", A=Ad, A_host=A, options=Options(
+                {"pc_gamg_mat_type": fmt}))
+            r = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="cg",
+                          rtol=1e-8)
+            assert int(r.reason) > 0
+            np.testing.assert_allclose(np.asarray(r.x), u, atol=1e-6)
+            its[fmt] = int(r.its)
+        assert its["band"] == its["ell"], its
