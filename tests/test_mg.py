@@ -630,3 +630,55 @@ class TestBandFormatGAMG:
             np.testing.assert_allclose(np.asarray(r.x), u, atol=1e-6)
             its[fmt] = int(r.its)
         assert its["band"] == its["ell"], its
+
+
+class TestEx50NeumannFullMG:
+    def test_ex50_oracle(self):
+        """ksp ex50 (runex50 flags, serial): 2-D cell-weighted Neumann
+        Poisson (diag counts existing neighbors; rhs
+        −cos(πx)cos(πy)·HxHy mean-removed), da_refine 1 → 21²/11²
+        full-MG rediscretized. The shipped golden is stale (tree
+        prints 0.000505391 at it 1 vs golden 0.000386848); the
+        reference-source oracle stream is digit-exact here through
+        make_full_mg_ref(est_convention="eigen")."""
+        from petsctpu.dm.da import q1_interp_scipy
+        from petsctpu.pc.mg import make_full_mg_ref
+
+        def ex50_A(m):
+            idx = np.arange(m * m)
+            i, j = idx % m, idx // m
+            rows, cols, vals = [], [], []
+            diag = np.zeros(m * m)
+            for di, dj in ((0, -1), (-1, 0), (1, 0), (0, 1)):
+                ii, jj = i + di, j + dj
+                ok = (ii >= 0) & (ii < m) & (jj >= 0) & (jj < m)
+                rows.append(idx[ok])
+                cols.append((ii + m * jj)[ok])
+                vals.append(np.full(ok.sum(), -1.0))
+                diag[ok] += 1.0
+            rows.append(idx)
+            cols.append(idx)
+            vals.append(diag)
+            return sp.csr_matrix(
+                (np.concatenate(vals),
+                 (np.concatenate(rows), np.concatenate(cols))),
+                shape=(m * m, m * m))
+
+        m = 21
+        H = 1.0 / m
+        x = (np.arange(m) + 0.5) * H
+        b = (-np.cos(np.pi * x)[None, :]
+             * np.cos(np.pi * x)[:, None] * H * H).reshape(-1)
+        b = b - b.mean()
+        As = [ex50_A(21), ex50_A(11)]
+        Ps = [q1_interp_scipy((21, 21), (11, 11))]
+        pc = make_full_mg_ref(As, Ps, b, nullspace=True,
+                              est_convention="eigen")
+        r = ksp_solve(aij_from_scipy(As[0]), jnp.asarray(b), pc=pc,
+                      ksp_type="fgmres", rtol=1e-5, atol=1e-50,
+                      maxits=50)
+        assert int(r.its) == 4
+        np.testing.assert_allclose(
+            np.asarray(r.history[:5]),
+            [0.0238095, 0.000505391, 1.65644e-05, 3.31334e-07,
+             6.55816e-09], rtol=2e-5)
