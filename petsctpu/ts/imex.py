@@ -504,11 +504,12 @@ def ts_arkimex(f_exp: Callable, f_imp: Callable, u0: jax.Array,
 
     def cond(carry):
         t, u, dt, st = carry
-        return (st < cfg.max_steps) & (t < cfg.max_time - 1e-14)
+        tmax = cfg.max_time - 1e-14 if cfg.clamp_final else cfg.max_time
+        return (st < cfg.max_steps) & (t < tmax)
 
     def body(carry):
         t, u, dt, st = carry
-        dt_eff = jnp.minimum(dt, cfg.max_time - t)
+        dt_eff = jnp.minimum(dt, cfg.max_time - t) if cfg.clamp_final else dt
         un, dt_used, dt_next = step(t, u, dt_eff)
         _monitor(cfg, st + 1, t + dt_used, un)
         return (t + dt_used, un, dt_next.astype(dtype)
@@ -523,7 +524,7 @@ def ts_arkimex(f_exp: Callable, f_imp: Callable, u0: jax.Array,
 
 def ts_rosw(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
             axis: Optional[str] = None, tableau: str = "2p",
-            **kw) -> TSResult:
+            jac_fn: Optional[Callable] = None, **kw) -> TSResult:
     """Rosenbrock-W integration of u' = rhs(t, u).
 
     One Jacobian per step (frozen at (t, u) — the W-property), one
@@ -531,6 +532,13 @@ def ts_rosw(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
     variables (TSStep_RosW + the SNESKSPONLY policy, rosw.c:1417).
     Explicit stages (Γ_ii = 0) use the GammaExplicitCorr Jacobian
     correction so W-order is retained.
+
+    jac_fn: optional rhs-form function whose (frozen) Jacobian is used
+    in the stage solves instead of the exact d(rhs)/du — the W-property
+    tolerates inexact J. This is the TSSetIJacobian IMEX usage (ts
+    ex22 run under -ts_type rosw: J from the stiff reaction only,
+    advection Jacobian omitted); matching the reference's trajectories
+    digit-for-digit requires the SAME approximate J.
     """
     cfg = replace(cfg or TSConfig(), **kw) if kw else (cfg or TSConfig())
     try:
@@ -548,8 +556,10 @@ def ts_rosw(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
     def step(t, u, dt):
         from petsctpu.mat.base import Shell
 
-        def jmul(v):                        # frozen J = ∂rhs/∂u at (t, u)
-            return jax.jvp(lambda w: rhs(t, w), (u,), (v,))[1]
+        jsrc = jac_fn if jac_fn is not None else rhs
+
+        def jmul(v):                        # frozen J = ∂jsrc/∂u at (t, u)
+            return jax.jvp(lambda w: jsrc(t, w), (u,), (v,))[1]
 
         Y = []
         for i in range(s):
@@ -590,11 +600,12 @@ def ts_rosw(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
 
     def cond(carry):
         t, u, dt, st = carry
-        return (st < cfg.max_steps) & (t < cfg.max_time - 1e-14)
+        tmax = cfg.max_time - 1e-14 if cfg.clamp_final else cfg.max_time
+        return (st < cfg.max_steps) & (t < tmax)
 
     def body(carry):
         t, u, dt, st = carry
-        dt_eff = jnp.minimum(dt, cfg.max_time - t)
+        dt_eff = jnp.minimum(dt, cfg.max_time - t) if cfg.clamp_final else dt
         un, dt_used, dt_next = step(t, u, dt_eff)
         _monitor(cfg, st + 1, t + dt_used, un)
         return (t + dt_used, un, jnp.asarray(dt_next, dtype), st + 1)

@@ -56,6 +56,12 @@ class TSConfig:
     rk_type: str = "bs23"
     alpha_radius: float = 0.5       # generalized-α spectral radius ρ∞
     monitor: bool = False
+    # Reference TSSolve duration semantics (ts.c:2429-2437): steps are
+    # NOT clamped to max_time (TS_EXACTFINALTIME_STEPOVER, the 3.3-dev
+    # default) — the last step may overshoot, and the loop stops when
+    # ptime >= max_time AFTER a full step. clamp_final=True keeps this
+    # framework's historical exact-final-time behavior.
+    clamp_final: bool = True
     # pseudo-timestepping
     pseudo_max_dt: float = 1e12
     pseudo_fnorm_rtol: float = 1e-8

@@ -185,3 +185,57 @@ class TestRosW:
         r = ts_rosw(rhs, jnp.asarray([1.0]), dt=0.05, max_time=1.0,
                     tableau="assp3p3s1c", ksp=TIGHT_KSP)
         assert abs(float(r.u[0]) - np.exp(-4.0)) < 2e-4
+
+
+class TestEx22AdvectionReaction:
+    """TS ex22 — 1-D advection-reaction IMEX (goldens ex22_1/2/3.out).
+
+    The golden lines pin the reference TSSolve duration semantics
+    (no dt clamping — overshoot to 1.00025 after 4001 steps,
+    ts.c:2429-2437) and the step counts; the final-state norms are
+    pinned against a direct oracle run of ex22 (norm-instrumented,
+    /tmp oracle build) to full W-method/ARK digits.
+    """
+
+    def _setup(self):
+        from petsctpu.models.adr1d import (adr_initial, adr_rhs_advection,
+                                           adr_rhs_reaction)
+        mx = 200
+        return (adr_initial(mx), adr_rhs_advection(mx),
+                adr_rhs_reaction(mx))
+
+    def test_ex22_1_arkimex4(self):
+        # CONVERGED_TIME at time 1.00025 after 4001 steps (ex22_1.out)
+        from petsctpu.models.adr1d import ts_reason_string
+        u0, fexp, fimp = self._setup()
+        cfg = TSConfig(dt=0.1 / 400.0, max_steps=10000, max_time=1.0,
+                       clamp_final=False)
+        r = ts_arkimex(fexp, fimp, u0, cfg, tableau="4")
+        line = "%s at time %g after %d steps" % (
+            ts_reason_string(int(r.steps), float(r.t), 10000, 1.0),
+            float(r.t), int(r.steps))
+        assert line == "CONVERGED_TIME at time 1.00025 after 4001 steps"
+        # oracle (norm-instrumented ex22): norm2 2.146663982946270e+01
+        assert abs(float(jnp.linalg.norm(r.u)) - 2.146663982946270e+01) < 1e-10
+
+    @pytest.mark.parametrize("dt,steps,norm2", [
+        (1e-3, 1000, 2.146731546878391e+01),   # ex22_2.out
+        (5e-3, 200, 2.146401500573015e+01),    # ex22_3.out
+    ])
+    def test_ex22_rosw_ra34pw2(self, dt, steps, norm2):
+        from petsctpu.models.adr1d import ts_reason_string
+        u0, fexp, fimp = self._setup()
+
+        def rhs(t, x):
+            return fexp(t, x) + fimp(t, x)
+
+        cfg = TSConfig(dt=dt, max_steps=10000, max_time=1.0,
+                       clamp_final=False)
+        # jac_fn=fimp = the reference's IJacobian (reaction only): the
+        # W-method trajectory depends on the approximate J used
+        r = ts_rosw(rhs, u0, cfg, tableau="ra34pw2", jac_fn=fimp)
+        line = "%s at time %g after %d steps" % (
+            ts_reason_string(int(r.steps), float(r.t), 10000, 1.0),
+            float(r.t), int(r.steps))
+        assert line == "CONVERGED_TIME at time 1 after %d steps" % steps
+        assert abs(float(jnp.linalg.norm(r.u)) - norm2) < 1e-9
