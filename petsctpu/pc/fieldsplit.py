@@ -79,6 +79,13 @@ class FieldSplitPC:
                                      ksp_type="gmres", rtol=1e-9,
                                      maxits=100))
     axis: str = field(metadata=dict(static=True), default=None)
+    # optional AMAT blocks (pc->mat != pc->pmat, the KSPSetOperators
+    # (A, B) case of e.g. ksp ex43): sub-solves use the pmat blocks
+    # above; the multiplicative residual updates run through these
+    # (fieldsplit.c jac->Afield rows are taken from pc->mat :581)
+    A00a: Any = None
+    A01a: Any = None
+    A10a: Any = None
 
     # -- helpers ---------------------------------------------------------
     def _gather(self, x):
@@ -114,11 +121,18 @@ class FieldSplitPC:
         if t == "additive":
             return self._scatter(self._solve0(xa), self._solve1(xb))
         if t in ("multiplicative", "symmetric_multiplicative"):
+            # PCApply_FieldSplit fieldsplit.c:858-884: block Gauss-
+            # Seidel where the inter-field residual runs through the
+            # AMAT rows (jac->Afield) and each sub-solve ADDS into y
+            A10 = self.A10a if self.A10a is not None else self.A10
+            A01 = self.A01a if self.A01a is not None else self.A01
             ya = self._solve0(xa)
-            # update residual of field 1: xb − A10 ya
-            yb = self._solve1(xb - self.A10.mult(ya))
+            # field-1 residual: xb − (A y)_1 = xb − A10·ya (y1 = 0)
+            yb = self._solve1(xb - A10.mult(ya))
             if t == "symmetric_multiplicative":
-                ya = self._solve0(xa - self.A01.mult(yb))
+                # back sweep: y0 += solve0(x0 − A00·y0 − A01·y1)
+                A00 = self.A00a if self.A00a is not None else self.A00
+                ya = ya + self._solve0(xa - A00.mult(ya) - A01.mult(yb))
             return self._scatter(ya, yb)
         if t == "schur":
             f = self.schur_fact
@@ -143,10 +157,16 @@ class FieldSplitPC:
 
 
 def make_fieldsplit(A_host, fields, options: Options = None, dtype=None,
-                    A_dev=None):
+                    A_dev=None, Amat_host=None):
     """Build a 2-field FieldSplitPC from index sets (PCFieldSplitSetIS
     analog). Sub-PC types come from fieldsplit_0_pc_type /
-    fieldsplit_1_pc_type (defaults: lu / jacobi-for-schur, lu else)."""
+    fieldsplit_1_pc_type (defaults: lu / jacobi-for-schur, lu else).
+
+    A_host is the PC matrix (pc->pmat) whose diagonal blocks feed the
+    sub-solves; Amat_host, when given, is the true operator (pc->mat)
+    whose rows drive the multiplicative inter-field residual updates
+    (fieldsplit.c:581 jac->Afield) — the KSPSetOperators(ksp, A, B)
+    split of ksp ex43."""
     import scipy.sparse as sp
 
     from petsctpu.mat.ell import aij_from_scipy
@@ -180,12 +200,22 @@ def make_fieldsplit(A_host, fields, options: Options = None, dtype=None,
     pc1 = make_pc(pc1_type, A=d1, A_host=A11,
                   options=opts.prefixed("fieldsplit_1_"))
 
+    A00a = A01a = A10a = None
+    if Amat_host is not None:
+        Am = sp.csr_matrix(Amat_host)
+        A00a = aij_from_scipy(csr_submatrix_keep_zeros(Am, ia, ia),
+                              dtype=dtype)
+        A01a = aij_from_scipy(csr_submatrix_keep_zeros(Am, ia, ib),
+                              dtype=dtype)
+        A10a = aij_from_scipy(csr_submatrix_keep_zeros(Am, ib, ia),
+                              dtype=dtype)
+
     return FieldSplitPC(
         isa=jnp.asarray(ia, jnp.int32), isb=jnp.asarray(ib, jnp.int32),
         A00=d0, A01=aij_from_scipy(A01, dtype=dtype),
         A10=aij_from_scipy(A10, dtype=dtype), A11=d1,
         pc0=pc0, pc1=pc1, n=A.shape[0], fs_type=fs_type,
-        schur_fact=schur_fact)
+        schur_fact=schur_fact, A00a=A00a, A01a=A01a, A10a=A10a)
 
 
 @jax.tree_util.register_dataclass

@@ -16,6 +16,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# belt-and-braces: if a pytest plugin imported jax before this conftest,
+# the JAX_PLATFORMS env assignment above came too late — force the
+# platform through the config as well (otherwise backend discovery may
+# probe the axon TPU tunnel and hang/raise when it is down)
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 jax.config.update("jax_enable_x64", True)
 
 # ---------------------------------------------------------------------------
@@ -29,9 +38,16 @@ jax.config.update("jax_enable_x64", True)
 # ---------------------------------------------------------------------------
 # the tunnel advertises platform "tpu"; the remote-compile env flag plus
 # an actually-selected tpu backend marks the slow-compile configuration
-# (the CPU-mesh runs inherit the env var but select the cpu backend)
-_ON_AXON_TUNNEL = (os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1"
-                   and jax.default_backend() == "tpu")
+# (the CPU-mesh runs inherit the env var but select the cpu backend).
+# When the tunnel is DOWN the axon plugin raises from backend discovery
+# even under JAX_PLATFORMS=cpu — treat that as "not on the tunnel" so
+# the CPU suite still runs.
+_ON_AXON_TUNNEL = False
+if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1":
+    try:
+        _ON_AXON_TUNNEL = jax.default_backend() == "tpu"
+    except RuntimeError:
+        _ON_AXON_TUNNEL = False
 
 _AXON_SMOKE_FILES = {
     "test_core.py", "test_golden.py", "test_mat.py", "test_stencil.py",
