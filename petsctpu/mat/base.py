@@ -244,3 +244,40 @@ def csr_submatrix_keep_zeros(A, rows, cols):
            else np.zeros(0, A.dtype))
     return sp.csr_matrix((val, ind, out_indptr),
                          shape=(rows.size, cols.size))
+
+
+def mat_zero_rows(A, rows, diag=1.0):
+    """MatZeroRows_SeqAIJ (aij.c:1642) default semantics: each listed
+    row is COMPRESSED to just its diagonal entry (value `diag`) —
+    without MAT_KEEP_NONZERO_PATTERN the off-diagonal slots are
+    removed from the pattern, which changes downstream ILU(0)/ICC
+    fill. Returns a new scipy CSR."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A)
+    rows = np.unique(np.asarray(rows, dtype=np.int64))
+    mask = np.zeros(A.shape[0], bool)
+    mask[rows] = True
+    row_of = np.repeat(np.arange(A.shape[0]), np.diff(A.indptr))
+    keep = ~mask[row_of]
+    lil_rows = []
+    new_indptr = np.zeros(A.shape[0] + 1, np.int64)
+    counts = np.bincount(row_of[keep], minlength=A.shape[0])
+    counts[rows] = 1
+    new_indptr[1:] = np.cumsum(counts)
+    nnz = int(new_indptr[-1])
+    ind = np.empty(nnz, A.indices.dtype)
+    val = np.empty(nnz, A.dtype)
+    # fill kept rows wholesale, BC rows with the single diagonal
+    src = 0
+    for r in range(A.shape[0]):
+        s, e = new_indptr[r], new_indptr[r + 1]
+        if mask[r]:
+            ind[s] = r
+            val[s] = diag
+        else:
+            a, b = A.indptr[r], A.indptr[r + 1]
+            ind[s:e] = A.indices[a:b]
+            val[s:e] = A.data[a:b]
+    return sp.csr_matrix((val, ind, new_indptr), shape=A.shape)
