@@ -159,3 +159,73 @@ def ex49_reduced_system(mx, my, c_str=3, **params):
     f = -(A @ x)
     AA = csr_submatrix_keep_zeros(A, keep, keep)
     return AA, f[keep], keep, x
+
+
+def ex49_parallel_reduced_system(mx, my, size, c_str=3, **params):
+    """The SAME reduced system as ex49_reduced_system but emulating a
+    `size`-rank run of the reference: the DMDA process grid's PETSc
+    global ordering (rank-major patches), per-rank element assembly
+    with MatStash fp summation order, and MatMult_MPIAIJ diag-then-
+    offdiag fp order for the Dirichlet lift.
+
+    Returns (AA, ff, blocks, decomp) where blocks are the per-rank
+    (start, end) row ranges of the REDUCED system (what PCASM's
+    default one-subdomain-per-rank decomposition sees)."""
+    from petsctpu.dm.decomp import (DADecomp2D, coo_sum_parallel,
+                                    mpiaij_matmult)
+    from petsctpu.mat.base import csr_submatrix_keep_zeros, mat_zero_rows
+
+    nx1, ny1 = mx + 1, my + 1
+    dec = DADecomp2D.create(nx1, ny1, dof=2, size=size)
+    perm = dec.natural_to_petsc()
+    n = 2 * nx1 * ny1
+
+    # element contributions (identical per-element fp to the serial
+    # path), tagged with assembling rank + chronological sequence
+    Ni, GNx, J = element_geometry(mx, my)
+    E, nu = ex49_coefficients(mx, my, c_str, **params)
+    nel = mx * my
+    Ke = elasticity_stress_operator(GNx, J, E, nu)
+    ei = np.tile(np.arange(mx), my)
+    ej = np.repeat(np.arange(my), mx)
+    node = np.stack([ej * nx1 + ei, (ej + 1) * nx1 + ei,
+                     (ej + 1) * nx1 + ei + 1, ej * nx1 + ei + 1], 1)
+    u_eqn = np.stack([2 * node[:, 0], 2 * node[:, 0] + 1,
+                      2 * node[:, 1], 2 * node[:, 1] + 1,
+                      2 * node[:, 2], 2 * node[:, 2] + 1,
+                      2 * node[:, 3], 2 * node[:, 3] + 1], 1)
+    rows = perm[np.repeat(u_eqn, 8, axis=1).reshape(-1)]
+    cols = perm[np.tile(u_eqn, (1, 8)).reshape(-1)]
+    vals = Ke.reshape(-1)
+    erank = np.repeat(dec.element_owner(), 64)
+    eseq = np.repeat(dec.element_order(), 64)
+
+    ranges = dec.petsc_row_ranges()
+    row_owner = np.empty(n, np.int64)
+    for r, (s, e) in enumerate(ranges):
+        row_owner[s:e] = r
+    A = coo_sum_parallel(rows, cols, vals, erank, eseq, row_owner, n)
+
+    # BCs in petsc ordering
+    iy, ix = np.meshgrid(np.arange(ny1), np.arange(nx1), indexing="ij")
+    nid = (iy * nx1 + ix)
+    east, west = nid[:, -1].ravel(), nid[:, 0].ravel()
+    x = np.zeros(n)
+    x[perm[2 * east]] = -1.0
+    x[perm[2 * west]] = 1.0
+    bc = perm[np.concatenate([2 * east, 2 * east + 1,
+                              2 * west, 2 * west + 1])]
+    A = mat_zero_rows(A, bc, diag=1.0)
+    keep = np.flatnonzero(np.abs(x) < 0.1)
+    f = -mpiaij_matmult(A, x, row_owner)
+    AA = csr_submatrix_keep_zeros(A, keep, keep)
+
+    # reduced per-rank contiguous blocks (keep is sorted, so rank
+    # boundaries stay contiguous in the reduced numbering)
+    blocks = []
+    pos = 0
+    for (s, e) in ranges:
+        cnt = int(((keep >= s) & (keep < e)).sum())
+        blocks.append((pos, pos + cnt))
+        pos += cnt
+    return AA, f[keep], blocks, dec

@@ -74,7 +74,10 @@ class ASMPC:
 
 def make_asm(A_host, nblocks: int = 4, overlap: int = 1,
              restricted: bool = True, sub_pc: str = "ilu",
-             dtype=None, options: Options = None) -> ASMPC:
+             dtype=None, options: Options = None, blocks=None) -> ASMPC:
+    """blocks: optional explicit non-overlapping subdomains — a list of
+    either (start, end) ranges or index arrays (PCASMSetLocalSubdomains
+    analog; the default is the reference's one-per-rank equal split)."""
     opts = options or Options()
     nblocks = opts.get_int("pc_asm_blocks", nblocks)
     overlap = opts.get_int("pc_asm_overlap", overlap)
@@ -84,10 +87,15 @@ def make_asm(A_host, nblocks: int = 4, overlap: int = 1,
 
     A = sp.csr_matrix(A_host)
     n = A.shape[0]
-    bs = -(-n // nblocks)
+    if blocks is not None:
+        bases = [np.arange(b[0], b[1]) if isinstance(b, tuple)
+                 else np.asarray(b) for b in blocks]
+    else:
+        bs = -(-n // nblocks)
+        bases = [np.arange(k * bs, min((k + 1) * bs, n))
+                 for k in range(nblocks)]
     blocks = []
-    for k in range(nblocks):
-        base = np.arange(k * bs, min((k + 1) * bs, n))
+    for base in bases:
         if len(base) == 0:
             continue
         ext = increase_overlap(A, base, overlap)
