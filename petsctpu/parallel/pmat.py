@@ -275,3 +275,45 @@ def sharded_rect_from_scipy(A, nshards: int, dtype=None,
         jnp.asarray(halo.ghost_src),
         shape=(rlay.n_padded, clay.n_padded), ncloc=clay.shard_size,
         nshards=P, axis=axis, nnz=int(A.nnz))
+
+
+def sharded_aij_from_decomp(A, dec, dtype=None, style: str = "alltoall",
+                            axis: str = "rows") -> tuple:
+    """Shard a matrix assembled in NATURAL (application) ordering over
+    the ranks of a DADecomp2D — 2-D block domain decomposition.
+
+    The decomposition's rank-major PETSc ordering (dm/decomp.py) makes
+    each rank's 2-D patch a CONTIGUOUS row range, so the standard
+    equal-shard Layout machinery applies after padding every patch to
+    the largest patch size (pad rows are identity, pad rhs 0 — they
+    stay exactly 0 through any Krylov iteration). Halo volume per
+    shard is O(patch perimeter) instead of the O(grid width) of 1-D
+    strip sharding — the win grows as √P (SURVEY §2.10 P2).
+
+    Returns (mat, part, q) with q the natural→padded-slot index map:
+    x_padded[q] = x_natural; recover x_natural = x_padded[q].
+    """
+    import scipy.sparse as sp
+
+    p = dec.natural_to_petsc()
+    ranges = dec.petsc_row_ranges()
+    P = dec.size
+    S = max(e - s for s, e in ranges)
+    nt = P * S
+    # target slot of each petsc index
+    tgt = np.empty(p.size, np.int64)
+    for r, (s, e) in enumerate(ranges):
+        tgt[s:e] = r * S + np.arange(e - s)
+    q = tgt[p]                                  # natural -> padded slot
+
+    A = sp.csr_matrix(A).tocoo()
+    used = np.zeros(nt, bool)
+    used[q] = True
+    pad = np.flatnonzero(~used)
+    Ap = sp.coo_matrix(
+        (np.concatenate([A.data, np.ones(pad.size, A.data.dtype)]),
+         (np.concatenate([q[A.row], pad]),
+          np.concatenate([q[A.col], pad]))), shape=(nt, nt)).tocsr()
+    mat, part = sharded_aij_from_scipy(Ap, P, dtype=dtype, style=style,
+                                       axis=axis)
+    return mat, part, q
