@@ -284,3 +284,17 @@ class KSP:
         lines.append("PC Object: 1 MPI processes")
         lines.append(f"  type: {type(self.pc).__name__ if self.pc is not None else 'none'}")
         return "\n".join(lines)
+
+
+def ksp_solve_transpose(A, b, x0=None, pc=None, axis=None,
+                        cfg: KSPConfig = None, **kw) -> SolveResult:
+    """KSPSolveTranspose (itfunc.c:539): solve Aᵀ x = b.
+
+    The operator is wrapped implicitly (MATTRANSPOSE analog); `pc` must
+    apply the transposed preconditioner — e.g. make_lu(A_host,
+    transpose=True) for the PCApplyTranspose of an LU factorization,
+    or any symmetric PC (jacobi/none/icc) unchanged."""
+    from petsctpu.mat.base import Transpose
+
+    return ksp_solve(Transpose(A), b, x0=x0, pc=pc, axis=axis,
+                     cfg=cfg, **kw)

@@ -281,3 +281,49 @@ def mat_zero_rows(A, rows, diag=1.0):
             ind[s:e] = A.indices[a:b]
             val[s:e] = A.data[a:b]
     return sp.csr_matrix((val, ind, new_indptr), shape=A.shape)
+
+
+def mat_axpy(Y, a, X, structure: str = "different"):
+    """MatAXPY (src/mat/utils/axpy.c): Y ← Y + a·X as host scipy CSR.
+
+    structure:
+      "same"      — X's pattern must be a subset of Y's; values land in
+                    Y's existing slots (pattern unchanged).
+      "subset"    — alias of "same" (SUBSET_NONZERO_PATTERN).
+      "different" — union pattern (DIFFERENT_NONZERO_PATTERN); slots
+                    present in either operand are stored even when the
+                    sum cancels to zero (factorization patterns see
+                    the union, as in the reference).
+    """
+    import numpy as np
+    import scipy.sparse as sp
+
+    Y = sp.csr_matrix(Y, copy=True)
+    X = sp.csr_matrix(X)
+    if structure in ("same", "subset"):
+        Yl = Y.tolil()
+        Xc = X.tocoo()
+        for r, c, v in zip(Xc.row, Xc.col, Xc.data):
+            Yl[r, c] = Yl[r, c] + a * v
+        out = Yl.tocsr()
+        out.sort_indices()
+        return out
+    # union pattern with explicit zeros kept: carry indicator matrices
+    ones_Y = sp.csr_matrix((np.ones_like(Y.data), Y.indices, Y.indptr),
+                           shape=Y.shape)
+    ones_X = sp.csr_matrix((np.ones_like(X.data), X.indices, X.indptr),
+                           shape=X.shape)
+    pat = (ones_Y + ones_X).tocsr()
+    pat.sort_indices()
+    S = Y + a * X
+    S = sp.csr_matrix(S)
+    S.sort_indices()
+    # spread S's values onto pat's (superset) slots
+    out_data = np.zeros(pat.nnz, dtype=S.dtype)
+    for i in range(pat.shape[0]):
+        ps, pe = pat.indptr[i], pat.indptr[i + 1]
+        ss, se = S.indptr[i], S.indptr[i + 1]
+        pos = np.searchsorted(pat.indices[ps:pe], S.indices[ss:se])
+        out_data[ps + pos] = S.data[ss:se]
+    return sp.csr_matrix((out_data, pat.indices, pat.indptr),
+                         shape=Y.shape)

@@ -239,8 +239,21 @@ class LUPC:
         return z[self.perm_c]
 
 
-def make_lu(A_host, dtype=None) -> LUPC:
+def make_lu(A_host, dtype=None, transpose: bool = False) -> LUPC:
+    """transpose=True builds the PCApplyTranspose operator from the
+    SAME factorization (precon.c PCApplyTranspose → MatSolveTranspose):
+    apply(b) = A⁻ᵀ b = Prᵀ L⁻ᵀ U⁻ᵀ Pcᵀ b — the permutations swap
+    scatter/gather roles and the triangular factors swap order."""
+    import scipy.sparse as sp
+
     L, U, perm_r, perm_c = lu_factor(A_host)
+    if transpose:
+        Ut = sp.csr_matrix(U.T)
+        Lt = sp.csr_matrix(L.T)
+        return LUPC(
+            make_sptrsv_plan(Ut, lower=True, unit_diag=False, dtype=dtype),
+            make_sptrsv_plan(Lt, lower=False, unit_diag=False, dtype=dtype),
+            jnp.asarray(perm_c, jnp.int32), jnp.asarray(perm_r, jnp.int32))
     return LUPC(make_sptrsv_plan(L, lower=True, unit_diag=False, dtype=dtype),
                 make_sptrsv_plan(U, lower=False, unit_diag=False, dtype=dtype),
                 jnp.asarray(perm_r, jnp.int32), jnp.asarray(perm_c, jnp.int32))
