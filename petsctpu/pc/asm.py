@@ -74,10 +74,17 @@ class ASMPC:
 
 def make_asm(A_host, nblocks: int = 4, overlap: int = 1,
              restricted: bool = True, sub_pc: str = "ilu",
-             dtype=None, options: Options = None, blocks=None) -> ASMPC:
+             dtype=None, options: Options = None, blocks=None,
+             outer=None) -> ASMPC:
     """blocks: optional explicit non-overlapping subdomains — a list of
     either (start, end) ranges or index arrays (PCASMSetLocalSubdomains
-    analog; the default is the reference's one-per-rank equal split)."""
+    analog; the default is the reference's one-per-rank equal split).
+
+    outer: optional explicit OVERLAPPING subdomains paired with blocks
+    (the PCGASMSetSubdomains iis/ois pair, gasm.c) — when given, the
+    matrix-connectivity overlap growth is skipped and these index sets
+    define the subdomain solves; `blocks` still defines the restricted
+    prolongation ownership."""
     opts = options or Options()
     nblocks = opts.get_int("pc_asm_blocks", nblocks)
     overlap = opts.get_int("pc_asm_overlap", overlap)
@@ -95,10 +102,13 @@ def make_asm(A_host, nblocks: int = 4, overlap: int = 1,
         bases = [np.arange(k * bs, min((k + 1) * bs, n))
                  for k in range(nblocks)]
     blocks = []
-    for base in bases:
+    for k, base in enumerate(bases):
         if len(base) == 0:
             continue
-        ext = increase_overlap(A, base, overlap)
+        if outer is not None:
+            ext = np.sort(np.asarray(outer[k]))
+        else:
+            ext = increase_overlap(A, base, overlap)
         blocks.append((base, ext))
 
     nb = len(blocks)
