@@ -109,21 +109,33 @@ class DA:
 
     # ---- hierarchy -----------------------------------------------------
     def coarsen(self) -> "DA":
-        """m_c = (m_f + 1)/2 (inverse of the reference's 2x-1 refine)."""
-        cg = tuple((g + 1) // 2 for g in self.grid)
+        """Vertex-centered axes: m_c = (m_f + 1)/2 (inverse of the
+        reference's 2x−1 refine); periodic axes: m_c = m_f/2 (ratio-2
+        wrap rule, dainterp.c:67-69 / da DMRefine)."""
+        cg = tuple(g // 2 if b == "periodic" else (g + 1) // 2
+                   for g, b in zip(self.grid, self.boundary_types()))
         if any(c < 2 for c in cg):
             raise ValueError(f"cannot coarsen grid {self.grid}")
-        return DA(cg, self.stencil_width, self.stencil_type)
+        return DA(cg, self.stencil_width, self.stencil_type,
+                  self.boundary)
 
     def refine(self) -> "DA":
-        return DA(tuple(2 * g - 1 for g in self.grid), self.stencil_width,
-                  self.stencil_type)
+        return DA(tuple(2 * g if b == "periodic" else 2 * g - 1
+                        for g, b in zip(self.grid,
+                                        self.boundary_types())),
+                  self.stencil_width, self.stencil_type, self.boundary)
 
     def can_coarsen(self) -> bool:
-        # the 2x−1 vertex-centered hierarchy is for non-periodic grids;
-        # periodic operators go through GAMG instead
-        return all(b == "none" for b in self.boundary_types()) and \
-            all((g + 1) // 2 >= 2 and (g % 2 == 1) for g in self.grid)
+        def ok(g, b):
+            if b == "periodic":
+                return g % 2 == 0 and g // 2 >= 2
+            return (g + 1) // 2 >= 2 and (g % 2 == 1)
+        return all(ok(g, b)
+                   for g, b in zip(self.grid, self.boundary_types()))
+
+    def interpolation_scipy(self, coarse: "DA") -> sp.csr_matrix:
+        return q1_interp_scipy(self.grid, coarse.grid,
+                               self.boundary_types())
 
     def interpolation(self, coarse: "DA") -> "Q1Interp":
         assert coarse.grid == tuple((g + 1) // 2 for g in self.grid), \
@@ -207,8 +219,13 @@ def q0_interp_scipy(fine: tuple, coarse: tuple) -> sp.csr_matrix:
                          shape=(nf, int(np.prod(coarse))))
 
 
-def q1_interp_scipy(fine: tuple, coarse: tuple) -> sp.csr_matrix:
-    """scipy twin of Q1Interp (for Galerkin PᵀAP setup and tests)."""
+def q1_interp_scipy(fine: tuple, coarse: tuple,
+                    boundary: tuple = ()) -> sp.csr_matrix:
+    """scipy twin of Q1Interp (for Galerkin PᵀAP setup and tests).
+
+    boundary: per-axis "none"|"periodic" (DMCreateInterpolation_DA_*_Q1
+    dainterp.c:67-73 — periodic axes use ratio mx/Mx with wrapping
+    right neighbor; non-periodic use the vertex-centered 2x−1 rule)."""
     def p1d(nc, nf):
         rows, cols, vals = [], [], []
         for i in range(nc):
@@ -221,7 +238,42 @@ def q1_interp_scipy(fine: tuple, coarse: tuple) -> sp.csr_matrix:
             vals += [0.5, 0.5]
         return sp.coo_matrix((vals, (rows, cols)), shape=(nf, nc)).tocsr()
 
-    P = p1d(coarse[0], fine[0])
+    def p1d_periodic(nc, nf):
+        # dainterp.c:93-118 with bx periodic: i_c = i//ratio, weights
+        # (1−x, x) at (i_c, i_c+1 mod Mx), x = (i − i_c·ratio)/ratio
+        ratio = nf // nc
+        assert ratio * nc == nf, (nf, nc)
+        rows, cols, vals = [], [], []
+        for i in range(nf):
+            ic = i // ratio
+            x = (i - ic * ratio) / ratio
+            rows.append(i)
+            cols.append(ic)
+            vals.append(1.0 - x)
+            if ic * ratio != i:
+                rows.append(i)
+                cols.append((ic + 1) % nc)
+                vals.append(x)
+        return sp.coo_matrix((vals, (rows, cols)), shape=(nf, nc)).tocsr()
+
+    bts = (boundary if boundary else ("none",) * len(fine))
+    if isinstance(bts, str):
+        bts = (bts,) * len(fine)
+
+    def axis(k):
+        return (p1d_periodic(coarse[k], fine[k]) if bts[k] == "periodic"
+                else p1d(coarse[k], fine[k]))
+
+    P = axis(0)
     for k in range(1, len(fine)):
-        P = sp.kron(P, p1d(coarse[k], fine[k]), format="csr")
+        P = sp.kron(P, axis(k), format="csr")
     return P
+
+
+def interp_dof_scipy(P: sp.csr_matrix, dof: int) -> sp.csr_matrix:
+    """MAIJ expansion P ⊗ I_dof for interleaved multi-component grids —
+    the reference wraps DMDA interpolation in MATMAIJ when dof>1
+    (DMCreateInterpolation_DA, dainterp.c; src/mat/impls/maij)."""
+    if dof == 1:
+        return P
+    return sp.kron(P, sp.identity(dof, format="csr"), format="csr")

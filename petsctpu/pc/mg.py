@@ -496,6 +496,91 @@ def make_full_mg_ref(As, Ps, b, dtype=None, sm_its: int = 2,
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
+class GmresSmoother:
+    """KSPGMRES as an MG level smoother — `its` Arnoldi steps of
+    LEFT-preconditioned GMRES with classical Gram-Schmidt and Givens
+    least-squares (KSPSolve_GMRES/KSPGMRESCycle gmres.c:118,213 with
+    max_it=its and nonzero initial guess, the
+    `-mg_levels_ksp_type gmres -mg_levels_ksp_max_it 1` smoother
+    configuration of ksp ex28). The smoother's rtol test can't fire
+    before max_it at these iteration counts, so the fixed-step loop is
+    iteration-exact with the reference."""
+
+    pc: Any
+    its: int = field(metadata=dict(static=True), default=1)
+
+    def smooth(self, A, b, x):
+        z = self.pc.apply(b - A.mult(x))
+        beta = jnp.linalg.norm(z)
+        safe = beta > 0.0
+        V = [z * jnp.where(safe, 1.0 / jnp.where(safe, beta, 1.0), 0.0)]
+        g = [beta] + [jnp.zeros_like(beta)] * self.its
+        cs, sn = [], []
+        Hcols = []
+        for j in range(self.its):
+            w = self.pc.apply(A.mult(V[j]))
+            col = [jnp.vdot(V[i], w) for i in range(j + 1)]
+            for i in range(j + 1):
+                w = w - col[i] * V[i]
+            hj1 = jnp.linalg.norm(w)
+            V.append(w * jnp.where(hj1 > 0.0,
+                                   1.0 / jnp.where(hj1 > 0.0, hj1, 1.0),
+                                   0.0))
+            col = col + [hj1]
+            for i in range(j):
+                t = cs[i] * col[i] + sn[i] * col[i + 1]
+                col[i + 1] = -sn[i] * col[i] + cs[i] * col[i + 1]
+                col[i] = t
+            rho = jnp.hypot(col[j], col[j + 1])
+            ok = rho > 0.0
+            c = jnp.where(ok, col[j] / jnp.where(ok, rho, 1.0), 1.0)
+            s = jnp.where(ok, col[j + 1] / jnp.where(ok, rho, 1.0), 0.0)
+            cs.append(c)
+            sn.append(s)
+            col[j] = rho
+            g[j + 1] = -s * g[j]
+            g[j] = c * g[j]
+            Hcols.append(col[:j + 1])
+        # back substitution on the triangularized Hessenberg
+        y = [None] * self.its
+        for i in reversed(range(self.its)):
+            t = g[i]
+            for k in range(i + 1, self.its):
+                t = t - Hcols[k][i] * y[k]
+            di = Hcols[i][i]
+            ok = di != 0.0
+            y[i] = jnp.where(ok, t / jnp.where(ok, di, 1.0), 0.0)
+        dx = x
+        for j in range(self.its):
+            dx = dx + y[j] * V[j]
+        return jnp.where(safe, dx, x)
+
+
+def make_full_mg_gmres_ilu(As, Ps, dtype=None, sm_its: int = 1,
+                           mg_type: str = "full", cycles: int = 1):
+    """MG with GMRES(its)+ILU(0) level smoothers and an exact-LU
+    coarse solve — the ksp ex28 configuration (-pc_type mg
+    -pc_mg_type full -mg_levels_ksp_type gmres -mg_levels_ksp_max_it 1
+    -mg_levels_pc_type ilu); rediscretized (non-Galerkin) hierarchies
+    pass their own As."""
+    from petsctpu.mat.ell import aij_from_scipy
+    from petsctpu.pc.factor import make_ilu
+
+    dtype = np.dtype(dtype or As[0].dtype).type
+    levels = []
+    for l in range(len(Ps)):
+        Ah = sp.csr_matrix(As[l])
+        sm = GmresSmoother(make_ilu(Ah, dtype=dtype), sm_its)
+        levels.append(MGLevel(aij_from_scipy(As[l], dtype=dtype),
+                              aij_from_scipy(Ps[l], dtype=dtype), sm))
+    coarse_pc = make_lu(sp.csr_matrix(As[-1]), dtype=dtype)
+    return MGPC(tuple(levels), coarse_pc,
+                aij_from_scipy(sp.csr_matrix(As[-1]), dtype=dtype),
+                cycles, mg_type)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
 class RichardsonSmoother:
     """KSPRichardson as an MG smoother (KSPSolve_Richardson with
     KSPSkipConverged/norm NONE: exactly `its` applications of

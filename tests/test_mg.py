@@ -682,3 +682,74 @@ class TestEx50NeumannFullMG:
             np.asarray(r.history[:5]),
             [0.0238095, 0.000505391, 1.65644e-05, 3.31334e-07,
              6.55816e-09], rtol=2e-5)
+
+
+class TestEx28WaveFullMG:
+    """ksp ex28 (runex28: -ksp_monitor_short -pc_type mg -pc_mg_type
+    full -ksp_type fgmres -da_refine 2 -mg_levels_ksp_type gmres
+    -mg_levels_ksp_max_it 1 -mg_levels_pc_type ilu; output/ex28_1.out,
+    which the reference-source oracle reproduces digit-exact): 1-D
+    first-order wave system on a PERIODIC dof=2 DMDA (mx 3 -> 6 -> 12
+    under the periodic ratio-2 refine rule), 10 successive
+    KSPSolves of A x_new = Hx x_old, FULL MG over rediscretized
+    levels with GMRES(1)+ILU(0) smoothers and periodic Q1 transfers
+    MAIJ-expanded to dof=2. ALL 49 golden monitor values are
+    digit-exact (incl. the 6th solve's 3-iteration early convergence
+    and the final 1.950e-10 short-format tail)."""
+
+    GOLDEN = [
+        [1.8138, 0.132153, 0.00642643, 9.04729e-05, 1.5538e-06],
+        [0.811156, 0.0633908, 0.00570215, 8.89157e-05, 2.12515e-07],
+        [0.36276, 0.00394307, 0.000188394, 1.95227e-05, 1.64486e-07],
+        [0.162231, 0.0126521, 0.000481439, 1.84513e-05, 1.0402e-07],
+        [0.072552, 0.00472681, 0.000381663, 2.26074e-06, 7.85518e-08],
+        [0.0324462, 0.000718253, 8.77378e-05, 2.63389e-07],
+        [0.0145104, 0.00111914, 2.36354e-05, 3.86354e-07, 3.42457e-09],
+        [0.00648925, 0.0003537, 2.92793e-05, 1.77021e-07, 2.06209e-09],
+        [0.00290208, 0.000107153, 8.89134e-06, 5.3806e-08, 1.55452e-09],
+        # golden's tail prints via the %5.3e sub-1e-9 branch as
+        # "1.950e-10"; full-precision value 1.94989e-10 rounds to it
+        [0.00129785, 0.000105456, 1.90091e-06, 6.48105e-08,
+         1.94989e-10],
+    ]
+
+    def test_ex28_1_ten_wave_solves(self):
+        from petsctpu.dm.da import interp_dof_scipy, q1_interp_scipy
+        from petsctpu.models.wave1d import (ex28_initial, ex28_matrix,
+                                            ex28_rhs)
+        from petsctpu.pc.mg import make_full_mg_gmres_ilu
+
+        As = [ex28_matrix(12), ex28_matrix(6), ex28_matrix(3)]
+        Ps = [interp_dof_scipy(
+                  q1_interp_scipy((12,), (6,), ("periodic",)), 2),
+              interp_dof_scipy(
+                  q1_interp_scipy((6,), (3,), ("periodic",)), 2)]
+        pc = make_full_mg_gmres_ilu(As, Ps)
+        A = aij_from_scipy(As[0])
+        x = ex28_initial(12)
+        for k, gold in enumerate(self.GOLDEN):
+            b = ex28_rhs(12, x)
+            r = ksp_solve(A, jnp.asarray(b), pc=pc, ksp_type="fgmres",
+                          rtol=1e-5, atol=1e-50, maxits=10000)
+            x = np.asarray(r.x)
+            assert int(r.its) == len(gold) - 1, (k, int(r.its))
+            np.testing.assert_allclose(np.asarray(r.history[:len(gold)]),
+                                       gold, rtol=2e-5,
+                                       err_msg=f"solve {k}")
+
+    def test_periodic_da_hierarchy(self):
+        """DA periodic refine/coarsen rules (ratio 2, no vertex
+        overlap) and the periodic interpolation's partition of unity
+        + constant preservation."""
+        from petsctpu.dm.da import DA, q1_interp_scipy
+
+        da = DA((3,), boundary=("periodic",))
+        f = da.refine().refine()
+        assert f.grid == (12,)
+        assert f.can_coarsen() and f.coarsen().grid == (6,)
+        P = q1_interp_scipy((12,), (6,), ("periodic",))
+        assert P.shape == (12, 6)
+        np.testing.assert_allclose(P @ np.ones(6), np.ones(12))
+        # odd endpoint wraps: fine node 11 -> coarse {5, 0}
+        row = P.getrow(11).toarray().ravel()
+        np.testing.assert_allclose([row[5], row[0]], [0.5, 0.5])
