@@ -211,9 +211,23 @@ def solve_richardson(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
 
     def body(c):
         its = c["its"]
-        x = c["x"] + s * c["z"]
-        r = c["r"] - s * A.mult(c["z"])
-        z = apply_pc(pc, r)
+        if cfg.richardson_self_scale:
+            # rich.c:84-92: y = BABr; scale = zᵀy/yᵀy; update x, r,
+            # AND z by the same scale (z is kept consistent, not
+            # recomputed — one PC apply per iteration)
+            z = c["z"]
+            w = A.mult(z)
+            y = apply_pc(pc, w)
+            rdot = ops.dot(z, y, axis)
+            abr = ops.dot(y, y, axis)
+            ss = rdot / abr
+            x = c["x"] + ss * z
+            r = c["r"] - ss * w
+            z = z - ss * y
+        else:
+            x = c["x"] + s * c["z"]
+            r = c["r"] - s * A.mult(c["z"])
+            z = apply_pc(pc, r)
         its = its + 1
         if want_norm:
             dp = ops.norm(z if norm_type == NORM_PRECONDITIONED else r, axis)

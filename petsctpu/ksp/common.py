@@ -40,6 +40,9 @@ class KSPConfig:
     orth: str = "cgs"                   # gmres orthogonalization: cgs|mgs
     cgs_refine: str = "never"           # never|ifneeded|always
     richardson_scale: float = 1.0
+    # -ksp_richardson_self_scale (rich.c:16,84: per-step optimal
+    # damping scale = (Br)ᵀ(BABr)/(BABr)ᵀ(BABr))
+    richardson_self_scale: bool = False
     cheby_emin: float = 0.0             # 0 -> auto-estimate
     cheby_emax: float = 0.0
     guess_nonzero: bool = False

@@ -556,6 +556,55 @@ class GmresSmoother:
         return jnp.where(safe, dx, x)
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SelfScaleRichardsonSmoother:
+    """KSPRichardson with -ksp_richardson_self_scale as an MG level
+    smoother (rich.c:59-92 selfscale branch with pc none: per-step
+    optimal damping ss = zᵀ(Az)/(Az)ᵀ(Az), z updated in place — the
+    `-mg_levels_ksp_type richardson -mg_levels_pc_type none
+    -mg_levels_ksp_richardson_self_scale` configuration of snes
+    ex35_7). pc=None means B = identity; plug any pc pytree for the
+    preconditioned variant (then y = B·A·z)."""
+
+    pc: Any = None
+    its: int = field(metadata=dict(static=True), default=2)
+
+    def _prec(self, r):
+        return self.pc.apply(r) if self.pc is not None else r
+
+    def smooth(self, A, b, x):
+        r = b - A.mult(x)
+        z = self._prec(r)
+        for _ in range(self.its):
+            w = A.mult(z)
+            y = self._prec(w)
+            ss = jnp.vdot(z, y) / jnp.vdot(y, y)
+            x = x + ss * z
+            r = r - ss * w
+            z = z - ss * y
+        return x
+
+
+def make_mg_selfscale_richardson(As, Ps, dtype=None, sm_its: int = 2,
+                                 mg_type: str = "multiplicative",
+                                 cycles: int = 1):
+    """MG with self-scaled Richardson (pc none) level smoothers and an
+    exact-LU coarse solve — snes ex35_7's preconditioner."""
+    from petsctpu.mat.ell import aij_from_scipy
+
+    dtype = np.dtype(dtype or As[0].dtype).type
+    levels = []
+    for l in range(len(Ps)):
+        sm = SelfScaleRichardsonSmoother(None, sm_its)
+        levels.append(MGLevel(aij_from_scipy(As[l], dtype=dtype),
+                              aij_from_scipy(Ps[l], dtype=dtype), sm))
+    coarse_pc = make_lu(sp.csr_matrix(As[-1]), dtype=dtype)
+    return MGPC(tuple(levels), coarse_pc,
+                aij_from_scipy(sp.csr_matrix(As[-1]), dtype=dtype),
+                cycles, mg_type)
+
+
 def make_full_mg_gmres_ilu(As, Ps, dtype=None, sm_its: int = 1,
                            mg_type: str = "full", cycles: int = 1):
     """MG with GMRES(its)+ILU(0) level smoothers and an exact-LU

@@ -301,8 +301,13 @@ def snes_nrichardson(F, x0, cfg: SNESConfig = None, axis=None,
                      damping: float = 1.0, **kw) -> SNESResult:
     """Nonlinear Richardson x ← x − λ·F(x) with the reference's
     default L2 line search (src/snes/impls/richardson; linesearch
-    default for nrichardson is l2)."""
-    cfg = replace(cfg or SNESConfig(), **kw) if kw else (cfg or SNESConfig())
+    default for nrichardson is l2).
+
+    SNESCreate_NRichardson overrides the class stol default to 1e-20
+    (snesrichardson.c:262) — without this, the snorm test halts long
+    runs like snes ex35_1 thirty iterations early."""
+    base = SNESConfig(stol=1e-20)
+    cfg = replace(cfg or base, **kw) if kw else (cfg or base)
 
     x = x0
     Fx = F(x)
