@@ -19,7 +19,11 @@ Layer map (mirrors reference SURVEY.md §1):
   models   — example problem builders (ex2/ex45/ex19 analogs)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+from petsctpu.core.hostmem import tune_host_allocator as _tune
+
+_tune()  # plan-time (host setup) allocator tuning; see core/hostmem.py
 
 from petsctpu.core.options import Options
 from petsctpu.core.errors import ConvergedReason
