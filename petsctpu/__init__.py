@@ -25,6 +25,33 @@ from petsctpu.core.hostmem import tune_host_allocator as _tune
 
 _tune()  # plan-time (host setup) allocator tuning; see core/hostmem.py
 
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (opt out:
+    PETSCTPU_NO_COMPILE_CACHE=1; dir override: the standard
+    JAX_COMPILATION_CACHE_DIR). Solver setup compiles one program per
+    (solver, operator-shape) pair; on remote-compile backends a single
+    jit costs seconds, and the cache turns every repeat run (tests,
+    benches, production restarts) into a sub-second replay. The
+    reference ships the analogous idea as PetscInitialize-time
+    one-time setup amortization; under XLA the compiled program IS the
+    artifact worth persisting."""
+    import os
+
+    if os.environ.get("PETSCTPU_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR") is None and \
+            jax.config.jax_compilation_cache_dir is None:
+        path = os.path.expanduser("~/.cache/petsctpu-xla")
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+_enable_compile_cache()
+
 from petsctpu.core.options import Options
 from petsctpu.core.errors import ConvergedReason
 

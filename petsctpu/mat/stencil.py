@@ -207,3 +207,72 @@ def stencil_to_scipy(S: StencilMat):
     return sp.coo_matrix((np.concatenate(vals),
                           (np.concatenate(rows), np.concatenate(cols))),
                          shape=(n, n)).tocsr()
+
+
+# ---- device Galerkin coarsening (stencil probing) ---------------------------
+def coarse_reach(A: StencilMat) -> tuple:
+    """Per-axis stencil reach of Pᵀ A P for Q1 (vertex 2:1) transfers.
+
+    R[q,i] couples |i − 2q| ≤ 1, A couples |j − i| ≤ r, P[j,p] couples
+    |j − 2p| ≤ 1, so |q − p| ≤ (r + 2) / 2 per axis."""
+    nd = len(A.grid)
+    return tuple((max(abs(int(off[ax])) for off in A.offsets) + 2) // 2
+                 for ax in range(nd))
+
+
+def galerkin_coarsen(A: StencilMat, P, coarse_grid: tuple) -> StencilMat:
+    """Exact Galerkin coarse operator Ac = Pᵀ A P, computed ON DEVICE.
+
+    The reference builds coarse MG operators with host SpGEMM
+    (MatPtAP, src/mat/impls/aij/seq/matptap.c) because its data lives
+    in host CSR. Here both A (stencil coefficient planes) and P
+    (matrix-free Q1) live in HBM, so the TPU-native formulation is
+    comb probing: the coarse operator is again a stencil with per-axis
+    reach rc (see coarse_reach), hence probing with combs of coarse
+    unit vectors spaced s = 2·rc+1 apart resolves EVERY coarse matrix
+    entry exactly — within any s-wide window there is exactly one comb
+    point per class, so y = Pᵀ(A(P·comb_class))[q] IS the single
+    coefficient A_c[q, p(q,class)]. Π s_ax probes (9 for 2-D 5/9-point,
+    27 for 3-D) of one RAP apply each; no host transfer, no SpGEMM.
+
+    Returns the full ±rc box stencil (planes that are identically zero
+    are kept — they are the DMDA structural zeros the reference's
+    fdda.c preallocation also keeps).
+    """
+    import functools
+    import itertools
+
+    nd = len(A.grid)
+    bnd = A.boundary or ("none",) * nd
+    if any(b == "periodic" for b in bnd):
+        # comb classes would alias across the wrap unless s | grid;
+        # periodic hierarchies keep the host PtAP path
+        raise NotImplementedError("galerkin_coarsen: periodic boundary")
+    rc = coarse_reach(A)
+    s = tuple(2 * r + 1 for r in rc)
+    classes = list(itertools.product(*[range(si) for si in s]))
+    offs_c = list(itertools.product(*[range(-ri, ri + 1) for ri in rc]))
+
+    iotas = [jax.lax.broadcasted_iota(jnp.int32, tuple(coarse_grid), ax)
+             for ax in range(nd)]
+
+    def _rap(xc_grid):
+        y = P.multT(A.mult(P.mult(xc_grid.reshape(-1))))
+        return y.reshape(tuple(coarse_grid))
+
+    ys = []
+    for cls in classes:
+        mask = functools.reduce(
+            jnp.logical_and,
+            [(iotas[ax] % s[ax]) == cls[ax] for ax in range(nd)])
+        ys.append(_rap(mask.astype(A.dtype)))
+    ys = jnp.stack(ys)                        # [Πs, *coarse_grid]
+
+    planes = []
+    for off in offs_c:
+        cls_idx = jnp.zeros(tuple(coarse_grid), jnp.int32)
+        for ax in range(nd):
+            cls_idx = cls_idx * s[ax] + (iotas[ax] + off[ax]) % s[ax]
+        planes.append(jnp.take_along_axis(ys, cls_idx[None], axis=0)[0])
+    return StencilMat(jnp.stack(planes), tuple(offs_c),
+                      tuple(coarse_grid), A.boundary)

@@ -87,12 +87,20 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
         _require_host(A_host, pc_type)
         return make_lu(A_host, dtype=dt)
     if pc_type == "mg":
-        _require_host(A_host, "mg")
         da = opts.get("pc_mg_da")
         if da is None:
             raise ValueError("pc_type=mg needs options key 'pc_mg_da' (a DA)"
                              " for the grid hierarchy; use pc_type=gamg for "
                              "unstructured operators")
+        from petsctpu.mat.stencil import StencilMat
+        setup = opts.get_str("pc_mg_setup_type", "auto")
+        if setup != "host" and isinstance(A, StencilMat) and \
+                not any(b == "periodic" for b in (A.boundary or ())) and \
+                opts.get_str("mg_levels_pc_type", "jacobi") == "jacobi":
+            # device setup: on-device Galerkin probing, no host SpGEMM
+            from petsctpu.pc.mg import make_geometric_mg_device
+            return make_geometric_mg_device(A, da, dtype=dt, options=opts)
+        _require_host(A_host, "mg")
         from petsctpu.pc.mg import make_geometric_mg
         return make_geometric_mg(A_host, da, dtype=dt, options=opts)
     if pc_type == "gamg":

@@ -112,6 +112,85 @@ class TestGeometricMG:
         assert res.converged and int(res.its) <= 8
 
 
+class TestDeviceGalerkinMG:
+    """Device-setup geometric MG: on-device comb-probe PtAP
+    (mat/stencil.galerkin_coarsen) must equal scipy's PtAP exactly and
+    the resulting MG must match the host-setup preconditioner."""
+
+    def test_probe_ptap_exact_2d_3d(self):
+        from petsctpu.mat.stencil import (galerkin_coarsen,
+                                          stencil_from_scipy,
+                                          stencil_to_scipy)
+        for grid, Ah in (((33, 33), laplacian_2d(33, 33)),
+                         ((9, 9, 9), poisson_3d(9, 9, 9))):
+            da = DA(grid)
+            co = da.coarsen()
+            Ac = galerkin_coarsen(stencil_from_scipy(Ah, grid),
+                                  da.interpolation(co), co.grid)
+            Ps = q1_interp_scipy(grid, co.grid)
+            ref = (Ps.T @ Ah @ Ps).tocsr()
+            assert abs(ref - stencil_to_scipy(Ac)).max() == 0.0
+
+    def test_probe_ptap_exact_9point_box(self):
+        # box (9-point) fine stencil with variable coefficients
+        from petsctpu.mat.stencil import (galerkin_coarsen,
+                                          stencil_from_scipy,
+                                          stencil_to_scipy)
+        grid = (17, 17)
+        rng = np.random.default_rng(3)
+        da = DA(grid, stencil_type="box")
+        offs = da.stencil_offsets()
+        n = 17 * 17
+        rows, cols, vals = [], [], []
+        idx = np.arange(n)
+        i, j = idx // 17, idx % 17
+        for (oi, oj) in offs:
+            ok = (i + oi >= 0) & (i + oi < 17) & (j + oj >= 0) & (j + oj < 17)
+            rows.append(idx[ok])
+            cols.append(idx[ok] + oi * 17 + oj)
+            base = 8.0 if (oi, oj) == (0, 0) else -1.0
+            vals.append(base + 0.1 * rng.standard_normal(ok.sum()))
+        Ah = sp.coo_matrix((np.concatenate(vals),
+                            (np.concatenate(rows), np.concatenate(cols))),
+                           shape=(n, n)).tocsr()
+        co = da.coarsen()
+        Ac = galerkin_coarsen(stencil_from_scipy(Ah, grid, offsets=offs),
+                              da.interpolation(co), co.grid)
+        Ps = q1_interp_scipy(grid, co.grid)
+        assert abs((Ps.T @ Ah @ Ps).tocsr()
+                   - stencil_to_scipy(Ac)).max() < 1e-13
+
+    def test_device_mg_matches_host_mg(self):
+        from petsctpu.mat.stencil import stencil_from_scipy
+        m = 33
+        A, b, u = ex2_system(m, m)
+        da = DA((m, m))
+        Ad = stencil_from_scipy(A, (m, m))
+        pc_dev = make_pc("mg", A=Ad, options=Options({"pc_mg_da": da}))
+        pc_host = make_pc("mg", A=Ad, A_host=A,
+                          options=Options({"pc_mg_da": da,
+                                           "pc_mg_setup_type": "host"}))
+        r_dev = ksp_solve(Ad, jnp.asarray(b), pc=pc_dev, ksp_type="cg",
+                          rtol=1e-8)
+        r_host = ksp_solve(Ad, jnp.asarray(b), pc=pc_host, ksp_type="cg",
+                           rtol=1e-8)
+        assert r_dev.converged
+        assert int(r_dev.its) == int(r_host.its)
+        np.testing.assert_allclose(np.asarray(r_dev.x), u, atol=1e-6)
+
+    def test_device_mg_3d(self):
+        from petsctpu.mat.stencil import stencil_from_scipy
+        m = 9
+        A = poisson_3d(m, m, m)
+        u = np.ones(m ** 3)
+        Ad = stencil_from_scipy(A, (m, m, m))
+        pc = make_pc("mg", A=Ad, options=Options({"pc_mg_da": DA((m, m, m))}))
+        res = ksp_solve(Ad, jnp.asarray(A @ u), pc=pc, ksp_type="cg",
+                        rtol=1e-8)
+        assert res.converged and int(res.its) <= 10
+        np.testing.assert_allclose(np.asarray(res.x), u, atol=1e-6)
+
+
 class TestGAMG:
     def test_strength_and_aggregate(self):
         A = laplacian_2d(10, 10)
