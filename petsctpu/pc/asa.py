@@ -35,17 +35,28 @@ def tentative_prolongator_multi(agg: np.ndarray, B: np.ndarray):
     na = int(agg.max()) + 1
     order = np.argsort(agg, kind="stable")
     bounds = np.searchsorted(agg[order], np.arange(na + 1))
+    sizes = np.diff(bounds)
     rows, cols, vals = [], [], []
     Bc = np.zeros((na * k, k))
-    for a in range(na):
-        r = order[bounds[a]:bounds[a + 1]]
-        Q, R = np.linalg.qr(B[r])            # (m,min(m,k)), (min(m,k),k)
-        m, q = B[r].shape[0], Q.shape[1]
-        cj, ri = np.meshgrid(np.arange(q), r)
-        rows.append(ri.ravel())
-        cols.append((a * k + cj).ravel())
-        vals.append(Q.ravel())
-        Bc[a * k:a * k + q] = R[:q]
+    # batch the QRs by aggregate size (LAPACK geqrf on a [cnt, m, k]
+    # stack gives the same factors as the per-aggregate loop, ~20×
+    # fewer Python iterations; aggregate sizes take only a handful of
+    # distinct values)
+    for m in np.unique(sizes):
+        if m == 0:
+            continue
+        aggs_m = np.flatnonzero(sizes == m)
+        ridx = order[bounds[aggs_m][:, None] + np.arange(m)]  # [cnt, m]
+        Qs, Rs = np.linalg.qr(B[ridx])       # [cnt,m,q], [cnt,q,k]
+        cnt, q = Qs.shape[0], Qs.shape[2]
+        rows.append(np.broadcast_to(ridx[:, :, None],
+                                    (cnt, m, q)).ravel())
+        cols.append(np.broadcast_to(
+            (aggs_m * k)[:, None, None] + np.arange(q)[None, None, :],
+            (cnt, m, q)).ravel())
+        vals.append(Qs.ravel())
+        Bc[((aggs_m * k)[:, None] + np.arange(q)).ravel()] = \
+            Rs.reshape(-1, k)
     P0 = sp.coo_matrix((np.concatenate(vals),
                         (np.concatenate(rows), np.concatenate(cols))),
                        shape=(n, na * k)).tocsr()
