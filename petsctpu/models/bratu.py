@@ -72,3 +72,74 @@ def bratu_initial_guess(da: DA, lam: float = 6.0):
     U[0, :] = U[-1, :] = 0.0
     U[:, 0] = U[:, -1] = 0.0
     return jnp.asarray(U.reshape(-1))
+
+
+def bratu_nonlinear_gs(da: DA, lam: float = 6.0, sweeps: int = 1,
+                       max_its: int = 50, rtol: float = 1e-5,
+                       atol: float = 1e-15, stol: float = 1e-12):
+    """ex5.c's user NonlinearGS (ex5.c:485-584, registered via
+    SNESSetGS at ex5.c:109) as a jittable SEQUENTIAL lexicographic
+    sweep: per interior point, up to `max_its` scalar Newton steps on
+    the 1-dof Bratu equation
+        F = (2u−uE−uW)·hy/hx + (2u−uN−uS)·hx/hy − λ·hx·hy·eᵘ − b,
+        J = 2(hy/hx + hx/hy) − λ·hx·hy·eᵘ,
+    with the reference's verbatim early-exit test AFTER each update
+    (atol > |F| or rtol·|F0| > |F| or stol·|u| > |y|); boundary points
+    are assigned 0 (zero Dirichlet). Already-visited neighbors read
+    UPDATED values (Gauss-Seidel). Defaults mirror SNESCreate_GS
+    (snesgs.c:376-380: sweeps=1, rtol=1e-5, atol=1e-15, stol=1e-12,
+    max_its=50). Returns smooth(xflat, bflat=None) usable as an NGMRES
+    nonlinear preconditioner or FAS level smoother."""
+    import jax
+    from jax import lax
+
+    m, n = da.grid
+    hx, hy = 1.0 / (m - 1), 1.0 / (n - 1)
+    sc = hx * hy * lam
+    hxdhy, hydhx = hx / hy, hy / hx
+
+    def smooth(xflat, bflat=None):
+        X0 = xflat.reshape(m, n)
+        Bg = None if bflat is None else bflat.reshape(m, n)
+
+        def point(X, idx):
+            # sweep order matches ex5.c NonlinearGS: y (axis 1) outer,
+            # x (axis 0, the hx axis) inner
+            j, i = idx // m, idx % m
+            boundary = (i == 0) | (i == m - 1) | (j == 0) | (j == n - 1)
+            u0 = X[i, j]
+            uW, uE = X[i - 1, j], X[(i + 1) % m, j]
+            uS, uN = X[i, j - 1], X[i, (j + 1) % n]
+            bij = 0.0 if Bg is None else Bg[i, j]
+
+            def newton_body(carry):
+                u, F0, k, _ = carry
+                eu = jnp.exp(u)
+                Fv = ((2.0 * u - uW - uE) * hydhx
+                      + (2.0 * u - uS - uN) * hxdhy - sc * eu - bij)
+                F0 = jnp.where(k == 0, Fv, F0)
+                J = 2.0 * (hydhx + hxdhy) - sc * eu
+                y = Fv / J
+                u = u - y
+                done = ((atol > jnp.abs(Fv))
+                        | (rtol * jnp.abs(F0) > jnp.abs(Fv))
+                        | (stol * jnp.abs(u) > jnp.abs(y)))
+                return u, F0, k + 1, done
+
+            def newton_cond(carry):
+                _, _, k, done = carry
+                return (k < max_its) & jnp.logical_not(done)
+
+            u, _, _, _ = lax.while_loop(
+                newton_cond, newton_body,
+                (u0, jnp.zeros_like(u0), jnp.int32(0),
+                 jnp.zeros((), bool)))
+            unew = jnp.where(boundary, jnp.zeros_like(u0), u)
+            return X.at[i, j].set(unew), None
+
+        X = X0
+        for _ in range(sweeps):
+            X, _ = lax.scan(point, X, jnp.arange(m * n))
+        return X.reshape(-1)
+
+    return smooth

@@ -483,8 +483,21 @@ def snes_ngmres(F: Callable, x0: jax.Array, msize: int = 30,
         rhs = (nu - xi) * mask
         H = (Q - xi[:, None] - xi[None, :] + nu) * \
             (mask[:, None] * mask[None, :])
-        H = H + jnp.diag(1.0 - mask)           # inactive slots → identity
-        beta = jnp.linalg.lstsq(H, rhs, rcond=-1)[0] * mask
+        # inactive slots → p·I with p = max|H_active| so the padded
+        # block-diagonal matrix has the SAME σmax as the active l×l
+        # block (σmax ≥ max|h_ij| always); then an SVD solve with
+        # LAPACK gelss's rcond rule (σ ≤ eps·σmax treated as zero,
+        # rcond=-1 → machine precision, snesngmres.c:315) reproduces
+        # the reference's least-squares β exactly — this matters once
+        # H goes numerically singular (stagnating subspaces), where a
+        # keep-all-σ solve diverges from gelss in the 4th digit.
+        pad = jnp.maximum(jnp.max(jnp.abs(H)), 1.0e-300)
+        H = H + pad * jnp.diag(1.0 - mask)
+        U, S, Vt = jnp.linalg.svd(H, full_matrices=False)
+        eps = jnp.finfo(dtype).eps
+        cut = eps * S[0]
+        Sinv = jnp.where(S > cut, 1.0 / jnp.where(S > cut, S, 1.0), 0.0)
+        beta = (Vt.T @ (Sinv * (U.T @ rhs))) * mask
         alph_total = jnp.sum(beta)
         XA = (1.0 - alph_total) * XM + beta @ Xdot
         FA = F(XA)

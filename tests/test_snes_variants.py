@@ -148,3 +148,50 @@ class TestPBratu:
                                    golden[:2], rtol=2e-5)
         np.testing.assert_allclose(np.asarray(r.history[:17]), golden,
                                    rtol=2e-2)
+
+
+class TestEx5NGMRESPreconditioned:
+    """snes ex5 NGMRES with nonlinear preconditioners (makefile:344
+    CSD_BASIC_COMMAND_LINE: 81x81 Bratu, lambda=6) — goldens verified
+    current against a hand-built oracle of the reference tree."""
+
+    def _setup(self):
+        from petsctpu.dm import DA
+        from petsctpu.models.bratu import (bratu_initial_guess,
+                                           bratu_residual)
+        da = DA((81, 81))
+        return da, bratu_residual(da, 6.0), bratu_initial_guess(da, 6.0)
+
+    def test_ex5_5_ngmres_ngs(self):
+        """output/ex5_5_ngmres_ngs.out: -snes_type ngmres
+        -npc_snes_type gs -npc_snes_max_it 1 — NGMRES right-
+        preconditioned by ONE sweep of ex5.c's user NonlinearGS
+        (sequential pointwise Newton, SNESSetGS hook)."""
+        from petsctpu.models.bratu import bratu_nonlinear_gs
+        from petsctpu.snes.variants import snes_ngmres
+        da, F, x0 = self._setup()
+        gs = bratu_nonlinear_gs(da, 6.0)
+        r = snes_ngmres(F, x0, msize=30, maxits=12, rtol=1e-12,
+                        npc=lambda X: gs(X))
+        golden = [1.11127, 0.565096, 0.384346, 0.292364, 0.235438,
+                  0.196743, 0.168319, 0.146367, 0.128902, 0.114647,
+                  0.102763, 0.0926959, 0.0840538]
+        np.testing.assert_allclose(np.asarray(r.history[:13]), golden,
+                                   rtol=2e-5)
+
+    def test_ex5_5_ngmres_richardson(self):
+        """output/ex5_5_ngmres_richardson.out: -snes_type ngmres
+        -snes_ngmres_m 10 -npc_snes_type nrichardson
+        -npc_snes_max_it 3 — NGMRES(10) right-preconditioned by three
+        L2-line-search Richardson iterations."""
+        from petsctpu.snes.api import snes_nrichardson
+        from petsctpu.snes.variants import snes_ngmres
+        da, F, x0 = self._setup()
+        npc = lambda X: snes_nrichardson(F, X, maxits=3, rtol=1e-12,
+                                         atol=1e-50).x
+        r = snes_ngmres(F, x0, msize=10, maxits=12, rtol=1e-12, npc=npc)
+        golden = [1.11127, 0.457705, 0.298339, 0.211765, 0.16522,
+                  0.131514, 0.107927, 0.0911397, 0.0768304, 0.0660328,
+                  0.0570803, 0.0494061, 0.0432223]
+        np.testing.assert_allclose(np.asarray(r.history[:13]), golden,
+                                   rtol=2e-5)
