@@ -159,6 +159,7 @@ def snes_fas(levels: Sequence[FASLevel], x0: jax.Array,
              omega: float = 0.9, coarse_cfg: SNESConfig = None,
              coarse_ksp: KSPConfig = None, axis: Optional[str] = None,
              smoother: str = "ngs", user_smoothers=None,
+             fas_type: str = "multiplicative",
              **kw) -> SNESResult:
     """FAS V-cycle iteration (SNESFAS, fas.c).
 
@@ -223,6 +224,38 @@ def snes_fas(levels: Sequence[FASLevel], x0: jax.Array,
         x = smooth(l, x, b, npost)
         return x
 
+    def acycle(l, x, b):
+        """SNESFASCycle_Additive (fas.c:625): recurse FIRST from the
+        unsmoothed iterate, smooth this level from the SAME iterate,
+        then add the interpolated coarse direction through the FAS
+        L2 line search (fas.c:343 sets SNESLINESEARCHL2 for the
+        additive coarse correction)."""
+        from petsctpu.snes.api import _linesearch_l2
+
+        L = levels[l]
+        if l == nlev - 1:
+            res = snes_solve(lambda y: L.F(y) - b, x, jac="jvp",
+                             ksp_cfg=coarse_ksp, cfg=coarse_cfg, axis=axis)
+            return res.x
+
+        def G(y):
+            return L.F(y) - b
+
+        Fx = G(x)
+        xc0 = x[inject_j[l]]
+        Rr = L.interp.multT(Fx)
+        if L.interior is not None:
+            Rr = jnp.where(jnp.asarray(L.interior), Rr, 0.0)
+        bc = levels[l + 1].F(xc0) - Rr
+        xc = acycle(l + 1, xc0, bc)
+        xs = smooth(l, x, b, npre)
+        d = L.interp.mult(xc0 - xc)      # minus convention: xn = x − λd
+        Fs = G(xs)
+        xn, _, _, _, _ = _linesearch_l2(G, xs, d, ops.norm(Fs, axis), axis)
+        return xn
+
+    cycle = acycle if fas_type == "additive" else vcycle
+
     F0 = levels[0].F
     Fx = F0(x0)
     fnorm = ops.norm(Fx, axis)
@@ -237,7 +270,7 @@ def snes_fas(levels: Sequence[FASLevel], x0: jax.Array,
         return c["reason"] == SNESConvergedReason.ITERATING
 
     def body(c):
-        x = vcycle(0, c["x"], zero_b)
+        x = cycle(0, c["x"], zero_b)
         fn = ops.norm(F0(x), axis)
         its = c["its"] + 1
         history = c["history"].at[its].set(fn)

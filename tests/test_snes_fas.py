@@ -313,3 +313,38 @@ class TestEx5NGMRESFAS:
                   3.88154e-09]
         np.testing.assert_allclose(np.asarray(res.history[:10]), oracle,
                                    rtol=2e-5)
+
+
+class TestEx5FASAdditive:
+    def test_ex5_5_fas_additive(self):
+        """runex5_5_fas_additive (makefile:417): -snes_type fas
+        -snes_fas_type additive -da_refine 6 with the 1-iteration
+        Newton-LU coarse solve. SNESFASCycle_Additive (fas.c:625)
+        recurses FIRST from the unsmoothed iterate, smooths the level
+        from the same iterate, then adds the interpolated coarse
+        direction through an L2 line search (fas.c:343). DIGIT-EXACT
+        against the reference source's own behavior (hand-built
+        oracle); the checked-in output/ex5_5_fas_additive.out is from
+        another revision, like ex5_5_fas (it prints 0.648993 at cycle
+        1 where the tree prints 0.638651)."""
+        from petsctpu.dm import DA
+        from petsctpu.ksp.common import KSPConfig
+        from petsctpu.models.bratu import (bratu_initial_guess,
+                                           bratu_residual)
+        from petsctpu.snes import fas_levels_from_da, snes_fas
+        from petsctpu.snes.api import SNESConfig
+
+        da = DA((193, 193))
+        levels = fas_levels_from_da(da, lambda d: bratu_residual(d, 6.0), 7)
+        x0 = bratu_initial_guess(da, 6.0)
+        res = snes_fas(levels, x0, rtol=1e-12, maxits=12,
+                       fas_type="additive", smoother="nrichardson",
+                       npre=1, npost=1,
+                       coarse_cfg=SNESConfig(maxits=1, linesearch="bt"),
+                       coarse_ksp=KSPConfig(ksp_type="gmres", rtol=1e-12,
+                                            maxits=64))
+        oracle = [1.07178, 0.638651, 0.416574, 0.291287, 0.23869,
+                  0.222565, 0.182278, 0.161466, 0.137008, 0.120328,
+                  0.116058, 0.112582, 0.109487]
+        np.testing.assert_allclose(np.asarray(res.history[:13]), oracle,
+                                   rtol=2e-4)
