@@ -55,7 +55,10 @@ def mffd_operator(F: Callable, x: jax.Array, Fx: jax.Array,
         xx, Fxx = ctx
         nv = jnp.linalg.norm(v)
         nx = jnp.linalg.norm(xx)
-        h = eps * jnp.where(nv > 0, jnp.maximum(nx, 1.0) / jnp.maximum(nv, 1e-30), 1.0)
+        # wp.c:73-81 verbatim: h = error_rel·sqrt(1+‖u‖)/‖a‖
+        h = eps * jnp.where(nv > 0,
+                            jnp.sqrt(1.0 + nx) / jnp.maximum(nv, 1e-30),
+                            1.0)
         return (F(xx + h * v) - Fxx) / h
 
     return Shell(ctx=(x, Fx), mult_fn=mv, shape=(n, n))

@@ -26,15 +26,24 @@ from petsctpu.vec import ops
 def snes_nasm(F: Callable, x0: jax.Array, subdomains: Sequence,
               damping: float = 1.0, inner_its: int = 2,
               cfg: SNESConfig = None, axis: Optional[str] = None,
+              nasm_type: str = "basic", owned: Sequence = None,
+              inner_cfg: SNESConfig = None, inner_ksp: KSPConfig = None,
               **kw) -> SNESResult:
     """Nonlinear additive Schwarz (SNESNASM).
 
     subdomains: list of index arrays. Each outer iteration solves every
     subdomain's restricted problem F(x with x_i replaced)[idx_i] = 0 by
     a few Newton steps (matrix-free GMRES inner), holding the other
-    unknowns at their current values, then combines the corrections
-    additively with partition-of-unity weights on overlap (the
-    reference's SNESNASMSetDamping / basic weighting)."""
+    unknowns at their current values, then combines the corrections.
+
+    nasm_type (SNESNASMSetType):
+      "basic"    — additive with partition-of-unity weights on overlap
+                   (+ optional damping), the SNESNASMSetDamping path;
+      "restrict" — restricted additive Schwarz (the reference's
+                   -snes_nasm_type restrict / PC_ASM_RESTRICT analog):
+                   solve on the OVERLAPPING subdomain, write back only
+                   the `owned` (non-overlapping) points — no weights.
+                   `owned` is the per-subdomain disjoint index list."""
     cfg = replace(cfg or SNESConfig(), **kw) if kw else (cfg or SNESConfig())
     subs = [jnp.asarray(np.asarray(s, np.int32)) for s in subdomains]
     # overlap weights (partition of unity)
@@ -43,8 +52,20 @@ def snes_nasm(F: Callable, x0: jax.Array, subdomains: Sequence,
         mult[np.asarray(s)] += 1.0
     wts = [jnp.asarray(1.0 / mult[np.asarray(s)], x0.dtype)
            for s in subdomains]
-    inner_cfg = SNESConfig(maxits=inner_its, rtol=1e-8, linesearch="bt")
-    inner_ksp = KSPConfig(ksp_type="gmres", rtol=1e-6, maxits=100)
+    if nasm_type == "restrict":
+        assert owned is not None, "restrict type needs owned index lists"
+        # position of each owned point inside its subdomain's list
+        own_pos = []
+        for s, o in zip(subdomains, owned):
+            lookup = {int(g): k for k, g in enumerate(np.asarray(s))}
+            own_pos.append(jnp.asarray(
+                np.array([lookup[int(g)] for g in np.asarray(o)],
+                         np.int32)))
+        owned_j = [jnp.asarray(np.asarray(o, np.int32)) for o in owned]
+    inner_cfg = inner_cfg or SNESConfig(maxits=inner_its, rtol=1e-8,
+                                        linesearch="bt")
+    inner_ksp = inner_ksp or KSPConfig(ksp_type="gmres", rtol=1e-6,
+                                       maxits=100)
 
     Fx = F(x0)
     fnorm = ops.norm(Fx, axis)
@@ -68,8 +89,12 @@ def snes_nasm(F: Callable, x0: jax.Array, subdomains: Sequence,
     def body(c):
         x = c["x"]
         dx = jnp.zeros_like(x)
-        for idx, w in zip(subs, wts):
-            dx = dx.at[idx].add(w * local_correction(x, idx))
+        if nasm_type == "restrict":
+            for idx, og, pos in zip(subs, owned_j, own_pos):
+                dx = dx.at[og].set(local_correction(x, idx)[pos])
+        else:
+            for idx, w in zip(subs, wts):
+                dx = dx.at[idx].add(w * local_correction(x, idx))
         xn = x + damping * dx
         fn = ops.norm(F(xn), axis)
         its = c["its"] + 1

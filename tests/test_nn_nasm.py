@@ -137,3 +137,105 @@ class TestMS:
             res = snes_ms(F, jnp.zeros(25), scheme=scheme, scale=dinv,
                           damping=0.5, maxits=50, rtol=0.5)
             assert float(res.fnorm) < float(jnp.linalg.norm(F(jnp.zeros(25)))), scheme
+
+
+def _ex5_decomp(g=49, ov=3):
+    """The runex5_5_nasm decomposition: 49x49 Bratu on a 2x2 process
+    grid (DMDA splits 49 as 25+24), -da_overlap 3 — each subdomain is
+    the owned patch extended by 3 grid lines toward interior edges
+    (DMCreateDomainDecomposition_DA, dadd.c:140-168)."""
+    idx = np.arange(g * g).reshape(g, g)
+    ranges = [(0, 25), (25, 49)]
+    subs, owned = [], []
+    for (xs, xe) in ranges:
+        for (ys, ye) in ranges:
+            sx = (max(0, xs - ov) if xs > 0 else 0,
+                  min(g, xe + ov) if xe < g else g)
+            sy = (max(0, ys - ov) if ys > 0 else 0,
+                  min(g, ye + ov) if ye < g else g)
+            subs.append(idx[sx[0]:sx[1], sy[0]:sy[1]].reshape(-1))
+            owned.append(idx[xs:xe, ys:ye].reshape(-1))
+    return subs, owned
+
+
+class TestEx5NASMRestrict:
+    def test_ex5_5_nasm(self):
+        """output/ex5_5_nasm.out: -snes_type nasm -snes_nasm_type
+        restrict on 4 subdomains (restricted additive Schwarz: solve
+        the overlapped subproblem, write back only the owned points).
+        DIGIT-EXACT x11 including the DIVERGED_MAX_IT exit at 10."""
+        from petsctpu.dm import DA
+        from petsctpu.ksp.common import KSPConfig
+        from petsctpu.models.bratu import (bratu_initial_guess,
+                                           bratu_residual)
+        from petsctpu.snes import snes_nasm
+        from petsctpu.snes.api import SNESConfig
+
+        da = DA((49, 49))
+        F = bratu_residual(da, 6.0)
+        x0 = bratu_initial_guess(da, 6.0)
+        subs, owned = _ex5_decomp()
+        r = snes_nasm(
+            F, x0, subs, nasm_type="restrict", owned=owned, maxits=10,
+            rtol=1e-8,
+            inner_cfg=SNESConfig(maxits=50, rtol=1e-8, atol=1e-50,
+                                 linesearch="bt"),
+            inner_ksp=KSPConfig(ksp_type="gmres", rtol=1e-8, maxits=600))
+        golden = [1.14125, 0.0710053, 0.0385483, 0.0315995, 0.0261101,
+                  0.0222853, 0.0189666, 0.0162485, 0.0139153, 0.0119441,
+                  0.010258]
+        np.testing.assert_allclose(np.asarray(r.history[:11]), golden,
+                                   rtol=2e-5)
+        assert int(r.its) == 10 and not bool(r.converged)
+
+    def test_ex5_5_aspin(self):
+        """output/ex5_5_aspin.out: ASPIN — Newton-Krylov on the LEFT
+        nonlinearly preconditioned function F_L(x) = x − NASM₁(x)
+        (snes.c:1984-1988; SNESSetUp forces matrix-free J and pc none,
+        snes.c:409-411, and the npc runs exactly ONE iteration,
+        snes.c:2554). The unpreconditioned MFFD-GMRES residual stream
+        of the first Newton step and the first two function norms
+        match the golden to ~5 digits (the remaining digit is set by
+        the rtol-1e-5 inner linear solves' trajectory, which the
+        golden inherits from GMRES+ILU inner solvers)."""
+        import jax.numpy as jnp
+        from petsctpu.dm import DA
+        from petsctpu.ksp import ksp_solve
+        from petsctpu.ksp.common import KSPConfig
+        from petsctpu.models.bratu import (bratu_initial_guess,
+                                           bratu_residual)
+        from petsctpu.snes import snes_nasm, snes_solve
+        from petsctpu.snes.api import SNESConfig
+        from petsctpu.snes.fdjac import mffd_operator
+
+        da = DA((49, 49))
+        F = bratu_residual(da, 6.0)
+        x0 = jnp.asarray(bratu_initial_guess(da, 6.0))
+        subs, owned = _ex5_decomp()
+        inner_cfg = SNESConfig(maxits=50, rtol=1e-8, atol=1e-50,
+                               linesearch="bt")
+        inner_ksp = KSPConfig(ksp_type="gmres", rtol=1e-8, maxits=600)
+
+        def FL(x):
+            return x - snes_nasm(F, x, subs, nasm_type="restrict",
+                                 owned=owned, maxits=1, rtol=0.0,
+                                 atol=0.0, stol=0.0, inner_cfg=inner_cfg,
+                                 inner_ksp=inner_ksp).x
+
+        Fx = FL(x0)
+        np.testing.assert_allclose(float(jnp.linalg.norm(Fx)), 3.15088,
+                                   rtol=2e-5)
+        J = mffd_operator(FL, x0, Fx)
+        r = ksp_solve(J, Fx, ksp_type="gmres", rtol=1e-5, maxits=100)
+        ksp_golden = [3.15088, 0.605955, 0.41702, 0.183413, 0.0295441,
+                      0.00648287, 0.00127121, 0.000181564, 5.58924e-05,
+                      5.73067e-06]
+        np.testing.assert_allclose(np.asarray(r.history[:10]), ksp_golden,
+                                   rtol=1e-4)
+        res = snes_solve(FL, x0, jac="fd",
+                         cfg=SNESConfig(maxits=1, rtol=1e-8,
+                                        linesearch="bt"),
+                         ksp_cfg=KSPConfig(ksp_type="gmres", rtol=1e-5,
+                                           maxits=100))
+        np.testing.assert_allclose(float(res.history[1]), 0.0427232,
+                                   rtol=1e-4)
