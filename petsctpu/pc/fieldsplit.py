@@ -92,8 +92,13 @@ class FieldSplitPC:
         return x[self.isa], x[self.isb]
 
     def _scatter(self, ya, yb):
+        # ADD_VALUES like the reference's FieldSplitSplitSolveAdd /
+        # SCATTER_REVERSE adds (fieldsplit.c:855,876): identical to
+        # insert for disjoint splits, and required for OVERLAPPING
+        # splits (runex19_8's duplicate bs-2 fields), where each
+        # split's correction accumulates
         y = jnp.zeros(self.n, ya.dtype)
-        return y.at[self.isa].set(ya).at[self.isb].set(yb)
+        return y.at[self.isa].add(ya).at[self.isb].add(yb)
 
     def _solve0(self, r):
         from petsctpu.ksp.api import KSP_REGISTRY
