@@ -209,3 +209,49 @@ class TestChebyEstCG:
         np.testing.assert_allclose(
             float(np.linalg.norm(np.asarray(r.x) - u)), 0.000161289,
             rtol=1e-4)
+
+
+class TestEx13VariablePoisson:
+    def test_ex13_1(self):
+        """ksp ex13 (output/ex13_1.out, oracle-verified current):
+        -div(rho grad psi) = F with rho(x,y) = x on a 19x20 interior
+        grid, two repeated solves reusing the factorization (the
+        example's "timestep" loop), KSP gmres + PCLU. The printed
+        quantity is sum((sol-x)^2)*hx*hy = 1.44146e-05 (ex13.c:218-223
+        — no square root; %G prints 6 digits)."""
+        import scipy.sparse as sp
+
+        from petsctpu.ksp import ksp_solve
+        from petsctpu.mat import aij_from_scipy
+        from petsctpu.pc import make_pc
+
+        m, n = 19, 20
+        hx, hy = 1.0 / (m + 1), 1.0 / (n + 1)
+        hx2, hy2 = (m + 1) ** 2, (n + 1) ** 2
+        ii = np.arange(m * n)
+        i, j = ii % m, ii // m
+        x = (i + 1) * hx
+        y = (j + 1) * hy
+        rho = x
+        sol = np.sin(2 * np.pi * x) * np.sin(2 * np.pi * y)
+        b = (-2 * np.pi * np.cos(2 * np.pi * x) * np.sin(2 * np.pi * y)
+             + 8 * np.pi ** 2 * x * np.sin(2 * np.pi * x)
+             * np.sin(2 * np.pi * y))
+        rows, cols, vals = [ii], [ii], [2.0 * rho * (hx2 + hy2)]
+        for cond, off, h2 in ((j > 0, -m, hy2), (j < n - 1, m, hy2),
+                              (i > 0, -1, hx2), (i < m - 1, 1, hx2)):
+            r = ii[cond]
+            rows.append(r)
+            cols.append(r + off)
+            vals.append(-.5 * (rho[r] + rho[r + off]) * h2)
+        A = sp.coo_matrix((np.concatenate(vals),
+                           (np.concatenate(rows), np.concatenate(cols))),
+                          shape=(m * n, m * n)).tocsr()
+        Ad = aij_from_scipy(A)
+        pc = make_pc("lu", A=Ad, A_host=A)
+        for _ in range(2):                      # tmax=2 repeated solves
+            r = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="gmres",
+                          rtol=1e-5, cgs_refine="always")
+            xs = np.asarray(r.x)
+            enorm = float(np.sum((sol - xs) ** 2) * hx * hy)
+            np.testing.assert_allclose(enorm, 1.44146e-05, rtol=2e-5)

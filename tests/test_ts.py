@@ -472,3 +472,50 @@ class TestEx15Heat2D:
                   [0.0019786, 0.00668432, 0.0132097, 0.0201985,
                    0.0266541, 0.0320965, 0.0364221, 0.0397284,
                    0.0421896, 0.0439885])
+
+    def test_ex17_2_crank_nicolson(self):
+        """runex17_2: -da_grid_x 100 -ts_type theta -ts_theta_theta 0.5
+        (Crank-Nicolson on the 1-D heat DAE). The tree no longer
+        prints the golden's 'timestep' monitor lines (same stale-
+        monitor finding as ex17_1) and its norm column used a
+        different scaling, but the solution max/min trajectory is
+        still live arithmetic: the first CN steps reproduce the golden
+        max/min values to all printed digits."""
+        import jax.numpy as jnp
+
+        from petsctpu.ksp.common import KSPConfig
+        from petsctpu.snes import snes_solve
+        from petsctpu.snes.api import SNESConfig
+
+        Mx = 100
+        hx = 1.0 / (Mx - 1)
+        sx = 1.0 / hx ** 2
+        xg = np.arange(Mx) * hx
+        r = np.abs(xg - 0.5)
+        u0 = np.where(r < .125, np.exp(-30.0 * r ** 3), 0.0)
+        np.testing.assert_allclose(u0.max(), 0.999996, rtol=2e-5)
+
+        def ifunc(u, udot):
+            lap = (2 * u - jnp.roll(u, 1) - jnp.roll(u, -1)) * sx
+            f = udot + lap
+            return f.at[0].set(u[0]).at[Mx - 1].set(u[Mx - 1])
+
+        dt, theta = 0.01, 0.5
+        u = jnp.asarray(u0)
+        golden = [(0.882245, 0.0), (0.777702, -0.0272512),
+                  (0.71264, -0.0448901), (0.663065, -0.0773792),
+                  (0.623411, -0.0845737)]
+        for step in range(5):
+            def G(v, u=u):
+                return ifunc(v, (v - u) / (theta * dt))
+
+            res = snes_solve(G, u, jac="jvp",
+                             cfg=SNESConfig(maxits=20, rtol=1e-8,
+                                            linesearch="bt"),
+                             ksp_cfg=KSPConfig(ksp_type="gmres",
+                                               rtol=1e-8, maxits=300))
+            u = u + (res.x - u) / theta
+            np.testing.assert_allclose(float(u.max()), golden[step][0],
+                                       rtol=2e-5)
+            np.testing.assert_allclose(float(u.min()), golden[step][1],
+                                       rtol=2e-4, atol=1e-12)
