@@ -102,6 +102,12 @@ def icc_pattern(A, levels: int):
     A.sort_indices()
     n = A.shape[0]
     ai, aj = A.indptr, A.indices
+    from petsctpu import native
+    if native.available():
+        res = native.icck_pattern(ai, aj, levels)
+        if res is not None:
+            indptr, cols = res
+            return np.split(cols, indptr[1:-1])
     out_cols = []                    # per row: np array strict-upper cols
     out_lvls = []                    # matching levels
     il = np.zeros(n, np.int64)       # next-unconsumed index into out_cols
@@ -193,6 +199,16 @@ def icc_factor(A, pattern_rows=None, shift_type: str = "positive_definite",
           else np.zeros(0, np.int64))
     uv = np.zeros(ui[-1], np.float64)
     d = np.zeros(n, np.float64)
+
+    from petsctpu import native
+    if native.available():
+        res = native.icc_numeric(ai, aj, aa, ui, uj, shift_type,
+                                 zeropivot, shift_amount)
+        if res is not None:
+            uvn, dn, nshift, cur_shift = res
+            # native uv is already the unit-upper factor (negated once)
+            return (sp.csr_matrix((uvn, uj, ui), shape=(n, n)), dn,
+                    nshift, cur_shift)
 
     # --- shift_top for the Manteuffel (positive_definite) strategy ---
     shift_top = 0.0
@@ -387,33 +403,37 @@ def make_sptrsv_plan(T, lower: bool, unit_diag: bool, dtype=None,
         nlev = max(nlev, pad_to[0])
         rmax = max(rmax, pad_to[1])
         counts = np.bincount(lev, minlength=nlev)
+    # group rows by level (vectorized: stable argsort by level gives
+    # each level's rows in ascending row order, same as the original
+    # fill loop)
     level_rows = np.full((nlev, rmax), n, dtype=np.int32)
-    fill = np.zeros(nlev, dtype=np.int64)
-    for i in range(n):
-        l = lev[i]
-        level_rows[l, fill[l]] = i
-        fill[l] += 1
+    order = np.argsort(lev, kind="stable") if n else np.zeros(0, np.int64)
+    starts = np.zeros(nlev + 1, np.int64)
+    starts[1:] = np.cumsum(counts)
+    pos = np.arange(n) - starts[lev[order]] if n else order
+    level_rows[lev[order], pos] = order.astype(np.int32)
 
     # off-diagonal ELL (padding col = n → reads the scratch slot, val 0)
     ai, aj, av = T.indptr, T.indices, T.data
     diag = np.ones(n, dtype=dtype)
-    offs = []
-    for i in range(n):
-        j = aj[ai[i]:ai[i + 1]]
-        v = av[ai[i]:ai[i + 1]]
-        off = j != i
-        if not unit_diag:
-            d = v[~off]
-            diag[i] = d[0] if len(d) else 1.0
-        offs.append((j[off], v[off]))
-    K = max(max((len(j) for j, _ in offs), default=0), 1)
+    rows_all = np.repeat(np.arange(n), np.diff(ai))
+    is_diag = aj == rows_all
+    if not unit_diag and is_diag.any():
+        diag[rows_all[is_diag]] = av[is_diag]
+    keep = ~is_diag
+    rk = rows_all[keep]
+    off_counts = np.bincount(rk, minlength=n)
+    K = max(int(off_counts.max()) if n else 0, 1)
     if pad_to is not None:
         K = max(K, pad_to[2])
     cols = np.full((n, K), n, dtype=np.int32)
     vals = np.zeros((n, K), dtype=dtype)
-    for i, (j, v) in enumerate(offs):
-        cols[i, :len(j)] = j
-        vals[i, :len(j)] = v
+    # position of each kept entry within its row
+    row_start = np.zeros(n + 1, np.int64)
+    row_start[1:] = np.cumsum(off_counts)
+    slot = np.arange(len(rk)) - row_start[rk] if len(rk) else rk
+    cols[rk, slot] = aj[keep]
+    vals[rk, slot] = av[keep]
     # extra sentinel row (level_rows padding reads row n): point at scratch
     cols = np.vstack([cols, np.full((1, K), n, dtype=np.int32)])
     vals = np.vstack([vals, np.zeros((1, K), dtype=dtype)])

@@ -116,3 +116,116 @@ def rcm(indptr, indices):
     lib.rcm(n, np.ascontiguousarray(indptr, np.int64),
             np.ascontiguousarray(indices, np.int32), out)
     return out
+
+
+def _register_round2(lib):
+    i64 = ctypes.c_int64
+    p64 = np.ctypeslib.ndpointer(np.int64, flags="C")
+    p32 = np.ctypeslib.ndpointer(np.int32, flags="C")
+    pf64 = np.ctypeslib.ndpointer(np.float64, flags="C")
+    pp64 = ctypes.POINTER(ctypes.POINTER(ctypes.c_int64))
+    lib.native_free.restype = None
+    lib.native_free.argtypes = [ctypes.c_void_p]
+    lib.iluk_pattern.restype = i64
+    lib.iluk_pattern.argtypes = [i64, p64, p32, i64, pp64, pp64]
+    lib.icck_pattern.restype = i64
+    lib.icck_pattern.argtypes = [i64, p64, p32, i64, pp64, pp64]
+    lib.icc_numeric.restype = i64
+    lib.icc_numeric.argtypes = [i64, p64, p32, pf64, p64, p64, pf64,
+                                pf64, ctypes.c_int32, ctypes.c_double,
+                                ctypes.c_double, pf64]
+
+
+def _have_round2() -> bool:
+    lib = _load()
+    if not lib:
+        return False
+    if not getattr(lib, "_round2_ok", False):
+        try:
+            _register_round2(lib)
+            lib._round2_ok = True
+        except AttributeError:
+            # stale .so from round 1: rebuild once
+            try:
+                os.remove(_SO)
+            except OSError:
+                pass
+            global _lib
+            _lib = None
+            lib = _load()
+            if not lib:
+                return False
+            try:
+                _register_round2(lib)
+                lib._round2_ok = True
+            except AttributeError:
+                return False
+    return True
+
+
+def _take_pattern(lib, nnz, ip_p, cols_p, n):
+    indptr = np.ctypeslib.as_array(ip_p, shape=(n + 1,)).copy()
+    cols = np.ctypeslib.as_array(cols_p, shape=(max(int(nnz), 1),))[
+        :int(nnz)].copy()
+    lib.native_free(ctypes.cast(ip_p, ctypes.c_void_p))
+    lib.native_free(ctypes.cast(cols_p, ctypes.c_void_p))
+    return indptr, cols
+
+
+def iluk_pattern(indptr, indices, k: int):
+    """Symbolic ILU(k) pattern: returns (indptr, cols) CSR arrays.
+    None if the native library is unavailable."""
+    if not _have_round2():
+        return None
+    lib = _load()
+    n = len(indptr) - 1
+    ip_p = ctypes.POINTER(ctypes.c_int64)()
+    cols_p = ctypes.POINTER(ctypes.c_int64)()
+    nnz = lib.iluk_pattern(n, np.ascontiguousarray(indptr, np.int64),
+                           np.ascontiguousarray(indices, np.int32), k,
+                           ctypes.byref(ip_p), ctypes.byref(cols_p))
+    return _take_pattern(lib, nnz, ip_p, cols_p, n)
+
+
+def icck_pattern(indptr, indices, levels: int):
+    """Symbolic IC(k) strict-upper pattern: (indptr, cols) or None."""
+    if not _have_round2():
+        return None
+    lib = _load()
+    n = len(indptr) - 1
+    ip_p = ctypes.POINTER(ctypes.c_int64)()
+    cols_p = ctypes.POINTER(ctypes.c_int64)()
+    nnz = lib.icck_pattern(n, np.ascontiguousarray(indptr, np.int64),
+                           np.ascontiguousarray(indices, np.int32),
+                           levels, ctypes.byref(ip_p),
+                           ctypes.byref(cols_p))
+    return _take_pattern(lib, nnz, ip_p, cols_p, n)
+
+
+_SHIFT_CODES = {"none": 0, "nonzero": 1, "inblocks": 2,
+                "positive_definite": 3}
+
+
+def icc_numeric(ai, aj, aa, ui, uj, shift_type: str, zeropivot: float,
+                shift_amount: float):
+    """Numeric UᵀDU incomplete Cholesky on the (ui, uj) strict-upper
+    pattern. Returns (uv, d, nshift, shift) or None if unavailable;
+    raises ZeroDivisionError on an unshifted zero pivot."""
+    if not _have_round2():
+        return None
+    lib = _load()
+    n = len(ai) - 1
+    ui = np.ascontiguousarray(ui, np.int64)
+    uv = np.zeros(int(ui[-1]), np.float64)
+    d = np.zeros(n, np.float64)
+    shift_out = np.zeros(1, np.float64)
+    rc = lib.icc_numeric(n, np.ascontiguousarray(ai, np.int64),
+                         np.ascontiguousarray(aj, np.int32),
+                         np.ascontiguousarray(aa, np.float64), ui,
+                         np.ascontiguousarray(uj, np.int64), uv, d,
+                         _SHIFT_CODES[shift_type], zeropivot,
+                         shift_amount, shift_out)
+    if rc < 0:
+        raise ZeroDivisionError(
+            f"icc: zero pivot row {-rc - 1} (native)")
+    return uv, d, int(rc), float(shift_out[0])

@@ -94,6 +94,12 @@ def _iluk_pattern(A, k: int):
 
     n = A.shape[0]
     A.sort_indices()
+    from petsctpu import native
+    if native.available():
+        res = native.iluk_pattern(A.indptr, A.indices, k)
+        if res is not None:
+            indptr, cols = res
+            return np.split(cols, indptr[1:-1])
     rowpat = []                    # per row: list of (col, level), sorted
     out = []
     for i in range(n):

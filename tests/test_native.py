@@ -90,3 +90,61 @@ class TestNativeKernels:
                         rtol=1e-10)
         assert res.converged
         np.testing.assert_allclose(np.asarray(res.x), u, atol=1e-7)
+
+
+class TestNativeFactorKernels:
+    """Round-2 native kernels must be BIT-identical to the pure-Python
+    implementations (goldens pin ICC/ILU(k) digit-exact behavior)."""
+
+    def _mats(self):
+        import scipy.sparse as sp
+
+        from petsctpu.models import laplacian_2d, poisson_3d
+        rng = np.random.default_rng(7)
+        A1 = laplacian_2d(13, 11)
+        A2 = poisson_3d(6, 5, 7)
+        # an indefinite-ish perturbed operator to exercise the shifts
+        A3 = A1 + sp.diags(0.5 * rng.standard_normal(A1.shape[0]))
+        return [sp.csr_matrix(M) for M in (A1, A2, A3)]
+
+    def test_iluk_pattern_matches_python(self, monkeypatch):
+        import petsctpu.native as native
+        from petsctpu.pc.factor import _iluk_pattern
+        for A in self._mats():
+            for k in (0, 1, 2, 3):
+                got = _iluk_pattern(A, k)
+                monkeypatch.setattr(native, "available", lambda: False)
+                ref = _iluk_pattern(A, k)
+                monkeypatch.undo()
+                assert len(got) == len(ref)
+                for g, r in zip(got, ref):
+                    np.testing.assert_array_equal(g, r)
+
+    def test_icck_pattern_matches_python(self, monkeypatch):
+        import petsctpu.native as native
+        from petsctpu.mat.factor import icc_pattern
+        for A in self._mats():
+            for k in (0, 1, 2):
+                got = icc_pattern(A, k)
+                monkeypatch.setattr(native, "available", lambda: False)
+                ref = icc_pattern(A, k)
+                monkeypatch.undo()
+                for g, r in zip(got, ref):
+                    np.testing.assert_array_equal(g, r)
+
+    def test_icc_numeric_matches_python(self, monkeypatch):
+        import petsctpu.native as native
+        from petsctpu.mat.factor import icc_factor, icc_pattern
+        for A in self._mats():
+            for shift in ("positive_definite", "nonzero", "inblocks"):
+                patt = icc_pattern(A, 1)
+                full = [np.concatenate([[i], p])
+                        for i, p in enumerate(patt)]
+                got = icc_factor(A, full, shift_type=shift)
+                monkeypatch.setattr(native, "available", lambda: False)
+                ref = icc_factor(A, full, shift_type=shift)
+                monkeypatch.undo()
+                np.testing.assert_array_equal(got[0].toarray(),
+                                              ref[0].toarray())
+                np.testing.assert_array_equal(got[1], ref[1])
+                assert got[2] == ref[2] and got[3] == ref[3]
