@@ -64,6 +64,9 @@ class TSConfig:
     clamp_final: bool = True
     # pseudo-timestepping
     pseudo_max_dt: float = 1e12
+    # TSPSEUDO duration: stop when t >= this (STEPOVER semantics, like
+    # ts ex24's -ts_final_time 1e5); inf = run to fnorm convergence
+    pseudo_max_time: float = float("inf")
     pseudo_fnorm_rtol: float = 1e-8
     pseudo_increment: float = 1.1   # TSPseudoSetTimeStepIncrement default
     # inner nonlinear/linear solve settings for implicit methods
@@ -360,7 +363,9 @@ def ts_pseudo(rhs: Callable, u0: jax.Array, cfg: TSConfig = None,
     # uses increment·dt0), so dt lags the fnorm sequence by one.
     def cond(c):
         t, u, dt, step, f_p, f_pp, fh, dh = c
-        return (step < cfg.max_steps) & (f_p > cfg.pseudo_fnorm_rtol * f0)
+        return ((step < cfg.max_steps)
+                & (f_p > cfg.pseudo_fnorm_rtol * f0)
+                & (t < cfg.pseudo_max_time))
 
     def body(c):
         t, u, dt, step, f_p, f_pp, fh, dh = c

@@ -519,3 +519,52 @@ class TestEx15Heat2D:
                                        rtol=2e-5)
             np.testing.assert_allclose(float(u.min()), golden[step][1],
                                        rtol=2e-4, atol=1e-12)
+
+    def test_ex24_pseudo_rosenbrock(self):
+        """ts ex24 (runex24_1: TSPSEUDO gradient flow of the 50-
+        variable Rosenbrock objective, -ts_dt 1e-5 -ts_final_time 1e5,
+        one Newton iteration per step with an exact linear solve).
+        The shipped golden is CHAOS-LIMITED: the reference source's
+        own rerun (hand-built oracle) departs from it at step 44 and
+        ends at (86 steps, t=104747) vs the golden's (95, 274754), so
+        only the pre-chaotic prefix is meaningful — this implementation
+        matches the oracle's dt and gradient-norm columns for steps
+        1..15 at the golden's 2-digit precision and reaches the final
+        time the same way (STEPOVER semantics)."""
+        from petsctpu.ksp.common import KSPConfig
+        from petsctpu.snes.api import SNESConfig
+        from petsctpu.ts.steppers import TSConfig, ts_pseudo
+
+        n = 50
+
+        def grad(x):
+            a = x[1:] - x[:-1] ** 2
+            g = jnp.zeros_like(x)
+            g = g.at[:-1].add(-2.0 * (1.0 - x[:-1])
+                              + 200.0 * a * (-2.0 * x[:-1]))
+            g = g.at[1:].add(200.0 * a)
+            return g
+
+        x0 = jnp.asarray(np.concatenate([[5.0, -5.0], 5.0 * np.ones(n - 2)]))
+        cfg = TSConfig(ts_type="pseudo", dt=1e-5, max_steps=300,
+                       pseudo_fnorm_rtol=0.0, pseudo_max_time=1e5,
+                       snes=SNESConfig(maxits=1, rtol=1e-8,
+                                       linesearch="bt"),
+                       ksp=KSPConfig(ksp_type="gmres", rtol=1e-12,
+                                     maxits=300))
+        res = ts_pseudo(lambda t, x: -grad(x), x0, cfg)
+        dh = np.asarray(res.dt_history)
+        fh = np.asarray(res.fnorm_history)
+        np.testing.assert_allclose(fh[0], 2.6e5, rtol=0.05)
+        oracle = [(1.1e-05, 2.1e+05), (1.5e-05, 1.6e+05),
+                  (2.1e-05, 1.2e+05), (3.2e-05, 8.5e+04),
+                  (4.9e-05, 5.8e+04), (7.9e-05, 3.7e+04),
+                  (1.4e-04, 2.2e+04), (2.6e-04, 1.2e+04),
+                  (5.2e-04, 5.7e+03), (1.2e-03, 2.5e+03),
+                  (2.9e-03, 9.7e+02), (8.4e-03, 3.2e+02),
+                  (2.8e-02, 8.2e+01), (1.2e-01, 1.5e+01),
+                  (7.4e-01, 9.0e+00)]
+        for k, (dt_o, df_o) in enumerate(oracle, start=1):
+            np.testing.assert_allclose(dh[k], dt_o, rtol=0.06)
+            np.testing.assert_allclose(fh[k], df_o, rtol=0.06)
+        assert float(res.t) >= 1e5          # STEPOVER past final time
