@@ -1,0 +1,294 @@
+"""SellMat — Pallas irregular-SpMV format (sliced-ELL, source-slice passes).
+
+The reference's universal SpMV is CSR MatMult_SeqAIJ
+(src/mat/impls/aij/seq/aij.c:1173): one indirect load per nonzero.
+XLA's per-element gather runs at ~1.3e8 elem/s on TPU (the round-2
+"irregular fallback" gap); the TPU's actual fast indirection is the
+VPU dynamic-gather instruction — `take_along_axis(src, idx, axis=1)`
+on a [G, 128] tile measured at ~9e10 elem/s, 700x faster, but it can
+only pick WITHIN each source row.
+
+SellMat restructures SpMV so every indirection is exactly that
+instruction (a SELL-C-sigma descendant with plan-chosen "source
+slices" instead of row-length sorting):
+
+  * rows are tiled in blocks of C = G*128 (g = sublane group,
+    l = lane); each tile owns a contiguous x-window whose span RCM
+    bounds (plan-time `mat/order` — the same locality lever the
+    reference pulls for bandwidth reduction);
+  * a nonzero (row = (g, l), col = X) needs x[X], which lives in
+    window row q + g for the UNIQUE q = row_of(X) - winstart - g;
+    nonzeros are bucketed by q;
+  * a PASS = (one bucket q, at most one slot per row): the kernel
+    dynamic-slices V = win[q : q+G] and one dynamic-gather
+    out[g, l] = V[g, idx[g, l]] fetches G*128 operands — zero waste;
+  * y[g, l] = sum over passes of vals * out — no scatter anywhere.
+
+Storage per pass slot: 4B val + 1B idx (position within a 128-wide
+chunk); pass count P = sum over buckets of the max per-row count
+("slop"; >= the ELL width K, near K for banded/clustered sparsity —
+the plan reports it). Matrices whose window span exceeds the VMEM cap
+or whose slop explodes (adversarially random) should stay on the ELL
+gather path — `sell_viable` checks this.
+
+fp32 only (the performance path); fp64 callers use ELL/Band formats.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SellMat:
+    """vals [nt, P, G, 128] f32; idx [nt, P, G, 128] int8 (position in
+    a 128 chunk); qs [nt, P] int32 (window-slice row per pass);
+    winstart [nt] int32 (window start row into the G-row-padded x);
+    diag [n] f32."""
+
+    vals: jax.Array
+    idx: jax.Array
+    qs: jax.Array
+    winstart: jax.Array
+    diag: jax.Array
+    shape: tuple = field(metadata=dict(static=True))
+    nnz: int = field(metadata=dict(static=True), default=0)
+    G: int = field(metadata=dict(static=True), default=64)
+    S: int = field(metadata=dict(static=True), default=512)  # window rows
+    Lp: int = field(metadata=dict(static=True), default=0)   # padded x rows
+    interpret: bool = field(metadata=dict(static=True), default=False)
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def nt(self):
+        return self.vals.shape[0]
+
+    @property
+    def npass(self):
+        return self.vals.shape[1]
+
+    def mult(self, x: jax.Array) -> jax.Array:
+        n = self.shape[0]
+        xp = jnp.zeros((self.Lp * 128,), self.dtype)
+        xp = jax.lax.dynamic_update_slice(
+            xp, x.reshape(-1).astype(self.dtype), (self.G * 128,))
+        y = _sell_spmv(self.vals, self.idx, self.qs, self.winstart,
+                       xp.reshape(self.Lp, 128), G=self.G, S=self.S,
+                       interpret=self.interpret)
+        return y.reshape(-1)[:n]
+
+    def mult_add(self, x, y):
+        return y + self.mult(x)
+
+    def diagonal(self) -> jax.Array:
+        return self.diag
+
+    def flops_per_mult(self) -> float:
+        return 2.0 * self.nnz - self.shape[0]
+
+
+@functools.partial(jax.jit, static_argnames=("G", "S", "interpret"))
+def _sell_spmv(vals, idx, qs, winstart, xp, *, G, S, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nt, P = vals.shape[:2]
+    # pass-chunking keeps the streamed vals/idx blocks within VMEM;
+    # the grid runs (t, pc) sequentially so the window scratch loaded
+    # at pc == 0 persists across a tile's pass chunks
+    PC = P
+    while PC * G * 128 * 5 * 2 > 6 * 1024 * 1024:   # ~6MB double-buffered
+        PC = -(-PC // 2)
+    npc = -(-P // PC)
+    Ppad = npc * PC
+    if Ppad != P:
+        pad = ((0, 0), (0, Ppad - P), (0, 0), (0, 0))
+        vals = jnp.pad(vals, pad)
+        idx = jnp.pad(idx, pad)
+        qs = jnp.pad(qs, ((0, 0), (0, Ppad - P)))
+
+    def kernel(winstart_ref, qs_ref, vals_ref, idx_ref, x_hbm, o_ref,
+               win, sem):
+        t = pl.program_id(0)
+        pc = pl.program_id(1)
+
+        @pl.when(pc == 0)
+        def _():
+            dma = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(winstart_ref[t], S), :], win, sem)
+            dma.start()
+            dma.wait()
+
+        acc = jnp.zeros((G, 128), jnp.float32)
+        for p in range(PC):
+            V = win[pl.ds(qs_ref[t, pc * PC + p], G), :]
+            picked = jnp.take_along_axis(
+                V, idx_ref[0, p].astype(jnp.int32), axis=1)
+            acc = acc + vals_ref[0, p] * picked
+
+        @pl.when(pc == 0)
+        def _():
+            o_ref[0] = acc
+
+        @pl.when(pc != 0)
+        def _():
+            o_ref[0] = o_ref[0] + acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt, npc),
+        in_specs=[
+            pl.BlockSpec((1, PC, G, 128),
+                         lambda t, pc, ws, q: (t, pc, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PC, G, 128),
+                         lambda t, pc, ws, q: (t, pc, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, G, 128), lambda t, pc, ws, q: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((S, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nt, G, 128), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(winstart, qs, vals, idx, xp)
+
+
+def _plan(A: sp.csr_matrix, G: int):
+    """Host plan: bucket nonzeros by window-slice row, lay out passes."""
+    C = G * 128
+    n = A.shape[0]
+    nt = -(-n // C)
+    coo = A.tocoo()
+    rows = coo.row.astype(np.int64)
+    cols = coo.col.astype(np.int64)
+    data = coo.data
+    t = rows // C
+    g = (rows % C) // 128
+    lane = rows % 128
+
+    # per-tile window start (128-aligned, original x coordinates)
+    wmin = np.full(nt, 2**62, np.int64)
+    if len(cols):
+        np.minimum.at(wmin, t, cols)
+    wmin[wmin == 2**62] = 0
+    wmin = (wmin // 128) * 128
+
+    q = (cols - wmin[t]) // 128 - g            # in [-(G-1), ...]
+    pos = (cols - wmin[t]) % 128
+
+    # order by (tile, bucket q, row) and rank within each row's bucket
+    order = np.lexsort((cols, rows, q, t))
+    ts, qs_, rs = t[order], q[order], rows[order]
+    new_run = np.ones(len(order), bool)
+    new_run[1:] = (ts[1:] != ts[:-1]) | (qs_[1:] != qs_[:-1]) \
+        | (rs[1:] != rs[:-1])
+    run_id = np.cumsum(new_run) - 1
+    first_idx = np.flatnonzero(new_run)
+    rank = np.arange(len(order)) - first_idx[run_id]
+
+    # per (tile, q) bucket: passes = max rank + 1
+    new_bucket = np.ones(len(order), bool)
+    new_bucket[1:] = (ts[1:] != ts[:-1]) | (qs_[1:] != qs_[:-1])
+    b_id = np.cumsum(new_bucket) - 1
+    nb = int(b_id[-1]) + 1 if len(b_id) else 0
+    b_t = ts[new_bucket] if nb else np.zeros(0, np.int64)
+    b_q = qs_[new_bucket] if nb else np.zeros(0, np.int64)
+    b_m = np.zeros(nb, np.int64)
+    if nb:
+        np.maximum.at(b_m, b_id, rank)
+        b_m += 1
+
+    # within-tile pass offsets: buckets are already tile-ordered
+    # (b_t is non-decreasing), so a running cumsum reset per tile works
+    bucket_pass0 = np.zeros(nb, np.int64)
+    P_t = np.zeros(nt, np.int64)
+    if nb:
+        cum = np.cumsum(b_m) - b_m
+        first_of_tile = np.ones(nb, bool)
+        first_of_tile[1:] = b_t[1:] != b_t[:-1]
+        tile_base = np.zeros(nt, np.int64)
+        tile_base[b_t[first_of_tile]] = cum[first_of_tile]
+        bucket_pass0 = cum - tile_base[b_t]
+        np.add.at(P_t, b_t, b_m)
+    P = max(int(P_t.max()) if nt else 1, 1)
+    pass_of = (bucket_pass0[b_id] + rank) if nb else np.zeros(0, np.int64)
+
+    # window rows: reads reach q + g; slices need qs_pass + G <= S
+    qg_max = int((qs_ + g[order]).max()) if len(order) else 0
+    q_max = int(qs_.max()) if len(order) else 0
+    S = max(qg_max + G + 1, q_max + 2 * G, 2 * G)
+
+    avg_row = A.nnz / max(n, 1)
+    slop = P / max(avg_row, 1e-9) if A.nnz else 1.0
+    return dict(C=C, nt=nt, t=ts, g=g[order], lane=lane[order],
+                pos=pos[order], data=data[order], q=qs_, pass_of=pass_of,
+                P=P, wmin=wmin, S=S,
+                K=int(np.diff(A.indptr).max()) if n else 0,
+                slop=float(slop))
+
+
+def sell_plan_stats(A, G: int = 64):
+    """(npass, ell_width, window_rows, slop = npass/avg_row_nnz)."""
+    m = _plan(sp.csr_matrix(A), G)
+    return m["P"], m["K"], m["S"], m["slop"]
+
+
+def sell_viable(A, G: int = 64, max_span_rows: int = 8192,
+                max_slop: float = 8.0) -> bool:
+    A = sp.csr_matrix(A)
+    if A.shape[0] < G * 128:
+        return False
+    P, K, S, slop = sell_plan_stats(A, G)
+    return S <= max_span_rows and slop <= max_slop
+
+
+def sell_from_scipy(A, G: int = 64, interpret: bool = None,
+                    max_span_rows: int = 8192) -> SellMat:
+    """Build a SellMat (fp32). Raises ValueError when the window span
+    exceeds the VMEM cap — callers should RCM-order first and fall
+    back to ELL when not viable."""
+    A = sp.csr_matrix(A).astype(np.float32)
+    A.sum_duplicates()
+    n = A.shape[0]
+    m = _plan(A, G)
+    nt, P, S = m["nt"], m["P"], m["S"]
+    if S > max_span_rows:
+        raise ValueError(f"window span {S} rows exceeds cap "
+                         f"{max_span_rows}; RCM-order or use ELL")
+    vals = np.zeros((nt, P, G, 128), np.float32)
+    idx = np.zeros((nt, P, G, 128), np.int8)
+    qs = np.full((nt, P), 0, np.int64)
+    vals[m["t"], m["pass_of"], m["g"], m["lane"]] = m["data"]
+    idx[m["t"], m["pass_of"], m["g"], m["lane"]] = m["pos"]
+    qs[m["t"], m["pass_of"]] = m["q"]
+    # padded-x coordinates: x sits at row G of the padded buffer, so
+    # buffer row 0 of a window = original row wmin/128 - G maps to
+    # padded row wmin/128; slice rows get the same +G offset
+    qs = (qs + G).astype(np.int32)
+    winstart = (m["wmin"] // 128).astype(np.int32)
+    Lp = int(max(winstart.max() + S if nt else S,
+                 -(-n // 128) + G + 1))
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return SellMat(jnp.asarray(vals), jnp.asarray(idx), jnp.asarray(qs),
+                   jnp.asarray(winstart),
+                   jnp.asarray(A.diagonal().astype(np.float32)),
+                   (n, A.shape[1]), int(A.nnz), G, S, Lp, interpret)

@@ -42,6 +42,59 @@ def bratu_residual(da: DA, lam: float = 6.0):
     return F
 
 
+def bratu_residual_sharded(da: DA, nshards: int, mloc: int = None,
+                           lam: float = 6.0, axis: str = "rows"):
+    """Per-shard Bratu residual for shard_map: the leading grid axis
+    (the reference's DMDA x-partition, ex5.c runs on an arbitrary
+    DMDA decomposition) is sharded over `axis`; each evaluation
+    exchanges one boundary row with each neighbor shard via
+    `lax.ppermute` — the TPU form of the DMGlobalToLocal ghost scatter
+    the reference performs before FormFunctionLocal (dm.c:1620).
+
+    Rows past the true grid (leading-axis padding to nshards*mloc)
+    get identity residual F=u, matching the identity pad rows of the
+    sharded operators. Returns (F_local, padded_grid)."""
+    import jax
+    from jax import lax
+
+    m, n = da.grid
+    if mloc is None:
+        mloc = -(-m // nshards)
+    assert mloc * nshards >= m
+    m_pad = mloc * nshards
+    hx = 1.0 / (m - 1)
+    hy = 1.0 / (n - 1)
+
+    def F(u_loc):
+        U = u_loc.reshape(mloc, n)
+        me = lax.axis_index(axis)
+        gi = me * mloc + jnp.arange(mloc)[:, None]
+        j = jnp.arange(n)[None, :]
+        boundary = (gi == 0) | (gi == m - 1) | (j == 0) | (j == n - 1)
+        pad_row = gi >= m
+        Ub = jnp.where(boundary | pad_row, 0.0, U)   # ex5.c: bnd nbrs ≡ 0
+        if nshards > 1:
+            fwd = [(i, i + 1) for i in range(nshards - 1)]
+            bwd = [(i + 1, i) for i in range(nshards - 1)]
+            above = lax.ppermute(Ub[-1:], axis, fwd)   # prev shard's last
+            below = lax.ppermute(Ub[:1], axis, bwd)    # next shard's first
+        else:
+            above = jnp.zeros_like(Ub[:1])
+            below = jnp.zeros_like(Ub[:1])
+        Ue = jnp.concatenate([above, Ub, below], axis=0)   # [mloc+2, n]
+        uW, uE = Ue[:-2, :], Ue[2:, :]
+        Pj = jnp.pad(Ub, ((0, 0), (1, 1)))
+        uS, uN = Pj[:, :-2], Pj[:, 2:]
+        interior = ((2 * U - uW - uE) * (hy / hx)
+                    + (2 * U - uS - uN) * (hx / hy)
+                    - lam * hx * hy * jnp.exp(U))
+        bscale = 2.0 * (hy / hx + hx / hy)
+        out = jnp.where(boundary, bscale * U, interior)
+        return jnp.where(pad_row, U, out).reshape(-1)
+
+    return F, (m_pad, n)
+
+
 def bratu_jacobian_template(da: DA, dtype=np.float64):
     """Stencil template (pattern donor) for FD-coloring assembly."""
     from petsctpu.mat.stencil import StencilMat

@@ -85,6 +85,98 @@ def cavity_residual(mx: int, my: int, lidvelocity: float = None,
     return F
 
 
+def cavity_residual_sharded(mx: int, my: int, nshards: int,
+                            mloc: int = None, lidvelocity: float = None,
+                            prandtl: float = 1.0, grashof: float = 1.0,
+                            axis: str = "rows"):
+    """Per-shard ex19 residual for shard_map: the j (my) axis is
+    sharded; each evaluation exchanges one full (mx, 4) boundary row
+    with each neighbor shard via `lax.ppermute` — the DMDA ghost
+    scatter of the reference's distributed ex19 run (BASELINE config
+    5). Boundary formulas are applied by global-row masks in the
+    reference's bottom/top/left/right order (later edges own the
+    corners, ex19.c FormFunctionLocal); rows past the true grid get
+    identity residual. Returns (F_local, padded_grid)."""
+    if lidvelocity is None:
+        lidvelocity = 1.0 / (mx * my)
+    if mloc is None:
+        mloc = -(-my // nshards)
+    assert mloc * nshards >= my
+    my_pad = mloc * nshards
+    dhx, dhy = float(mx - 1), float(my - 1)
+    hx, hy = 1.0 / dhx, 1.0 / dhy
+    hxdhy, hydhx = hx * dhy, hy * dhx
+
+    def F(xflat):
+        X = xflat.reshape(mloc, mx, 4)
+        me = lax.axis_index(axis)
+        gj = me * mloc + jnp.arange(mloc)
+        pad_row = (gj >= my)[:, None, None]
+        Xt = jnp.where(pad_row, 0.0, X)
+        if nshards > 1:
+            fwd = [(i, i + 1) for i in range(nshards - 1)]
+            bwd = [(i + 1, i) for i in range(nshards - 1)]
+            above = lax.ppermute(Xt[-1:], axis, fwd)   # my j-1 halo
+            below = lax.ppermute(Xt[:1], axis, bwd)    # my j+1 halo
+        else:
+            above = jnp.zeros_like(Xt[:1])
+            below = jnp.zeros_like(Xt[:1])
+        Xe = jnp.concatenate([above, Xt, below], axis=0)
+        S, N = Xe[:-2], Xe[2:]
+        Pi = jnp.pad(Xt, ((0, 0), (1, 1), (0, 0)))
+        W, E = Pi[:, :-2], Pi[:, 2:]
+        C = X
+        u, v, om, te = C[..., 0], C[..., 1], C[..., 2], C[..., 3]
+
+        vx, vy = u, v
+        avx, avy = jnp.abs(vx), jnp.abs(vy)
+        vxp, vxm = 0.5 * (vx + avx), 0.5 * (vx - avx)
+        vyp, vym = 0.5 * (vy + avy), 0.5 * (vy - avy)
+
+        def lap(c, w, e, s, n):
+            return (2.0 * c - w - e) * hydhx + (2.0 * c - s - n) * hxdhy
+
+        fu = lap(u, W[..., 0], E[..., 0], S[..., 0], N[..., 0]) \
+            - 0.5 * (N[..., 2] - S[..., 2]) * hx
+        fv = lap(v, W[..., 1], E[..., 1], S[..., 1], N[..., 1]) \
+            + 0.5 * (E[..., 2] - W[..., 2]) * hy
+        fo = lap(om, W[..., 2], E[..., 2], S[..., 2], N[..., 2]) \
+            + (vxp * (om - W[..., 2]) + vxm * (E[..., 2] - om)) * hy \
+            + (vyp * (om - S[..., 2]) + vym * (N[..., 2] - om)) * hx \
+            - 0.5 * grashof * (E[..., 3] - W[..., 3]) * hy
+        ft = lap(te, W[..., 3], E[..., 3], S[..., 3], N[..., 3]) \
+            + prandtl * ((vxp * (te - W[..., 3])
+                          + vxm * (E[..., 3] - te)) * hy
+                         + (vyp * (te - S[..., 3])
+                            + vym * (N[..., 3] - te)) * hx)
+        Fg = jnp.stack([fu, fv, fo, ft], axis=-1)
+
+        # boundary overrides, reference order: bottom, top, left, right
+        bottom = (gj == 0)[:, None, None]
+        top = (gj == my - 1)[:, None, None]
+        Fb = jnp.stack([u, v, om + (N[..., 0] - u) * dhy,
+                        te - N[..., 3]], axis=-1)
+        Ft = jnp.stack([u - lidvelocity, v, om + (u - S[..., 0]) * dhy,
+                        te - S[..., 3]], axis=-1)
+        Fg = jnp.where(bottom, Fb, Fg)
+        Fg = jnp.where(top, Ft, Fg)
+
+        Fg = Fg.at[:, 0, 0].set(u[:, 0])
+        Fg = Fg.at[:, 0, 1].set(v[:, 0])
+        Fg = Fg.at[:, 0, 2].set(om[:, 0] - (v[:, 1] - v[:, 0]) * dhx)
+        Fg = Fg.at[:, 0, 3].set(te[:, 0])
+
+        Fg = Fg.at[:, -1, 0].set(u[:, -1])
+        Fg = Fg.at[:, -1, 1].set(v[:, -1])
+        Fg = Fg.at[:, -1, 2].set(om[:, -1] - (v[:, -1] - v[:, -2]) * dhx)
+        Fg = Fg.at[:, -1, 3].set(te[:, -1] - float(grashof > 0))
+
+        Fg = jnp.where(pad_row, X, Fg)
+        return Fg.reshape(-1)
+
+    return F, (my_pad, mx, 4)
+
+
 def cavity_initial_guess(mx: int, my: int, grashof: float = 1.0,
                          dtype=np.float64):
     """ex19.c FormInitialGuess: zero flow, linear temperature ramp."""

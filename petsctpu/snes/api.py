@@ -172,7 +172,10 @@ def snes_solve(F: Callable, x0: jax.Array, jac: Union[str, ColoredJacobian,
             return jvp_operator(F, x, Fx)
         if jac == "fd":
             return mffd_operator(F, x, Fx)
-        if isinstance(jac, ColoredJacobian):
+        if isinstance(jac, ColoredJacobian) or hasattr(jac, "assemble"):
+            # colored-FD plans (serial ColoredJacobian or the sharded
+            # parallel.psnes.ShardedFDJac) assemble against whatever F
+            # this solve iterates on — e.g. the TS theta stage residual
             return jac.assemble(F, x, Fx)
         return jac(x, Fx)
 
