@@ -154,7 +154,7 @@ def _sell_spmv(vals, idx, qs, winstart, xp, *, G, S, interpret):
             pl.BlockSpec((1, PC, G, 128),
                          lambda t, pc, ws, q: (t, pc, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, G, 128), lambda t, pc, ws, q: (t, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -117,11 +117,15 @@ class SpGEMMPlan:
                    jnp.asarray(b_idx, jnp.int32), jnp.asarray(ell_pos, jnp.int32),
                    tmpl, int(C.nnz))
 
-    def numeric(self, a_data: jax.Array, b_data: jax.Array) -> AIJ:
+    def numeric_data(self, a_data: jax.Array, b_data: jax.Array):
+        """C's sorted-CSR data array (for chaining into further plans)."""
         cdata = jnp.zeros((self.c_nnz,), a_data.dtype)
-        cdata = cdata.at[self.c_idx].add(a_data[self.a_idx]
-                                         * b_data[self.b_idx])
-        return _fill_template(self.template, self.ell_pos, cdata)
+        return cdata.at[self.c_idx].add(a_data[self.a_idx]
+                                        * b_data[self.b_idx])
+
+    def numeric(self, a_data: jax.Array, b_data: jax.Array) -> AIJ:
+        return _fill_template(self.template, self.ell_pos,
+                              self.numeric_data(a_data, b_data))
 
 
 @jax.tree_util.register_dataclass

@@ -1,9 +1,13 @@
 """SellMat on the real chip: correctness + throughput on the RCM'd
 3-D 27-point Laplacian (the BandMat-infeasible irregular case)."""
+import os
+import sys
 import time
 import numpy as np
 import scipy.sparse as sp
-from probe_gather import lap3d, timed
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from probe_gather import lap3d, timed  # noqa: E402
 
 
 def main():

@@ -1,0 +1,87 @@
+"""SellMat — Pallas irregular SpMV (source-slice passes).
+
+Runs in Pallas interpret mode on CPU (the kernel itself is exercised
+compiled on TPU by bench.py / scripts/probe_sell_tpu.py). Reference
+kernel being replaced: MatMult_SeqAIJ (aij.c:1173)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from petsctpu.mat.sell import (sell_from_scipy, sell_plan_stats,
+                               sell_viable)
+
+
+def banded_random(n, bw, k, seed=0, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    rows = np.tile(np.arange(n), k)
+    cols = np.clip(rows + rng.integers(-bw, bw, k * n), 0, n - 1)
+    A = sp.coo_matrix((rng.standard_normal(k * n).astype(dtype),
+                       (rows, cols)), shape=(n, n)).tocsr()
+    A.sum_duplicates()
+    return A
+
+
+class TestSellMat:
+    @pytest.mark.parametrize("n,bw,k,G", [
+        (2 * 8 * 128 + 300, 700, 12, 8),     # non-multiple n
+        (4 * 4 * 128, 60, 5, 4),             # narrow band
+        (3 * 8 * 128, 2500, 9, 8),           # wide band
+    ])
+    def test_mult_matches_scipy(self, n, bw, k, G):
+        A = banded_random(n, bw, k)
+        M = sell_from_scipy(A, G=G)
+        x = np.random.default_rng(1).standard_normal(n).astype(np.float32)
+        y = np.asarray(M.mult(jnp.asarray(x)))
+        yref = A @ x
+        err = np.abs(y - yref).max() / np.abs(yref).max()
+        assert err < 1e-5, err
+        np.testing.assert_allclose(np.asarray(M.diagonal()), A.diagonal())
+
+    def test_stencil_matrix_low_slop(self):
+        """Structured 5-point stencil: bucket structure is tight, so
+        the pass count stays near the ELL width."""
+        from petsctpu.models import laplacian_2d
+        m = 64
+        A = laplacian_2d(m, m, dtype=np.float32).tocsr()
+        P, K, S, slop = sell_plan_stats(A, G=4)
+        assert K == 5
+        assert slop < 3.0, (P, K, slop)
+        M = sell_from_scipy(A, G=4)
+        x = np.random.default_rng(2).standard_normal(m * m) \
+            .astype(np.float32)
+        y = np.asarray(M.mult(jnp.asarray(x)))
+        np.testing.assert_allclose(y, A @ x, rtol=1e-5, atol=1e-5)
+
+    def test_viability_guard(self):
+        # tiny matrix: not worth a tile
+        A = banded_random(200, 10, 3)
+        assert not sell_viable(A, G=8)
+        # adversarially random: window spans everything
+        n = 2 * 8 * 128
+        rng = np.random.default_rng(3)
+        A = sp.random(n, n, density=0.005, random_state=3,
+                      format="csr", dtype=np.float32)
+        A = A + sp.eye(n, dtype=np.float32)
+        with pytest.raises(ValueError):
+            sell_from_scipy(A.tocsr(), G=8, max_span_rows=4)
+
+    def test_ksp_solve_through_sell(self):
+        """A SellMat drives a CG solve end-to-end (format has mult/
+        diagonal — enough for cg+jacobi)."""
+        from petsctpu.ksp import ksp_solve
+        from petsctpu.pc.simple import JacobiPC
+        n = 8 * 128
+        A = banded_random(n, 50, 4, seed=5)
+        A = (A + A.T).tocsr()
+        A = (A @ A.T + sp.eye(n) * (abs(A).sum(axis=1).max() * 2)).tocsr()
+        A = A.astype(np.float32)
+        M = sell_from_scipy(A, G=8)
+        b = np.random.default_rng(6).standard_normal(n).astype(np.float32)
+        pc = JacobiPC(1.0 / np.asarray(M.diagonal()))
+        r = ksp_solve(M, jnp.asarray(b), pc=pc, ksp_type="cg",
+                      rtol=1e-5, maxits=500)
+        assert int(r.reason) > 0
+        x = np.asarray(r.x)
+        assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-4
