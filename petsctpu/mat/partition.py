@@ -3,8 +3,13 @@
 Reference: src/mat/partition (MatPartitioning interface partition.c
 with ParMetis/Chaco/Party/Scotch wrappers; MPIAdj adjacency input
 src/mat/impls/adj). External partitioners aren't available here, so
-two native plan-time methods are provided:
+three native plan-time methods are provided:
 
+  * "kway"   — multilevel k-way (the ParMetis analog, pmetis.c):
+               heavy-edge-matching coarsening, greedy-growing initial
+               partition, FM boundary refinement per level. Native
+               C++ (native/petsctpu_native.cpp kway_partition) with a
+               Python fallback of the same algorithm.
   * "rcm"    — RCM-band recursive bisection: order the graph by
                reverse Cuthill-McKee (low-bandwidth path through the
                graph), cut into contiguous chunks. Cheap, and for
@@ -13,7 +18,7 @@ two native plan-time methods are provided:
   * "rcb"    — recursive coordinate bisection when vertex coordinates
                are supplied (the geometric partitioner family).
 
-Both return a part[] array (one part id per vertex) like
+All return a part[] array (one part id per vertex) like
 MatPartitioningApply returns its IS.
 """
 
@@ -62,6 +67,52 @@ def partition_rcb(coords: np.ndarray, nparts: int) -> np.ndarray:
     return part
 
 
+def partition_kway(adj, nparts: int, seed: int = 1) -> np.ndarray:
+    """Multilevel k-way partition. Prefers the native C++ kernel;
+    falls back to a same-scheme Python implementation (HEM coarsen to
+    a small graph, scipy-ordered greedy grow, boundary refinement)."""
+    A = sp.csr_matrix(adj)
+    P = (A != 0).astype(np.int64)             # symmetrized PATTERN —
+    A = ((P + P.T) != 0).astype(np.int64)     # entry signs are values,
+    A.setdiag(0)                              # not graph structure
+    A.eliminate_zeros()
+    from petsctpu import native
+    r = native.kway_partition(A.indptr, A.indices, nparts, seed=seed)
+    if r is not None:
+        return r[0]
+    return _kway_python(A, nparts, seed)
+
+
+def _kway_python(A: sp.csr_matrix, nparts: int, seed: int) -> np.ndarray:
+    """Fallback: one-level greedy grow over the RCM order + boundary
+    refinement (no C++ toolchain available)."""
+    n = A.shape[0]
+    part = partition_rcm(A, nparts)
+    indptr, indices = A.indptr, A.indices
+    pw = np.bincount(part, minlength=nparts).astype(np.int64)
+    maxw = int(1.03 * n / nparts) + 1
+    for _ in range(8):
+        moved = 0
+        for v in range(n):
+            nbrs = indices[indptr[v]:indptr[v + 1]]
+            pv = part[v]
+            pn = part[nbrs]
+            if not (pn != pv).any():
+                continue
+            cnt = np.bincount(pn, minlength=nparts)
+            cand = np.flatnonzero(cnt > cnt[pv])
+            cand = cand[pw[cand] + 1 <= maxw]
+            if len(cand) and pw[pv] > 1:
+                best = cand[np.argmax(cnt[cand])]
+                part[v] = best
+                pw[pv] -= 1
+                pw[best] += 1
+                moved += 1
+        if not moved:
+            break
+    return part
+
+
 def edge_cut(adj, part: np.ndarray) -> int:
     A = sp.coo_matrix(sp.csr_matrix(adj))
     mask = (A.row < A.col) & (part[A.row] != part[A.col])
@@ -75,7 +126,7 @@ class MatPartitioning:
     adjacency: Optional[object] = None       # scipy graph (MPIAdj analog)
     coordinates: Optional[np.ndarray] = None
     nparts: int = 2
-    ptype: str = "rcm"                       # rcm | rcb
+    ptype: str = "rcm"                       # kway | rcm | rcb
 
     def set_adjacency(self, adj):
         self.adjacency = adj
@@ -100,6 +151,8 @@ class MatPartitioning:
             return partition_rcb(self.coordinates, self.nparts)
         if self.adjacency is None:
             raise ValueError("partitioning needs an adjacency graph")
+        if self.ptype == "kway":
+            return partition_kway(self.adjacency, self.nparts)
         return partition_rcm(self.adjacency, self.nparts)
 
     def counts(self, part: np.ndarray) -> np.ndarray:

@@ -202,6 +202,53 @@ def icck_pattern(indptr, indices, levels: int):
     return _take_pattern(lib, nnz, ip_p, cols_p, n)
 
 
+def _have_round3() -> bool:
+    lib = _load()
+    if not lib:
+        return False
+    if not getattr(lib, "_round3_ok", False):
+        try:
+            i64 = ctypes.c_int64
+            p64 = np.ctypeslib.ndpointer(np.int64, flags="C")
+            p32 = np.ctypeslib.ndpointer(np.int32, flags="C")
+            lib.kway_partition.restype = i64
+            lib.kway_partition.argtypes = [i64, p64, p32, ctypes.c_void_p,
+                                           i64, ctypes.c_uint64, p32]
+            lib._round3_ok = True
+        except AttributeError:
+            # stale .so: rebuild once
+            try:
+                os.remove(_SO)
+            except OSError:
+                pass
+            global _lib
+            _lib = None
+            return _have_round3() if _load() else False
+    return True
+
+
+def kway_partition(indptr, indices, nparts: int, ewts=None, seed: int = 1):
+    """Multilevel k-way partition (HEM coarsen + greedy grow + FM
+    refine — the ParMetis-analog, pmetis.c). Returns (part, edgecut)
+    or None when the native library is unavailable."""
+    if not _have_round3():
+        return None
+    lib = _load()
+    n = len(indptr) - 1
+    part = np.zeros(n, np.int32)
+    if ewts is not None:
+        ewts = np.ascontiguousarray(ewts, np.int64)
+        ewts_p = ewts.ctypes.data_as(ctypes.c_void_p)
+    else:
+        ewts_p = None
+    cut = lib.kway_partition(n, np.ascontiguousarray(indptr, np.int64),
+                             np.ascontiguousarray(indices, np.int32),
+                             ewts_p, nparts, seed, part)
+    if cut < 0:
+        raise ValueError("kway_partition failed")
+    return part, int(cut)
+
+
 _SHIFT_CODES = {"none": 0, "nonzero": 1, "inblocks": 2,
                 "positive_definite": 3}
 

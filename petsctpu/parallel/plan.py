@@ -48,6 +48,7 @@ class PartitionedCSR:
     off_blocks: list        # scipy CSR [nloc, ngh_s] per shard (ghost cols)
     garrays: list           # global col index per ghost slot, per shard
     halo: HaloPlan
+    perm: object = None     # row/col permutation applied pre-split (or None)
 
 
 def partition_csr(A, nshards: int) -> PartitionedCSR:

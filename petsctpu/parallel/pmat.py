@@ -133,13 +133,21 @@ def sharded_aij_from_scipy(A, nshards: int, dtype=None,
     perm: optional row/column permutation applied BEFORE the contiguous
     row split — the MatPartitioning→distribution hook (SURVEY P12):
     pass np.argsort(partition_rcm(A, nshards), kind="stable") so each
-    contiguous shard holds one graph partition (small halo). Vectors
-    must be permuted consistently (x_perm = x[perm])."""
+    contiguous shard holds one graph partition (small halo), or a
+    partitioner NAME ("kway" — the multilevel ParMetis analog — or
+    "rcm") to compute it here. Vectors must be permuted consistently
+    (x_perm = x[perm]); pass the used perm back via the second return's
+    .perm attribute when a name was given."""
     import scipy.sparse as sp
+    if isinstance(perm, str):
+        from petsctpu.mat.partition import (partition_kway, partition_rcm)
+        pfun = {"kway": partition_kway, "rcm": partition_rcm}[perm]
+        perm = np.argsort(pfun(sp.csr_matrix(A), nshards), kind="stable")
     if perm is not None:
         perm = np.asarray(perm)
         A = sp.csr_matrix(A)[perm][:, perm]
     part = partition_csr(A, nshards)
+    part.perm = perm
     lay = part.layout
     P, s = nshards, lay.shard_size
     dtype = dtype or np.asarray(A.data[:1]).dtype
