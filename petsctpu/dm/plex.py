@@ -212,6 +212,149 @@ class Plex3D:
         return cls(np.asarray(cells, np.int32), coords)
 
 
+@dataclass(frozen=True)
+class PlexQuad:
+    """2-D quadrilateral Plex: cells [nc, 4] CCW vertex ids; coords
+    [nv, 2]. DMPlex handles arbitrary cell shapes (plex.c is
+    polytopal); this is the tensor-cell instantiation with Q1."""
+
+    cells: np.ndarray
+    coords: np.ndarray
+
+    @property
+    def num_cells(self) -> int:
+        return self.cells.shape[0]
+
+    @property
+    def num_vertices(self) -> int:
+        return self.coords.shape[0]
+
+    def cone(self, c: int) -> np.ndarray:
+        return self.cells[c]
+
+    def support(self, v: int) -> np.ndarray:
+        return np.where((self.cells == v).any(axis=1))[0]
+
+    _EDGE_PAIRS = ((0, 1), (1, 2), (2, 3), (3, 0))
+
+    def edges(self) -> np.ndarray:
+        e = np.concatenate([self.cells[:, list(p)]
+                            for p in self._EDGE_PAIRS])
+        return np.unique(np.sort(e, axis=1), axis=0)
+
+    def boundary_vertices(self) -> np.ndarray:
+        e = np.concatenate([self.cells[:, list(p)]
+                            for p in self._EDGE_PAIRS])
+        uniq, counts = np.unique(np.sort(e, axis=1), axis=0,
+                                 return_counts=True)
+        return np.unique(uniq[counts == 1].reshape(-1))
+
+    def refine(self) -> "PlexQuad":
+        """1:4 refinement: edge midpoints + a center point per quad."""
+        edges = self.edges()
+        nv = self.num_vertices
+        emap = {tuple(e): nv + i for i, e in enumerate(edges)}
+        nc = self.num_cells
+        centers = self.coords[self.cells].mean(axis=1)
+        coords = np.concatenate([
+            self.coords,
+            0.5 * (self.coords[edges[:, 0]] + self.coords[edges[:, 1]]),
+            centers])
+        c0 = nv + edges.shape[0]
+
+        def m(a, b):
+            return emap[tuple(sorted((int(a), int(b))))]
+
+        out = []
+        for ci, (a, b, c, d) in enumerate(self.cells):
+            ab, bc, cd, da = m(a, b), m(b, c), m(c, d), m(d, a)
+            ce = c0 + ci
+            out += [[a, ab, ce, da], [ab, b, bc, ce],
+                    [ce, bc, c, cd], [da, ce, cd, d]]
+        return PlexQuad(np.asarray(out, self.cells.dtype), coords)
+
+    @classmethod
+    def create_box_mesh(cls, nx: int, ny: int) -> "PlexQuad":
+        xs = np.linspace(0.0, 1.0, nx + 1)
+        ys = np.linspace(0.0, 1.0, ny + 1)
+        X, Y = np.meshgrid(xs, ys, indexing="ij")
+        coords = np.stack([X.ravel(), Y.ravel()], axis=1)
+
+        def vid(i, j):
+            return i * (ny + 1) + j
+
+        cells = [[vid(i, j), vid(i + 1, j), vid(i + 1, j + 1),
+                  vid(i, j + 1)]
+                 for i in range(nx) for j in range(ny)]
+        return cls(np.asarray(cells, np.int32), coords)
+
+
+@dataclass(frozen=True)
+class PlexHex:
+    """3-D hexahedral Plex: cells [nc, 8] vertex ids in VTK order
+    (bottom quad CCW then top quad CCW); coords [nv, 3]."""
+
+    cells: np.ndarray
+    coords: np.ndarray
+
+    @property
+    def num_cells(self) -> int:
+        return self.cells.shape[0]
+
+    @property
+    def num_vertices(self) -> int:
+        return self.coords.shape[0]
+
+    def cone(self, c: int) -> np.ndarray:
+        return self.cells[c]
+
+    def support(self, v: int) -> np.ndarray:
+        return np.where((self.cells == v).any(axis=1))[0]
+
+    _EDGE_PAIRS = ((0, 1), (1, 2), (2, 3), (3, 0),
+                   (4, 5), (5, 6), (6, 7), (7, 4),
+                   (0, 4), (1, 5), (2, 6), (3, 7))
+    _FACE_QUADS = ((0, 1, 2, 3), (4, 5, 6, 7), (0, 1, 5, 4),
+                   (1, 2, 6, 5), (2, 3, 7, 6), (3, 0, 4, 7))
+
+    def edges(self) -> np.ndarray:
+        e = np.concatenate([self.cells[:, list(p)]
+                            for p in self._EDGE_PAIRS])
+        return np.unique(np.sort(e, axis=1), axis=0)
+
+    def faces(self) -> np.ndarray:
+        f = np.concatenate([self.cells[:, list(q)]
+                            for q in self._FACE_QUADS])
+        return np.unique(np.sort(f, axis=1), axis=0)
+
+    def boundary_vertices(self) -> np.ndarray:
+        f = np.concatenate([self.cells[:, list(q)]
+                            for q in self._FACE_QUADS])
+        uniq, counts = np.unique(np.sort(f, axis=1), axis=0,
+                                 return_counts=True)
+        return np.unique(uniq[counts == 1].reshape(-1))
+
+    @classmethod
+    def create_box_mesh(cls, nx: int, ny: int, nz: int) -> "PlexHex":
+        xs = [np.linspace(0.0, 1.0, k + 1) for k in (nx, ny, nz)]
+        X, Y, Z = np.meshgrid(*xs, indexing="ij")
+        coords = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+
+        def vid(i, j, k):
+            return (i * (ny + 1) + j) * (nz + 1) + k
+
+        cells = []
+        for i in range(nx):
+            for j in range(ny):
+                for k in range(nz):
+                    cells.append([
+                        vid(i, j, k), vid(i + 1, j, k),
+                        vid(i + 1, j + 1, k), vid(i, j + 1, k),
+                        vid(i, j, k + 1), vid(i + 1, j, k + 1),
+                        vid(i + 1, j + 1, k + 1), vid(i, j + 1, k + 1)])
+        return cls(np.asarray(cells, np.int32), coords)
+
+
 # ---------------------------------------------------------------------------
 # P1 FEM on a Plex — batched element kernels + segment-sum assembly
 # ---------------------------------------------------------------------------
@@ -242,6 +385,100 @@ def p1_element_stiffness_3d(coords_cell: jax.Array) -> jax.Array:
     return vol * (g @ g.T)
 
 
+# Q1 tensor-product elements (2x2 / 2x2x2 Gauss). Corner signs follow
+# the cell vertex order (CCW quad; VTK hex).
+_Q1_SIGNS_2D = np.array([[-1, -1], [1, -1], [1, 1], [-1, 1]], np.float64)
+_Q1_SIGNS_3D = np.array([[-1, -1, -1], [1, -1, -1], [1, 1, -1],
+                         [-1, 1, -1], [-1, -1, 1], [1, -1, 1],
+                         [1, 1, 1], [-1, 1, 1]], np.float64)
+
+
+def _q1_gauss(dim: int):
+    g = 1.0 / np.sqrt(3.0)
+    if dim == 2:
+        pts = np.array([(sx * g, sy * g)
+                        for sx in (-1, 1) for sy in (-1, 1)])
+    else:
+        pts = np.array([(sx * g, sy * g, sz * g)
+                        for sx in (-1, 1) for sy in (-1, 1)
+                        for sz in (-1, 1)])
+    return pts, np.ones(len(pts))
+
+
+def _q1_grad_ref(signs: np.ndarray, xi: np.ndarray) -> np.ndarray:
+    """[npc, dim] reference gradients of the Q1 basis at point xi."""
+    npc, dim = signs.shape
+    G = np.empty((npc, dim))
+    for i in range(npc):
+        for d in range(dim):
+            v = signs[i, d]
+            for e in range(dim):
+                if e != d:
+                    v = v * (1.0 + signs[i, e] * xi[e])
+            G[i, d] = v / (2.0 ** dim)
+    return G
+
+
+def q1_element_stiffness(coords_cell: jax.Array) -> jax.Array:
+    """4x4 Q1 stiffness for one quad from its CCW coords [4,2]."""
+    return _q1_stiffness(coords_cell, _Q1_SIGNS_2D)
+
+
+def q1_element_stiffness_3d(coords_cell: jax.Array) -> jax.Array:
+    """8x8 Q1 stiffness for one hex from its VTK-order coords [8,3]."""
+    return _q1_stiffness(coords_cell, _Q1_SIGNS_3D)
+
+
+def _q1_stiffness(coords_cell: jax.Array, signs: np.ndarray) -> jax.Array:
+    dim = signs.shape[1]
+    pts, wts = _q1_gauss(dim)
+    K = jnp.zeros((signs.shape[0], signs.shape[0]), coords_cell.dtype)
+    for q, w in zip(pts, wts):
+        Gref = jnp.asarray(_q1_grad_ref(signs, q), coords_cell.dtype)
+        J = coords_cell.T @ Gref                       # [dim, dim]
+        detJ = jnp.linalg.det(J)
+        g = Gref @ jnp.linalg.inv(J)                   # physical grads
+        K = K + w * jnp.abs(detJ) * (g @ g.T)
+    return K
+
+
+def _q1_measures(coords: np.ndarray, cells: np.ndarray) -> np.ndarray:
+    """Per-cell area/volume by the same Gauss rule."""
+    dim = coords.shape[1]
+    signs = _Q1_SIGNS_2D if dim == 2 else _Q1_SIGNS_3D
+    pts, wts = _q1_gauss(dim)
+    out = np.zeros(cells.shape[0])
+    xc = coords[cells]                                 # [nc, npc, dim]
+    for q, w in zip(pts, wts):
+        Gref = _q1_grad_ref(signs, q)                  # [npc, dim]
+        J = np.einsum("cpd,pe->cde", xc, Gref)
+        out += w * np.abs(np.linalg.det(J))
+    return out
+
+
+def element_kernel_for(plex):
+    """The vmappable stiffness kernel for this Plex's cell type."""
+    npc = plex.cells.shape[1]
+    dim = plex.coords.shape[1]
+    if (npc, dim) == (3, 2):
+        return p1_element_stiffness
+    if (npc, dim) == (4, 3):
+        return p1_element_stiffness_3d
+    if (npc, dim) == (4, 2):
+        return q1_element_stiffness
+    if (npc, dim) == (8, 3):
+        return q1_element_stiffness_3d
+    raise ValueError(f"no element for npc={npc}, dim={dim}")
+
+
+def cell_measures(plex) -> np.ndarray:
+    npc = plex.cells.shape[1]
+    dim = plex.coords.shape[1]
+    if (npc, dim) in ((3, 2), (4, 3)):
+        return _simplex_measures(plex.coords, plex.cells)
+    return _q1_measures(plex.coords, plex.cells)
+
+
 def _simplex_measures(coords: np.ndarray, cells: np.ndarray) -> np.ndarray:
     """Per-cell area (tri) / volume (tet)."""
     p0 = coords[cells[:, 0]]
@@ -253,48 +490,67 @@ def _simplex_measures(coords: np.ndarray, cells: np.ndarray) -> np.ndarray:
     return np.abs(np.linalg.det(E)) / 6.0
 
 
-def p1_assemble_poisson(plex, f: Callable = None, dtype=np.float64):
+def fem_assemble_poisson(plex, f: Callable = None, dtype=np.float64,
+                         section=None):
     """Assemble A, b for −Δu = f with homogeneous Dirichlet boundary,
-    on a 2-D (triangle) or 3-D (tet) Plex.
+    on any Plex cell type (tri/quad P1/Q1 in 2-D, tet/hex in 3-D).
 
     Returns (A_device AIJ, A_host scipy CSR, b_device). The element
-    loop is vmapped (all cells at once); assembly is host-side COO→CSR
-    for the frozen sparsity plus identity boundary rows (the ex12-style
-    path)."""
+    loop is vmapped (all cells at once); the dof scatter goes through
+    a Section (closure_indices — the vectorized DMPlexMatSetClosure,
+    plex.c); assembly is host-side COO→CSR for the frozen sparsity
+    plus identity boundary rows (the ex12-style path)."""
+    from petsctpu.dm.section import vertex_section
     from petsctpu.mat.ell import aij_from_scipy
 
     npc = plex.cells.shape[1]                          # nodes per cell
     cells = jnp.asarray(plex.cells)
     coords = jnp.asarray(plex.coords, dtype)
-    ker = p1_element_stiffness if npc == 3 else p1_element_stiffness_3d
+    ker = element_kernel_for(plex)
     Ke_np = np.asarray(jax.vmap(lambda c: ker(coords[c]))(cells))
 
     nc = plex.num_cells
     nv = plex.num_vertices
-    rows = np.repeat(plex.cells, npc, axis=1).reshape(-1)    # i index
-    cols = np.tile(plex.cells, (1, npc)).reshape(-1)         # j index
+    bnd = plex.boundary_vertices()
+    if section is None:
+        section = vertex_section(nv, dof=1, constrained=bnd)
+    ndof = section.total_dofs
+    ci = section.closure_indices(plex.cells)           # [nc, npc]
+    rows = np.repeat(ci, npc, axis=1).reshape(-1)      # i index
+    cols = np.tile(ci, (1, npc)).reshape(-1)           # j index
     vals = Ke_np.reshape(-1)
-    A = sp.coo_matrix((vals, (rows, cols)), shape=(nv, nv)).tocsr()
+    # STRUCTURAL pattern (closure pairs), then accumulate — a plain
+    # COO->CSR would silently prune entries whose element sums cancel
+    # to exactly 0 (e.g. the diagonal edge of right-angle triangles),
+    # breaking frozen-pattern plans downstream
+    keys = rows.astype(np.int64) * ndof + cols
+    ukeys, slot = np.unique(keys, return_inverse=True)
+    data = np.zeros(len(ukeys), dtype)
+    np.add.at(data, slot, vals)
+    indptr = np.searchsorted(ukeys // ndof, np.arange(ndof + 1))
+    A = sp.csr_matrix((data, (ukeys % ndof).astype(np.int32),
+                       indptr), shape=(ndof, ndof))
 
     # load vector: one-point rule (measure/npc per vertex)
     p = plex.coords
     centroids = p[plex.cells].mean(axis=1)
-    measures = _simplex_measures(p, plex.cells)
+    measures = cell_measures(plex)
     fc = (np.ones(nc) if f is None
           else np.asarray([f(c) for c in centroids], float))
-    b = np.zeros(nv)
-    np.add.at(b, plex.cells.reshape(-1),
-              np.repeat(measures * fc / npc, npc))
+    b = np.zeros(ndof)
+    np.add.at(b, ci.reshape(-1), np.repeat(measures * fc / npc, npc))
 
-    # Dirichlet boundary: identity rows/cols, zero rhs
-    bnd = plex.boundary_vertices()
-    mask = np.zeros(nv, bool)
-    mask[bnd] = True
-    A = A.tolil()
-    A[bnd, :] = 0.0
-    A[:, bnd] = 0.0
-    for v in bnd:
-        A[v, v] = 1.0
-    A = sp.csr_matrix(A)
-    b[bnd] = 0.0
+    # Dirichlet boundary (the Section's constrained dofs): zero
+    # rows/cols IN the pattern (MatZeroRows keeps the pattern), unit
+    # diagonal, zero rhs
+    con = section.constrained
+    rr = np.repeat(np.arange(ndof), np.diff(A.indptr))
+    A.data[con[rr] | con[A.indices]] = 0.0
+    A.data[(A.indices == rr) & con[rr]] = 1.0
+    b[con] = 0.0
     return aij_from_scipy(A, dtype=dtype), A, jnp.asarray(b, dtype)
+
+
+def p1_assemble_poisson(plex, f: Callable = None, dtype=np.float64):
+    """Back-compat alias (rounds 1-2 name)."""
+    return fem_assemble_poisson(plex, f=f, dtype=dtype)

@@ -71,14 +71,16 @@ def partition_csr(A, nshards: int) -> PartitionedCSR:
         mask_d = (rows.indices >= c0) & (rows.indices < c1)
         coo = rows.tocoo()
         md = (coo.col >= c0) & (coo.col < c1)
-        D = sp.coo_matrix((coo.data[md], (coo.row[md], coo.col[md] - c0)),
-                          shape=(s, s)).tocsr()
-        # pad rows get identity so local factorizations stay nonsingular
+        dd, dr, dc = coo.data[md], coo.row[md], coo.col[md] - c0
+        # pad rows get identity so local factorizations stay
+        # nonsingular (concatenated into the COO — csr ADDITION would
+        # prune the pattern's explicit zeros)
         if nreal < s:
             pad_rows = np.arange(nreal, s)
-            D = (D + sp.coo_matrix((np.ones(len(pad_rows)),
-                                    (pad_rows, pad_rows)),
-                                   shape=(s, s))).tocsr()
+            dd = np.concatenate([dd, np.ones(len(pad_rows), dd.dtype)])
+            dr = np.concatenate([dr, pad_rows])
+            dc = np.concatenate([dc, pad_rows])
+        D = sp.coo_matrix((dd, (dr, dc)), shape=(s, s)).tocsr()
         # off-diagonal: remote columns compressed via garray
         mo = ~md
         gcols = coo.col[mo]

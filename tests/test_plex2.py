@@ -1,0 +1,243 @@
+"""DMPlex round 2: Section layouts, Q1 quad/hex elements, and the
+distributed Plex (partitioned cells + static-routed device assembly).
+
+Reference: PetscSection DOF layouts + DMPlexMatSetClosure
+(src/dm/impls/plex/plex.c), DMPlexDistribute + MatStash off-process
+assembly (src/mat/utils/matstash.c).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from petsctpu.dm.plex import (Plex, Plex3D, PlexHex, PlexQuad,
+                              fem_assemble_poisson)
+from petsctpu.dm.section import Section, vertex_section
+
+
+class TestSection:
+    def test_offsets_and_dofs(self):
+        s = Section(5).set_dof([0, 1, 2, 3, 4], 2)
+        s.set_dof([2], 3).setup()
+        assert s.total_dofs == 11
+        assert s.offset(3) == 7
+        np.testing.assert_array_equal(s.point_dofs([0, 1]), [0, 1, 2, 3])
+
+    def test_fields(self):
+        s = Section(4)
+        s.set_field("u", np.arange(4), 2)
+        s.set_field("p", np.arange(4), 1)
+        s.setup()
+        assert s.total_dofs == 12
+        assert s.field_offset_within("p", 0) == 2
+
+    def test_constrained(self):
+        s = vertex_section(6, dof=2, constrained=np.array([0, 5]))
+        assert s.constrained[[0, 1, 10, 11]].all()
+        assert not s.constrained[2:10].any()
+
+    def test_closure_indices(self):
+        s = vertex_section(6, dof=2)
+        cells = np.array([[0, 2, 4], [1, 3, 5]])
+        ci = s.closure_indices(cells)
+        np.testing.assert_array_equal(ci[0], [0, 1, 4, 5, 8, 9])
+
+
+class TestQ1Elements:
+    def test_quad_patch_consistency(self):
+        """Q1 stiffness rows sum to zero (constants in the kernel)."""
+        import jax.numpy as jnp
+        from petsctpu.dm.plex import q1_element_stiffness
+        rng = np.random.default_rng(0)
+        # a mildly distorted quad, CCW
+        q = np.array([[0.0, 0.0], [1.1, 0.1], [1.0, 1.2], [-0.1, 0.9]])
+        K = np.asarray(q1_element_stiffness(jnp.asarray(q)))
+        np.testing.assert_allclose(K.sum(axis=1), 0, atol=1e-12)
+        np.testing.assert_allclose(K, K.T, atol=1e-12)
+        assert np.linalg.eigvalsh(K)[1] > 0       # PSD rank 3
+
+    def test_hex_patch_consistency(self):
+        import jax.numpy as jnp
+        from petsctpu.dm.plex import q1_element_stiffness_3d
+        h = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                      [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]],
+                     float)
+        K = np.asarray(q1_element_stiffness_3d(jnp.asarray(h)))
+        np.testing.assert_allclose(K.sum(axis=1), 0, atol=1e-12)
+        np.testing.assert_allclose(K, K.T, atol=1e-12)
+
+    def test_quad_poisson_convergence(self):
+        from petsctpu.ksp import ksp_solve
+
+        def f(c):
+            return 2 * np.pi ** 2 * np.sin(np.pi * c[0]) \
+                * np.sin(np.pi * c[1])
+
+        errs = []
+        for nx in (8, 16):
+            pl = PlexQuad.create_box_mesh(nx, nx)
+            Ad, Ah, b = fem_assemble_poisson(pl, f=f)
+            r = ksp_solve(Ad, b, ksp_type="cg", rtol=1e-12, maxits=2000)
+            u = np.sin(np.pi * pl.coords[:, 0]) \
+                * np.sin(np.pi * pl.coords[:, 1])
+            errs.append(np.abs(np.asarray(r.x) - u).max())
+        assert errs[0] / errs[1] > 8          # nodal superconvergence
+
+    def test_hex_poisson(self):
+        from petsctpu.ksp import ksp_solve
+
+        def f(c):
+            return 3 * np.pi ** 2 * np.prod(np.sin(np.pi * c))
+
+        pl = PlexHex.create_box_mesh(6, 6, 6)
+        Ad, Ah, b = fem_assemble_poisson(pl, f=f)
+        r = ksp_solve(Ad, b, ksp_type="cg", rtol=1e-12, maxits=3000)
+        u = np.prod(np.sin(np.pi * pl.coords), axis=1)
+        assert np.abs(np.asarray(r.x) - u).max() < 0.02
+
+    def test_quad_refine(self):
+        pl = PlexQuad.create_box_mesh(3, 3).refine()
+        assert pl.num_cells == 36
+        # refined mesh is conforming: every interior edge shared by 2
+        e = np.concatenate([pl.cells[:, list(p)]
+                            for p in PlexQuad._EDGE_PAIRS])
+        _, counts = np.unique(np.sort(e, axis=1), axis=0,
+                              return_counts=True)
+        assert set(counts.tolist()) <= {1, 2}
+
+    def test_pattern_keeps_cancelled_entries(self):
+        """Right-angle tri meshes produce exact-zero stiffness entries
+        on diagonal edges; the assembled PATTERN must keep them (frozen
+        -pattern plans depend on it)."""
+        pl = Plex.create_box_mesh(4, 4)
+        _, Ah, _ = fem_assemble_poisson(pl)
+        # edge (v00, v11) of each quad exists in the pattern
+        c = pl.cells
+        i, j = int(c[0, 0]), int(c[0, 2])
+        assert j in Ah.indices[Ah.indptr[i]:Ah.indptr[i + 1]]
+        assert Ah[i, j] == 0.0
+
+
+class TestDistPlex:
+    @pytest.mark.parametrize("mesh_cls,nx", [(Plex, 16), (PlexQuad, 16),
+                                             (Plex3D, 5), (PlexHex, 5)])
+    def test_distributed_assembly_matches_host(self, mesh_cls, nx):
+        import jax
+        from jax.sharding import Mesh
+        from petsctpu.dm.plexdist import distribute_plex
+
+        n_dev = min(8, len(jax.devices()))
+        if n_dev < 2:
+            pytest.skip("needs >= 2 devices")
+        pl = (mesh_cls.create_box_mesh(nx, nx) if mesh_cls in (Plex,
+                                                               PlexQuad)
+              else mesh_cls.create_box_mesh(nx, nx, nx))
+        dp = distribute_plex(pl, n_dev)
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("rows",))
+        M = dp.assembled(mesh)
+        np.testing.assert_allclose(np.asarray(M.diag_vals),
+                                   np.asarray(dp.template.diag_vals),
+                                   atol=1e-13)
+        np.testing.assert_allclose(np.asarray(M.off_vals),
+                                   np.asarray(dp.template.off_vals),
+                                   atol=1e-13)
+
+    def test_distributed_solve_matches_serial(self):
+        import jax
+        from jax.sharding import Mesh
+        from petsctpu.dm.plexdist import distribute_plex
+        from petsctpu.ksp import ksp_solve
+        from petsctpu.parallel import par_ksp_solve
+
+        n_dev = min(8, len(jax.devices()))
+        if n_dev < 2:
+            pytest.skip("needs >= 2 devices")
+        pl = PlexQuad.create_box_mesh(20, 20)
+        dp = distribute_plex(pl, n_dev)
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("rows",))
+        M = dp.assembled(mesh)
+        Adev, Ah, b = fem_assemble_poisson(pl)
+        rs = ksp_solve(Adev, b, ksp_type="cg", rtol=1e-10, maxits=2000)
+        r = par_ksp_solve(mesh, M, np.asarray(dp.b).reshape(-1),
+                          ksp_type="cg", rtol=1e-10, maxits=2000)
+        x = np.asarray(r.x).reshape(-1)
+        assert int(r.reason) > 0
+        np.testing.assert_allclose(x[dp.perm], np.asarray(rs.x),
+                                   atol=1e-10)
+        assert int(r.its) == int(rs.its)
+
+    def test_coefficient_refresh_on_device(self):
+        """New per-cell coefficients re-assemble WITHOUT host work and
+        match a from-scratch host assembly of the same operator."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+        from petsctpu.dm.plexdist import distribute_plex
+
+        n_dev = min(8, len(jax.devices()))
+        if n_dev < 2:
+            pytest.skip("needs >= 2 devices")
+        pl = Plex.create_box_mesh(12, 12)
+        dp = distribute_plex(pl, n_dev)
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("rows",))
+        rng = np.random.default_rng(0)
+        kappa = np.exp(rng.standard_normal(pl.num_cells))
+        M = dp.assembled(mesh, kappa=kappa)
+        # host oracle: scale each element matrix by kappa_c
+        y = M.diagonal()                  # smoke: SPD diagonal positive
+        dv = np.asarray(M.diag_vals)
+        # oracle through the serial path: assemble with scaled Ke by
+        # building a weighted mesh is equivalent to scaling rows of
+        # the element loop — do it directly:
+        import scipy.sparse as sp
+        from petsctpu.dm.plex import element_kernel_for
+        from petsctpu.dm.plexdist import _renumber_by_owner
+        from petsctpu.mat.partition import partition_kway
+        cells = pl.cells
+        nc, npc = cells.shape
+        nv = pl.num_vertices
+        B = sp.coo_matrix((np.ones(nc * npc),
+                           (np.repeat(np.arange(nc), npc),
+                            cells.reshape(-1))), shape=(nc, nv)).tocsr()
+        cp = partition_kway((B @ B.T).tocsr(), n_dev)
+        order, vnew, _ = _renumber_by_owner(pl, n_dev, cp)
+        plp = Plex(vnew[cells].astype(cells.dtype), pl.coords[order])
+        ker = element_kernel_for(plp)
+        Ke = np.asarray(jax.vmap(
+            lambda c: ker(jnp.asarray(plp.coords)[c]))(
+            jnp.asarray(plp.cells)))
+        Ke = Ke * kappa[:, None, None]
+        rows = np.repeat(plp.cells, npc, axis=1).reshape(-1)
+        cols = np.tile(plp.cells, (1, npc)).reshape(-1)
+        A = sp.coo_matrix((Ke.reshape(-1), (rows, cols)),
+                          shape=(nv, nv)).tocsr()
+        bnd = plp.boundary_vertices()
+        con = np.zeros(nv, bool)
+        con[bnd] = True
+        rr = np.repeat(np.arange(nv), np.diff(A.indptr))
+        A.data[con[rr] | con[A.indices]] = 0.0
+        A = (A + sp.diags(con.astype(float))).tocsr()
+        x = rng.standard_normal(nv)
+        # apply the device-assembled sharded operator via its blocks
+        got = _sharded_matvec_host(M, dp, x)
+        np.testing.assert_allclose(got[:nv], A @ x, atol=1e-11)
+
+
+def _sharded_matvec_host(M, dp, x):
+    """Host reference application of a ShardedAIJ (no mesh needed)."""
+    P = M.nshards
+    s = M.diag_cols.shape[1]
+    xp = np.zeros(P * s)
+    xp[: len(x)] = x
+    xl = xp.reshape(P, s)
+    dv = np.asarray(M.diag_vals)
+    dc = np.asarray(M.diag_cols)
+    ov = np.asarray(M.off_vals)
+    oc = np.asarray(M.off_cols)
+    gidx = np.asarray(M.ghost_gidx)
+    y = np.zeros((P, s))
+    for p in range(P):
+        y[p] = (dv[p] * xl[p][dc[p]]).sum(axis=1)
+        ghosts = np.concatenate([xp[gidx[p]], [0.0]])
+        y[p] += (ov[p] * ghosts[oc[p]]).sum(axis=1)
+    return y.reshape(-1)
