@@ -117,6 +117,62 @@ def main():
     dt_triad = max(tt_hi - tt_lo, 1e-9) / (m_hi - m_lo)
     stream_gbs = 3.0 * 4.0 * ns / dt_triad / 1e9
 
+    # ---- irregular SpMV (SELL Pallas kernel): a scrambled 3-D
+    # 27-point Laplacian after RCM — BandMat infeasible (bandwidth
+    # ~m^2), the case the reference serves with MatMult_SeqAIJ
+    # (aij.c:1173). Reported as detail next to the headline.
+    irr = {}
+    try:
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        from petsctpu.mat.sell import sell_from_scipy
+
+        mi = 64
+        e = np.ones(mi)
+        T1 = sp.diags([e[:-1], e, e[:-1]], [-1, 0, 1])
+        A3 = sp.kron(sp.kron(T1, T1), T1).tocsr()      # 27-point
+        ni = A3.shape[0]
+        rngp = np.random.default_rng(5)
+        pp = rngp.permutation(ni)
+        A3 = A3[pp][:, pp]
+        permr = reverse_cuthill_mckee(A3, symmetric_mode=True)
+        A3 = A3[permr][:, permr].tocsr()
+        A3.sum_duplicates()
+        A3.data = rngp.standard_normal(A3.nnz).astype(np.float32)
+        Ms = sell_from_scipy(A3, G=16)
+        xi = jnp.asarray(rngp.standard_normal(ni).astype(np.float32))
+
+        @jax.jit
+        def chain_irr(M, v, iters):
+            def body(_, v):
+                return M.mult(v) * np.float32(0.05)
+            return jnp.sum(lax.fori_loop(0, iters, body, v))
+
+        def timed_irr(iters):
+            t0 = time.perf_counter()
+            s = float(chain_irr(Ms, xi, jnp.int32(iters)))
+            assert np.isfinite(s)
+            return time.perf_counter() - t0
+
+        timed_irr(1)
+        ti_lo = min(timed_irr(5) for _ in range(3))
+        ti_hi = min(timed_irr(105) for _ in range(3))
+        dti = max(ti_hi - ti_lo, 1e-9) / 100
+        own_bytes = (Ms.vals.shape[0] * Ms.npass * Ms.G * 128 * 5.0
+                     + 8.0 * ni + Ms.vals.shape[0] * Ms.S * 128 * 4.0)
+        irr = {"irregular_nnz_per_s": f"{A3.nnz / dti:.3e}",
+               "irregular_ms": round(dti * 1e3, 4),
+               "irregular_frac_ideal_csr":
+                   round(A3.nnz * 8.0 / dti / 1e9
+                         / max(stream_gbs, hbm_bandwidth_gbs()), 4),
+               "irregular_own_traffic_gbs": round(own_bytes / dti / 1e9, 1),
+               "irregular_n": ni, "irregular_passes": int(Ms.npass),
+               "irregular_format": "SELL-16 Pallas (RCM'd scrambled "
+                                   "3-D 27-point)"}
+    except Exception as ex:                             # pragma: no cover
+        irr = {"irregular_error": repr(ex)[:200]}
+
     # stencil traffic: K coefficient arrays + x read + y write
     bytes_moved = 4.0 * n * (K + 2)
     gbs = bytes_moved / dt / 1e9
@@ -130,7 +186,8 @@ def main():
                    "ms_per_spmv": round(dt * 1e3, 4), "n": n,
                    "stencil_width": K, "peak_gbs": hbm_bandwidth_gbs(),
                    "stream_gbs": round(stream_gbs, 1),
-                   "format": "stencil/DIA (2-D 5-point, variable coeff)"},
+                   "format": "stencil/DIA (2-D 5-point, variable coeff)",
+                   **irr},
     }))
 
 

@@ -60,7 +60,7 @@ class SellMat:
     diag: jax.Array
     shape: tuple = field(metadata=dict(static=True))
     nnz: int = field(metadata=dict(static=True), default=0)
-    G: int = field(metadata=dict(static=True), default=64)
+    G: int = field(metadata=dict(static=True), default=16)
     S: int = field(metadata=dict(static=True), default=512)  # window rows
     Lp: int = field(metadata=dict(static=True), default=0)   # padded x rows
     interpret: bool = field(metadata=dict(static=True), default=False)
@@ -183,12 +183,14 @@ def _plan(A: sp.csr_matrix, G: int):
     g = (rows % C) // 128
     lane = rows % 128
 
-    # per-tile window start (128-aligned, original x coordinates)
+    # per-tile window start (8*128-aligned so the HBM->VMEM window DMA
+    # starts on a sublane boundary — unaligned row offsets FAULT the
+    # v5e DMA engine, see scripts/probe_sell_bisect.py step e)
     wmin = np.full(nt, 2**62, np.int64)
     if len(cols):
         np.minimum.at(wmin, t, cols)
     wmin[wmin == 2**62] = 0
-    wmin = (wmin // 128) * 128
+    wmin = (wmin // 1024) * 1024
 
     q = (cols - wmin[t]) // 128 - g            # in [-(G-1), ...]
     pos = (cols - wmin[t]) % 128
@@ -230,10 +232,12 @@ def _plan(A: sp.csr_matrix, G: int):
     P = max(int(P_t.max()) if nt else 1, 1)
     pass_of = (bucket_pass0[b_id] + rank) if nb else np.zeros(0, np.int64)
 
-    # window rows: reads reach q + g; slices need qs_pass + G <= S
+    # window rows: reads reach q + g; slices need qs_pass + G <= S.
+    # S must be a sublane multiple (8) — odd row counts fault the DMA.
     qg_max = int((qs_ + g[order]).max()) if len(order) else 0
     q_max = int(qs_.max()) if len(order) else 0
     S = max(qg_max + G + 1, q_max + 2 * G, 2 * G)
+    S = -(-S // 8) * 8
 
     avg_row = A.nnz / max(n, 1)
     slop = P / max(avg_row, 1e-9) if A.nnz else 1.0
@@ -244,13 +248,13 @@ def _plan(A: sp.csr_matrix, G: int):
                 slop=float(slop))
 
 
-def sell_plan_stats(A, G: int = 64):
+def sell_plan_stats(A, G: int = 16):
     """(npass, ell_width, window_rows, slop = npass/avg_row_nnz)."""
     m = _plan(sp.csr_matrix(A), G)
     return m["P"], m["K"], m["S"], m["slop"]
 
 
-def sell_viable(A, G: int = 64, max_span_rows: int = 8192,
+def sell_viable(A, G: int = 16, max_span_rows: int = 8192,
                 max_slop: float = 8.0) -> bool:
     A = sp.csr_matrix(A)
     if A.shape[0] < G * 128:
@@ -259,7 +263,7 @@ def sell_viable(A, G: int = 64, max_span_rows: int = 8192,
     return S <= max_span_rows and slop <= max_slop
 
 
-def sell_from_scipy(A, G: int = 64, interpret: bool = None,
+def sell_from_scipy(A, G: int = 16, interpret: bool = None,
                     max_span_rows: int = 8192) -> SellMat:
     """Build a SellMat (fp32). Raises ValueError when the window span
     exceeds the VMEM cap — callers should RCM-order first and fall
