@@ -33,8 +33,11 @@ class DA:
     grid: Tuple[int, ...]           # global dims, natural ordering
     stencil_width: int = 1
     stencil_type: str = "star"      # star | box
-    # per-axis DMDABoundaryType (da2.c:870 wrap args): "none"|"periodic";
-    # a bare string applies to every axis
+    # per-axis DMDABoundaryType (petscdmda.h:51):
+    # "none" | "ghosted" | "mirror" | "periodic"; a bare string
+    # applies to every axis. GHOSTED = ghost slots exist and carry a
+    # USER value (the `fill` argument of local_with_ghosts); MIRROR
+    # reflects about the boundary node.
     boundary: Tuple[str, ...] = ()
 
     def boundary_types(self) -> Tuple[str, ...]:
@@ -65,20 +68,23 @@ class DA:
 
     def local_with_ghosts(self, x, fill=0.0):
         """Ghosted view: grid array padded by stencil_width (the
-        DMGlobalToLocal analog for one process). Periodic axes wrap;
-        "none" axes take `fill` (ghosted-boundary value)."""
+        DMGlobalToLocal analog for one process). Periodic axes wrap,
+        mirror axes reflect about the boundary node, "none"/"ghosted"
+        axes take `fill` (the user-set ghost value)."""
         xg = self.to_grid(x)
         w = self.stencil_width
         bts = self.boundary_types()
-        if all(b == "none" for b in bts):
+        if all(b in ("none", "ghosted") for b in bts):
             return jnp.pad(xg, w, constant_values=fill)
         for ax, b in enumerate(bts):
             pad = [(0, 0)] * xg.ndim
             pad[ax] = (w, w)
-            xg = jnp.pad(xg, pad, mode="wrap" if b == "periodic"
-                         else "constant",
-                         **({} if b == "periodic"
-                            else dict(constant_values=fill)))
+            if b == "periodic":
+                xg = jnp.pad(xg, pad, mode="wrap")
+            elif b == "mirror":
+                xg = jnp.pad(xg, pad, mode="reflect")
+            else:
+                xg = jnp.pad(xg, pad, constant_values=fill)
         return xg
 
     # ---- stencil offsets ----------------------------------------------

@@ -37,8 +37,11 @@ def get_ordering(A, kind: str = "natural") -> np.ndarray:
     if kind in ("qmd", "md"):
         S = ((A + A.T) != 0).astype(np.int8).tocsr()
         return minimum_degree(S)
+    if kind == "1wd":
+        S = ((A + A.T) != 0).astype(np.int8).tocsr()
+        return gen1wd(S)
     raise ValueError(f"unknown ordering {kind!r} "
-                     "(natural|rcm|nd|ndrb|qmd)")
+                     "(natural|rcm|nd|ndrb|qmd|1wd)")
 
 
 def minimum_degree(S: sp.csr_matrix) -> np.ndarray:
@@ -166,6 +169,68 @@ def gennd(S: sp.csr_matrix) -> np.ndarray:
         if num >= n:
             break
     out = np.concatenate(perm)[::-1]
+    return np.ascontiguousarray(out)
+
+
+def _fn1wd(S: sp.csr_matrix, root: int, mask: np.ndarray):
+    """Find one-way dissectors of root's masked component (fn1wd.f
+    behavior, src/mat/order/fn1wd.c): pick parallel level cuts at
+    spacing δ+1 = sqrt((3·width + 13)/2) + 1 through the pseudo-
+    peripheral level structure; a cut keeps only nodes with a
+    neighbor in the next level. Small or long-thin components are
+    returned whole. Marks dissector nodes numbered. Returns
+    (dissectors, levels-of-the-component)."""
+    indptr, indices = S.indptr, S.indices
+    root, levels = _fnroot(S, root, mask)
+    nlvl = len(levels)
+    comp_size = sum(len(l) for l in levels)
+    width = comp_size / nlvl
+    deltp1 = np.sqrt((3.0 * width + 13.0) / 2.0) + 1.0
+    if comp_size < 50 or deltp1 > 0.5 * nlvl:
+        sep = np.concatenate(levels)
+        mask[sep] = False
+        return sep, levels
+    sep = []
+    i = 0
+    while True:
+        i += 1
+        lvl = int(i * deltp1 + 0.5)                  # 1-based level id
+        if lvl >= nlvl:
+            break
+        mark = np.zeros(S.shape[0], bool)
+        mark[levels[lvl]] = True                     # level lvl+1
+        for node in levels[lvl - 1]:                 # level lvl, ls order
+            if mark[indices[indptr[node]:indptr[node + 1]]].any():
+                sep.append(int(node))
+                mask[node] = False
+    sep = np.asarray(sep, dtype=np.int64)
+    return sep, levels
+
+
+def gen1wd(S: sp.csr_matrix) -> np.ndarray:
+    """SPARSPAK general one-way dissection (gen1wd.f behavior, the
+    reference's MatGetOrdering 1WD — src/mat/order/gen1wd.c): per
+    component, find parallel one-way dissectors (fn1wd), then number
+    each remaining connected block by a rooted level structure;
+    reverse at the end so dissectors found first are numbered last.
+
+    Returns perm with perm[k] = old index of new row k."""
+    S = sp.csr_matrix(S)
+    n = S.shape[0]
+    mask = np.ones(n, bool)
+    perm = []
+    for i in range(n):
+        if not mask[i]:
+            continue
+        sep, levels = _fn1wd(S, i, mask)
+        perm.append(sep)
+        for node in np.concatenate(levels):
+            if not mask[node]:
+                continue
+            blk = np.concatenate(_rootls(S, int(node), mask))
+            perm.append(blk)
+            mask[blk] = False
+    out = np.concatenate([p for p in perm if p.size])[::-1]
     return np.ascontiguousarray(out)
 
 

@@ -29,7 +29,10 @@ import numpy as np
 
 def _shift(xg: jax.Array, off: tuple, boundary: tuple = ()) -> jax.Array:
     """Return array s with s[idx] = xg[idx + off]; outside the grid the
-    value is zero ("none" boundary) or wraps (DMDA_BOUNDARY_PERIODIC)."""
+    value is zero ("none"/"ghosted" — ghost values are user state, not
+    operator structure), wraps (DMDA_BOUNDARY_PERIODIC), or reflects
+    about the boundary node (DMDA_BOUNDARY_MIRROR, petscdmda.h:51:
+    ghost −1 reads interior 1)."""
     if boundary:
         rolls = [(-int(o), ax) for ax, (o, b) in enumerate(zip(off, boundary))
                  if b == "periodic" and int(o) != 0]
@@ -37,19 +40,27 @@ def _shift(xg: jax.Array, off: tuple, boundary: tuple = ()) -> jax.Array:
             xg = jnp.roll(xg, [r for r, _ in rolls], [a for _, a in rolls])
             off = tuple(0 if b == "periodic" else o
                         for o, b in zip(off, boundary))
-    pads = []
+    pads_zero = []
+    pads_ref = []
     slices = []
-    for o, dim in zip(off, xg.shape):
+    for ax, (o, dim) in enumerate(zip(off, xg.shape)):
         o = int(o)
-        if o >= 0:
-            pads.append((0, o))
-            slices.append(slice(o, o + dim))
+        b = boundary[ax] if boundary else "none"
+        p = (0, o) if o >= 0 else (-o, 0)
+        slices.append(slice(o, o + dim) if o >= 0 else slice(0, dim))
+        if b == "mirror":
+            pads_ref.append(p)
+            pads_zero.append((0, 0))
         else:
-            pads.append((-o, 0))
-            slices.append(slice(0, dim))
-    if all(p == (0, 0) for p in pads):
+            pads_zero.append(p)
+            pads_ref.append((0, 0))
+    if any(p != (0, 0) for p in pads_ref):
+        xg = jnp.pad(xg, pads_ref, mode="reflect")
+    if any(p != (0, 0) for p in pads_zero):
+        xg = jnp.pad(xg, pads_zero)
+    if all(s == slice(0, d) for s, d in zip(slices, xg.shape)):
         return xg
-    return jnp.pad(xg, pads)[tuple(slices)]
+    return xg[tuple(slices)]
 
 
 @jax.tree_util.register_dataclass
@@ -96,6 +107,11 @@ class StencilMat:
         return y + self.mult(x)
 
     def multT(self, x: jax.Array) -> jax.Array:
+        if any(b == "mirror" for b in self.boundary):
+            # the adjoint of a reflect-read is a fold-back scatter;
+            # use the assembled form for transpose solves
+            raise NotImplementedError("StencilMat.multT: mirror "
+                                      "boundary (assemble to AIJ)")
         xg = x.reshape(self.grid)
         y = jnp.zeros_like(xg)
         for d, off in enumerate(self.offsets):

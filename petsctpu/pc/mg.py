@@ -13,8 +13,13 @@ V/W cycles. TPU design choices:
   * the level loop is a statically unrolled Python recursion (level
     count is static), so XLA sees one straight-line program;
   * coarse solve is an exact sparse LU (level-scheduled device solve);
-  * Galerkin coarse operators (PᵀAP) are built host-side with scipy at
-    setup, like the reference's MatPtAP at PCSetUp_GAMG/MG time.
+  * Galerkin coarse operators (PᵀAP): the geometric path rebuilds the
+    whole hierarchy ON DEVICE in one jitted program
+    (make_geometric_mg_device + mat/stencil.galerkin_coarsen, ~243 ms
+    for a 1025² operator refresh); the algebraic refresh path is
+    pc/gamg_device.GAMGDevicePlan (frozen symbolic SpGEMM plans).
+    First-time host setup uses scipy PtAP like the reference's
+    MatPtAP at PCSetUp_GAMG/MG time.
 """
 
 from __future__ import annotations

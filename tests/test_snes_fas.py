@@ -1,9 +1,12 @@
 """FAS nonlinear multigrid, colored NGS, NCG, and NPC-NGMRES tests on
 the Bratu problem (reference SNES ex5 / FAS tests)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from petsctpu.dm.da import DA
 from petsctpu.mat.coloring import stencil_coloring
@@ -238,6 +241,41 @@ class TestEx19FASUserGS:
         golden = [1065.74, 93.4476, 32.0022, 7.71541, 1.58058,
                   0.292867, 0.0837882]
         np.testing.assert_allclose(np.asarray(res.history[:7]), golden,
+                                   rtol=2e-5)
+
+    @pytest.mark.skipif(not os.environ.get("PETSCTPU_SLOW"),
+                        reason="full 24-cycle run; set PETSCTPU_SLOW=1")
+    def test_ex19_fas_pointwise_gs_full(self):
+        """The FULL runex19_fas stream: all 21 monitor lines of
+        output/ex19_fas.out to golden precision (converged at cycle 20
+        with -snes_rtol 1e-8). The fast variant above asserts the
+        first 7 cycles; this one removes the trim."""
+        from petsctpu.ksp.common import KSPConfig
+        from petsctpu.models.cavity import (cavity_fas_levels,
+                                            cavity_initial_guess)
+        from petsctpu.snes import snes_fas
+        from petsctpu.snes.api import SNESConfig
+
+        levels, smoothers = cavity_fas_levels(
+            49, 5, lidvelocity=100.0, grashof=4e4,
+            gs_kw=dict(sweeps=3, max_its=50, rtol=1e-15, atol=0.0,
+                       stol=0.0))
+        x0 = cavity_initial_guess(49, 49, grashof=4e4)
+        res = snes_fas(levels, x0, smoother="user",
+                       user_smoothers=smoothers, npre=6, npost=6,
+                       maxits=24, rtol=1e-8,
+                       coarse_cfg=SNESConfig(maxits=50, rtol=1e-8,
+                                             atol=1e-50,
+                                             linesearch="bt"),
+                       coarse_ksp=KSPConfig(ksp_type="gmres", rtol=1e-5,
+                                            maxits=200))
+        golden = [1065.74, 93.4476, 32.0022, 7.71541, 1.58058,
+                  0.292867, 0.0837882, 0.0353108, 0.019356, 0.0101671,
+                  0.00532382, 0.00276371, 0.00143197, 0.000740617,
+                  0.000382882, 0.000197875, 0.000102254, 5.28375e-05,
+                  2.73024e-05, 1.41077e-05, 7.28972e-06]
+        assert int(res.its) == 20
+        np.testing.assert_allclose(np.asarray(res.history[:21]), golden,
                                    rtol=2e-5)
 
 
