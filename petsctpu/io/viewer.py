@@ -88,16 +88,28 @@ def petsc_binary_write_mat(path: str, A) -> None:
         f.write(A.data.astype(">f8").tobytes())
 
 
-def petsc_binary_read_mat(path: str) -> sp.csr_matrix:
+def petsc_binary_read_mat(path: str, complex_scalars=None) -> sp.csr_matrix:
+    """complex_scalars: True for PETSC_USE_COMPLEX-written files (the
+    scalar type is a build-time property of the writer, not encoded in
+    the file — same as the reference's reader); None auto-detects from
+    the file size."""
     with open(path, "rb") as f:
         classid, m, n, nnz = np.frombuffer(f.read(16), dtype=">i4")
         assert classid == MAT_CLASSID, f"not a PETSc Mat file ({classid})"
         rownnz = np.frombuffer(f.read(4 * m), dtype=">i4")
         indices = np.frombuffer(f.read(4 * nnz), dtype=">i4")
-        data = np.frombuffer(f.read(8 * nnz), dtype=">f8")
+        payload = f.read()
+    if complex_scalars is None:
+        complex_scalars = len(payload) >= 16 * nnz
+    if complex_scalars:
+        data = np.frombuffer(payload[:16 * nnz], dtype=">c16") \
+            .astype(np.complex128)
+    else:
+        data = np.frombuffer(payload[:8 * nnz], dtype=">f8") \
+            .astype(np.float64)
     indptr = np.concatenate([[0], np.cumsum(rownnz)]).astype(np.int64)
-    return sp.csr_matrix((data.astype(np.float64),
-                          indices.astype(np.int64), indptr), shape=(m, n))
+    return sp.csr_matrix((data, indices.astype(np.int64), indptr),
+                         shape=(m, n))
 
 
 def petsc_binary_write_vec(path: str, x) -> None:

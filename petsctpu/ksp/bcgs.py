@@ -126,15 +126,25 @@ def solve_cgsq(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
 
 
 def solve_bicg(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
-    """BiCG (src/ksp/ksp/impls/bicg) — needs Aᵀ and M⁻ᵀ.
-
-    Assumes a symmetric preconditioner apply (all built-in PCs here
-    are symmetric or applied symmetrically), so M⁻ᵀ = M⁻¹."""
+    """BiCG (src/ksp/ksp/impls/bicg/bicg.c, complex-correct): left
+    vectors run through the HERMITIAN adjoint (the reference's
+    VecConjugate sandwich around MatMultTranspose/PCApplyTranspose,
+    bicg.c:90-93). Assumes a SYMMETRIC (pattern-symmetric) pc apply,
+    so M⁻ᴴ v = conj(M⁻¹ conj(v)) — true for every built-in PC here."""
     dtype = b.dtype
     x = x0 if cfg.guess_nonzero else jnp.zeros_like(b)
-    r = apply_pc(pc, b - A.mult(x)) if cfg.guess_nonzero else apply_pc(pc, b)
-    rt = r
-    dp = ops.norm(r, axis)
+    rr = b - A.mult(x) if cfg.guess_nonzero else b
+    rl = rr
+
+    def pc_herm(v):
+        return jnp.conj(apply_pc(pc, jnp.conj(v)))
+
+    def mult_herm(v):
+        return jnp.conj(A.multT(jnp.conj(v)))
+
+    zr = apply_pc(pc, rr)
+    zl = pc_herm(rl)
+    dp = ops.norm(zr, axis)
     history = record(init_history(cfg, dtype), 0, dp)
     monitor_cb(cfg, 0, dp)
     reason = check_convergence(dp, dp, jnp.int32(0), cfg)
@@ -146,30 +156,35 @@ def solve_bicg(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
 
     def body(c):
         its = c["its"]
-        rho = ops.dot(c["rt"], c["r"], axis)
+        # VecDot(Zr, Rl) = conj(Rl)·Zr
+        beta = ops.dot(c["rl"], c["zr"], axis)
         first = its == 0
-        beta = jnp.where(first, 0.0, rho / c["rho_old"])
-        p = c["r"] + beta * c["p"]
-        pt = c["rt"] + beta * c["pt"]
-        v = _op(A, pc, p)
-        vt = apply_pc(pc, A.multT(pt))
-        ptv = ops.dot(c["pt"] * 0 + pt, v, axis)
-        alpha = rho / ptv
-        x = c["x"] + alpha * p
-        r = c["r"] - alpha * v
-        rt = c["rt"] - alpha * vt
-        dp = ops.norm(r, axis)
+        bfac = jnp.where(first, 0.0, beta / c["beta_old"])
+        pr = c["zr"] + bfac * c["pr"]
+        pl = c["zl"] + jnp.conj(bfac) * c["pl"]
+        vzr = A.mult(pr)
+        vzl = mult_herm(pl)
+        dpi = ops.dot(pl, vzr, axis)              # VecDot(Zr, Pl)
+        a = beta / dpi
+        x = c["x"] + a * pr
+        rr = c["rr"] - a * vzr
+        rl = c["rl"] - jnp.conj(a) * vzl
+        zr = apply_pc(pc, rr)
+        zl = pc_herm(rl)
+        dp = ops.norm(zr, axis)
         its = its + 1
         history = record(c["history"], its, dp)
         monitor_cb(cfg, its, dp)
         reason = check_convergence(dp, rnorm0, its, cfg)
-        reason = jnp.where((reason == 0) & ((rho == 0) | (ptv == 0)),
-                           jnp.int32(ConvergedReason.DIVERGED_BREAKDOWN), reason)
-        return dict(x=x, r=r, rt=rt, p=p, pt=pt, rho_old=rho, its=its,
-                    history=history, reason=reason)
+        reason = jnp.where((reason == 0) & ((beta == 0) | (dpi == 0)),
+                           jnp.int32(ConvergedReason.DIVERGED_BREAKDOWN),
+                           reason)
+        return dict(x=x, rr=rr, rl=rl, zr=zr, zl=zl, pr=pr, pl=pl,
+                    beta_old=beta, its=its, history=history,
+                    reason=reason)
 
-    init = dict(x=x, r=r, rt=rt, p=zero, pt=zero,
-                rho_old=jnp.ones((), dtype), its=jnp.int32(0),
+    init = dict(x=x, rr=rr, rl=rl, zr=zr, zl=zl, pr=zero, pl=zero,
+                beta_old=jnp.ones((), dtype), its=jnp.int32(0),
                 history=history, reason=reason)
     out = lax.while_loop(cond, body, init)
     return SolveResult(out["x"], out["its"], out["reason"],

@@ -38,7 +38,9 @@ def estimate_lambda_max(A, pc, n, dtype, axis=None, iters: int = 12,
         v = w / jnp.where(nw > 0, nw, 1.0)
         return (v, lam)
 
-    _, lam = lax.fori_loop(0, iters, body, (v, jnp.ones((), dtype)))
+    rt = jnp.zeros((), dtype).real.dtype    # the estimate is a norm —
+    _, lam = lax.fori_loop(0, iters, body,  # real for complex scalars
+                           (v, jnp.ones((), rt)))
     return lam
 
 

@@ -144,7 +144,10 @@ def monitor_true_cb(cfg: KSPConfig, its, rnorm, trnorm, bnorm):
 
 
 def record(history, its, rnorm):
-    return history.at[its].set(rnorm)
+    # norms are real; coerce (a complex-typed zero-imag sqrt slips
+    # through in some complex solvers and future jax makes the
+    # implicit scatter cast an error)
+    return history.at[its].set(jnp.real(rnorm))
 
 
 def init_history(cfg: KSPConfig, dtype):

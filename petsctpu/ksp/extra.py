@@ -118,8 +118,10 @@ def solve_tfqmr(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
                     reason=reason)
 
     one = jnp.ones((), dtype)
+    # theta/tau are norm ratios — REAL even for complex scalars
     init = dict(x=x, r=r0, rt=r0, p=zero, q=zero, d=zero, rho_old=one,
-                tau=dp0, theta=jnp.zeros((), dtype), eta=jnp.zeros((), dtype),
+                tau=dp0, theta=jnp.zeros((), dp0.dtype),
+                eta=jnp.zeros((), dtype),
                 its=jnp.int32(0), history=history, reason=reason)
     out = lax.while_loop(cond, body, init)
     return SolveResult(out["x"], out["its"], out["reason"],

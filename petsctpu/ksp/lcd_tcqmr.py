@@ -119,11 +119,12 @@ def solve_tcqmr(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
     u0 = r / sr
 
     z0 = jnp.zeros((), dtype)
+    rt = jnp.zeros((), dtype).real.dtype   # norms/products: REAL even
     init = dict(x=x, u=u0, um1=zero, v=u0, vm1=zero, v0=u0, p=zero,
-                pvec1=zero, pvec2=zero,
+                pvec1=zero, pvec2=zero,    # for complex scalars
                 theta=z0, ep=z0, cl1=z0, sl1=z0, cl=z0, sl=z0,
-                sprod=jnp.ones((), dtype), tau_n1=rnorm0,
-                f=jnp.ones((), dtype), Gamma=jnp.ones((), dtype),
+                sprod=jnp.ones((), rt), tau_n1=rnorm0.astype(dtype),
+                f=jnp.ones((), rt), Gamma=jnp.ones((), rt),
                 rhom1=jnp.ones((), dtype), its=jnp.int32(0),
                 history=history, reason=reason)
 
@@ -181,7 +182,7 @@ def solve_tcqmr(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
         pvec = (vm1 - theta * c["pvec2"] - ep * c["pvec1"]) / sdelta
         x = c["x"] + tau_n * pvec
         sprod = c["sprod"] * jnp.abs(s_)
-        rnorm = rnorm0 * jnp.sqrt(its.astype(dtype) + 2.0) * sprod
+        rnorm = rnorm0 * jnp.sqrt(its.astype(rnorm0.dtype) + 2.0) * sprod
         history = record(c["history"], its, rnorm)
         monitor_cb(cfg, its, rnorm)
         reason = check_convergence(rnorm, rnorm0, its, cfg)

@@ -26,7 +26,7 @@ def solve_minres(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
     x = x0 if cfg.guess_nonzero else jnp.zeros_like(b)
     r = b - A.mult(x) if cfg.guess_nonzero else b
     z = apply_pc(pc, r)
-    beta1_sq = ops.dot(r, z, axis)
+    beta1_sq = jnp.real(ops.dot(r, z, axis))
     beta1 = jnp.sqrt(jnp.abs(beta1_sq))
     dp = beta1
     history = record(init_history(cfg, dtype), 0, dp)
@@ -45,12 +45,15 @@ def solve_minres(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
         its = c["its"]
         v = c["z"] / c["beta"]
         Av = A.mult(v)
-        alpha = ops.dot(v, Av, axis)
+        # Hermitian operator: the Lanczos alpha is real — keep the
+        # whole rotation algebra in the real dtype (complex-scalar
+        # builds; minres.c works in PetscRealPart the same way)
+        alpha = jnp.real(ops.dot(v, Av, axis))
         z_new = apply_pc(pc, Av) - (alpha / c["beta"]) * c["z"] \
             - (c["beta"] / c["beta_old"]) * c["z_old"]
         r_lanczos = Av - (alpha / c["beta"]) * c["r"] \
             - (c["beta"] / c["beta_old"]) * c["r_old"]
-        beta_new_sq = ops.dot(r_lanczos, z_new, axis)
+        beta_new_sq = jnp.real(ops.dot(r_lanczos, z_new, axis))
         beta_new = jnp.sqrt(jnp.abs(beta_new_sq))
         # QR via Givens on the tridiagonal
         delta = c["c"] * alpha - c["c_old"] * c["s"] * c["beta"]
@@ -75,11 +78,13 @@ def solve_minres(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
                     c=c_new, c_old=c["c"], s=s_new, s_old=c["s"], eta=eta,
                     its=its, history=history, reason=reason)
 
-    one = jnp.ones((), dtype)
+    rt = jnp.zeros((), dtype).real.dtype     # rotation scalars: real
+    one = jnp.ones((), rt)
     init = dict(x=x, r=r, r_old=zero, z=z, z_old=zero, w=zero, w_old=zero,
-                beta=beta1, beta_old=one, c=one, c_old=one,
-                s=jnp.zeros((), dtype), s_old=jnp.zeros((), dtype),
-                eta=beta1, its=jnp.int32(0), history=history, reason=reason)
+                beta=beta1.astype(rt), beta_old=one, c=one, c_old=one,
+                s=jnp.zeros((), rt), s_old=jnp.zeros((), rt),
+                eta=beta1.astype(rt), its=jnp.int32(0), history=history,
+                reason=reason)
     out = lax.while_loop(cond, body, init)
     return SolveResult(out["x"], out["its"], out["reason"],
                        out["history"][out["its"]], out["history"])

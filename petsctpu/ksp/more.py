@@ -169,7 +169,9 @@ def solve_gcr(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
         v = v - betas @ VV
         s = s - betas @ SS
         nv_l = jnp.vdot(v, v).real
-        rv_l = jnp.vdot(c["r"], v)
+        # projection coefficient <v, r> = conj(v)·r (complex-correct;
+        # conj is a no-op in real builds)
+        rv_l = jnp.vdot(v, c["r"])
         nv_sq, rv = ops.reduce_all((nv_l, rv_l), axis)
         nv = jnp.sqrt(nv_sq)
         snv = jnp.where(nv > 0, nv, 1.0)
