@@ -173,6 +173,88 @@ def main():
     except Exception as ex:                             # pragma: no cover
         irr = {"irregular_error": repr(ex)[:200]}
 
+    # ---- BASELINE configs 2-4 (compact, dispatch-corrected) ----
+    cfgs = {}
+    try:
+        import scipy.sparse as sp
+
+        from petsctpu.core.options import Options
+        from petsctpu.ksp import ksp_solve
+        from petsctpu.mat import aij_from_scipy
+        from petsctpu.pc import make_pc
+
+        def timed_solve(Ad, bj, pc, ksp_type, lo_its, hi_its, rtol=1e-5):
+            def run(mx):
+                t0 = time.perf_counter()
+                r = ksp_solve(Ad, bj, pc=pc, ksp_type=ksp_type,
+                              rtol=rtol, atol=1e-30, maxits=mx)
+                _ = float(r.rnorm)
+                return time.perf_counter() - t0, int(r.its), int(r.reason)
+            run(lo_its)
+            run(hi_its)
+            tl, _, _ = run(lo_its)
+            th, its, reason = run(hi_its)
+            return (th - tl) / (hi_its - lo_its), its, reason
+
+        # config 2: ex45-style 3-D 7-point Poisson, CG + BJacobi(ILU0)
+        mi = 48
+        e = np.ones(mi)
+        T1 = sp.diags([-e[:-1], 2 * e, -e[:-1]], [-1, 0, 1])
+        I1 = sp.eye(mi)
+        A45 = (sp.kron(sp.kron(T1, I1), I1) + sp.kron(sp.kron(I1, T1), I1)
+               + sp.kron(sp.kron(I1, I1), T1)).tocsr().astype(np.float32)
+        Ad45 = aij_from_scipy(A45, dtype=np.float32)
+        pc45 = make_pc("bjacobi", A=Ad45, A_host=A45,
+                       options=Options({"pc_bjacobi_blocks": 8,
+                                        "sub_pc_type": "ilu"}))
+        b45 = jnp.asarray(np.random.default_rng(1)
+                          .standard_normal(mi ** 3).astype(np.float32))
+        per_it, its, reason = timed_solve(Ad45, b45, pc45, "cg", 5, 45)
+        cfgs["ex45_cg_bjacobi_ms_per_it"] = round(per_it * 1e3, 3)
+        cfgs["ex45_its_to_rtol1e-5"] = its
+
+        # config 3: BAIJ bs=3 elasticity blocked SpMV
+        from petsctpu.mat.bsr import baij_from_scipy_bsr
+        from petsctpu.models.elasticity import ex56_system
+        A56, b56, _ = ex56_system(19, 1e-3, dtype=np.float32)
+        Ab = baij_from_scipy_bsr(A56, bs=3, dtype=np.float32)
+        xb = jnp.asarray(np.random.default_rng(2)
+                         .standard_normal(A56.shape[0]).astype(np.float32))
+
+        @jax.jit
+        def chain_b(M, v, iters):
+            def body(_, v):
+                return M.mult(v) * np.float32(0.05)
+            return jnp.sum(lax.fori_loop(0, iters, body, v))
+
+        def tb(it):
+            t0 = time.perf_counter()
+            s = float(chain_b(Ab, xb, jnp.int32(it)))
+            assert np.isfinite(s)
+            return time.perf_counter() - t0
+        tb(1)
+        bl = min(tb(5) for _ in range(3))
+        bh = min(tb(105) for _ in range(3))
+        dtb = (bh - bl) / 100
+        cfgs["baij_bs3_spmv_nnz_per_s"] = f"{A56.nnz / dtb:.3e}"
+
+        # config 4: GAMG on 2-D Poisson — setup + per-iteration
+        m4 = 256
+        from petsctpu.models import laplacian_2d
+        A4 = laplacian_2d(m4, m4, dtype=np.float32).tocsr()
+        Ad4 = aij_from_scipy(A4, dtype=np.float32)
+        t0 = time.perf_counter()
+        pc4 = make_pc("gamg", A=Ad4, A_host=A4,
+                      options=Options({"pc_gamg_coarse_eq_limit": 64}))
+        cfgs["gamg_setup_s"] = round(time.perf_counter() - t0, 2)
+        b4 = jnp.asarray(np.random.default_rng(3)
+                         .standard_normal(m4 * m4).astype(np.float32))
+        per4, its4, _ = timed_solve(Ad4, b4, pc4, "cg", 2, 12)
+        cfgs["gamg_cg_ms_per_it"] = round(per4 * 1e3, 3)
+        cfgs["gamg_its_to_rtol1e-5"] = its4
+    except Exception as ex:                            # pragma: no cover
+        cfgs["configs_error"] = repr(ex)[:200]
+
     # stencil traffic: K coefficient arrays + x read + y write
     bytes_moved = 4.0 * n * (K + 2)
     gbs = bytes_moved / dt / 1e9
@@ -187,7 +269,7 @@ def main():
                    "stencil_width": K, "peak_gbs": hbm_bandwidth_gbs(),
                    "stream_gbs": round(stream_gbs, 1),
                    "format": "stencil/DIA (2-D 5-point, variable coeff)",
-                   **irr},
+                   **irr, **cfgs},
     }))
 
 

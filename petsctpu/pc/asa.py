@@ -115,6 +115,37 @@ def asa_hierarchy(A, B, theta: float = 0.0, coarse_n: int = 64,
     return As, Ps
 
 
+def asa_tentatives(A, B, theta: float = 0.0, coarse_n: int = 64,
+                   max_levels: int = 10, bs: int = 1):
+    """The TENTATIVE prolongators of the SA hierarchy (un-smoothed
+    P0 per level, smoothing applied for the numeric recursion only) —
+    the frozen-P0 input of pc/gamg_device's device refresh plan
+    (-pc_gamg_reuse_interpolation semantics for blocked/RBM
+    hierarchies)."""
+    As, P0s = [sp.csr_matrix(A)], []
+    Bl = np.asarray(B, np.float64)
+    k = Bl.shape[1]
+    cur_bs = bs
+    while As[-1].shape[0] > coarse_n and len(As) < max_levels:
+        Ac = As[-1]
+        G = _collapse_by_block(Ac, cur_bs) if cur_bs > 1 else Ac
+        S = strength_graph(G, theta)
+        agg_node = aggregate(S)
+        agg = (np.repeat(agg_node, cur_bs) if cur_bs > 1 else agg_node)
+        if int(agg_node.max()) + 1 >= G.shape[0]:
+            break
+        P0, Bc = tentative_prolongator_multi(agg, Bl)
+        if P0.shape[1] >= P0.shape[0]:     # no real coarsening left
+            break
+        P = smooth_prolongator(Ac, P0)
+        As.append((P.T @ Ac @ P).tocsr())
+        P0s.append(sp.csr_matrix(P0))
+        na = int(agg_node.max()) + 1
+        cur_bs = k if Bc.shape[0] == na * k else 1
+        Bl = Bc
+    return P0s
+
+
 def _host_vcycle(As, Ps, b, x, omega=0.7, level=0):
     """Jacobi V(1,1) cycle on host (setup-time self-test only)."""
     A = As[level]

@@ -63,6 +63,11 @@ class GAMGLevelPlan:
     prod_slot: jax.Array    # product entry -> slot in Pu
     ap_plan: SpGEMMPlan     # A @ Pu
     ptap_plan: SpGEMMPlan   # Puᵀ @ (A Pu)
+    c_sel: jax.Array        # ptap output slot -> next level's operator
+    #                         pattern (re-bases each level on the
+    #                         NUMERIC coarse pattern; chaining the
+    #                         structural supersets compounds density
+    #                         level-over-level and explodes plan memory)
     pt_perm: jax.Array      # Pu CSR data -> Puᵀ CSR data permutation
     a_rows: jax.Array       # row of each A data slot (D⁻¹ scaling)
     a_tmpl: AIJ             # ELL template for A_l (smoother operator)
@@ -102,7 +107,8 @@ class GAMGDevicePlan:
             pu = pu.at[lp.prod_slot].add(-omega * prod)
             P = _fill_template(lp.p_tmpl, lp.p_ell_pos, pu)
             ap = lp.ap_plan.numeric_data(a_data, pu)
-            a_data = lp.ptap_plan.numeric_data(pu[lp.pt_perm], ap)
+            a_data = lp.ptap_plan.numeric_data(pu[lp.pt_perm],
+                                               ap)[lp.c_sel]
             levels.append(MGLevel(A, P, ChebySmoother(
                 dinv, 0.1 * lam, 1.1 * lam, self.sm_its)))
         dense = jnp.zeros((self.nc, self.nc), a_data.dtype)
@@ -161,12 +167,17 @@ def _transpose_perm(P: sp.csr_matrix) -> np.ndarray:
 
 def gamg_device_plan(A_host, theta: float = 0.0, coarse_n: int = 64,
                      max_levels: int = 10, sm_its: int = 2,
-                     cycles: int = 1, dtype=np.float32) -> GAMGDevicePlan:
+                     cycles: int = 1, dtype=np.float32,
+                     p0s=None) -> GAMGDevicePlan:
     """Build the frozen symbolic plan from the initial operator.
 
     Aggregation runs once on the INITIAL values (like the reference
     re-using the graph under -pc_gamg_reuse_interpolation); all later
-    refreshes reuse the aggregates and patterns."""
+    refreshes reuse the aggregates and patterns.
+
+    p0s: optional precomputed tentative prolongators per level (host
+    CSR) — the blocked/rigid-body-mode route (pc/asa.asa_tentatives
+    for ex56-style elasticity); aggregation is skipped."""
     A = _csr_entry_index(sp.csr_matrix(A_host).astype(dtype))
     dt = np.dtype(dtype).type
     rng = np.random.default_rng(11)
@@ -180,23 +191,41 @@ def gamg_device_plan(A_host, theta: float = 0.0, coarse_n: int = 64,
     Al_num = A        # numeric operator (drives aggregation quality)
     tmpl_l, pos_l = tmplA, posA
     while Al.shape[0] > coarse_n and len(levels) < max_levels - 1:
-        S = strength_graph(Al_num, theta)
-        agg = aggregate(S)
-        na = int(agg.max()) + 1
-        if na >= Al.shape[0]:
-            break
-        P0 = _csr_entry_index(tentative_prolongator(agg).astype(dt))
+        if p0s is not None:
+            if len(levels) >= len(p0s):
+                break
+            P0 = _csr_entry_index(sp.csr_matrix(p0s[len(levels)])
+                                  .astype(dt))
+            if P0.shape[1] >= P0.shape[0]:   # degenerate level guard
+                break
+        else:
+            S = strength_graph(Al_num, theta)
+            agg = aggregate(S)
+            na = int(agg.max()) + 1
+            if na >= Al.shape[0]:
+                break
+            P0 = _csr_entry_index(tentative_prolongator(agg).astype(dt))
         Apat = _pattern(Al)
         prod_pat = _csr_entry_index((Apat @ _pattern(P0)).tocsr())
         Pu_pat = _csr_entry_index(
             ((_pattern(P0) + prod_pat) > 0).astype(dt).tocsr())
-        prod_plan = SpGEMMPlan.plan(Apat, P0, dtype=dt)
+        # plan on PATTERNS only — planning with P0's VALUES lets scipy
+        # prune exact cancellations (orthonormalized aggregate columns
+        # produce them) and desyncs the slot maps
+        prod_plan = SpGEMMPlan.plan(Apat, _pattern(P0), dtype=dt)
         ap_plan = SpGEMMPlan.plan(Apat, Pu_pat, dtype=dt)
-        ptap_plan = SpGEMMPlan.plan(Pu_pat.T.tocsr(),
-                                    _csr_entry_index((Apat @ Pu_pat)
-                                                     .tocsr()), dtype=dt)
-        Ac_pat = _csr_entry_index(
-            (Pu_pat.T @ Apat @ Pu_pat).tocsr())
+        APu_pat = _csr_entry_index((Apat @ Pu_pat).tocsr())
+        PuT_pat = _csr_entry_index(Pu_pat.T.tocsr())
+        ptap_plan = SpGEMMPlan.plan(PuT_pat, APu_pat, dtype=dt)
+        C_sup = _csr_entry_index((PuT_pat @ APu_pat).tocsr())
+        # numeric hierarchy (host, once): next aggregation round AND
+        # the next level's pattern — chaining C_sup itself compounds
+        # density and explodes plan memory
+        from petsctpu.pc.gamg import smooth_prolongator
+        P_num = smooth_prolongator(Al_num, P0)
+        Al_num = _csr_entry_index((P_num.T @ Al_num @ P_num).tocsr())
+        Anext = _csr_entry_index(_pattern(Al_num))
+        c_sel = _slot_in(C_sup, Anext)
         a_rows = np.repeat(np.arange(Al.shape[0], dtype=np.int64),
                            np.diff(Al.indptr))
         v0 = rng.standard_normal(Al.shape[0]).astype(dt)
@@ -207,6 +236,7 @@ def gamg_device_plan(A_host, theta: float = 0.0, coarse_n: int = 64,
             prod_plan,
             jnp.asarray(_slot_in(Pu_pat, prod_pat), jnp.int32),
             ap_plan, ptap_plan,
+            jnp.asarray(c_sel, jnp.int32),
             jnp.asarray(_transpose_perm(Pu_pat), jnp.int32),
             jnp.asarray(a_rows, jnp.int32),
             tmpl_l, jnp.asarray(pos_l, jnp.int32),
@@ -216,11 +246,7 @@ def gamg_device_plan(A_host, theta: float = 0.0, coarse_n: int = 64,
                         jnp.int32),
             jnp.asarray(v0),
             int(Pu_pat.nnz)))
-        # numeric hierarchy (host, once) for the next aggregation round
-        from petsctpu.pc.gamg import smooth_prolongator
-        P_num = smooth_prolongator(Al_num, P0)
-        Al_num = _csr_entry_index((P_num.T @ Al_num @ P_num).tocsr())
-        Al = Ac_pat
+        Al = Anext
         tmpl_l = aij_from_scipy(Al, dtype=dt)
         pos_l = _ell_positions(Al, tmpl_l)
 
