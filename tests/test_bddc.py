@@ -119,6 +119,69 @@ class TestBDDC:
         assert int(r.reason) > 0 and int(r.its) <= 40, int(r.its)
         assert np.abs(np.asarray(r.x) - xex).max() < 1e-4
 
+    def test_3d_hex_subdomains(self):
+        """2x2x2 hex-block decomposition of a 3-D Q1 Poisson: the
+        signature classification produces vertex + edge + face
+        constraints (3-D BDDC space) and BDDC converges fast."""
+        import jax
+        from petsctpu.dm.plex import PlexHex, q1_element_stiffness_3d
+        import jax.numpy as jnp2
+
+        ncell, sub = 8, 2
+        pl = PlexHex.create_box_mesh(ncell, ncell, ncell)
+        nv = pl.num_vertices
+        bnd = pl.boundary_vertices()
+        free = np.setdiff1d(np.arange(nv), bnd)
+        gnum = np.full(nv, -1)
+        gnum[free] = np.arange(len(free))
+        coords = jnp2.asarray(pl.coords)
+        Ke = np.asarray(jax.vmap(
+            lambda c: q1_element_stiffness_3d(coords[c]))(
+            jnp2.asarray(pl.cells)))
+        nc3 = ncell
+        idx = np.arange(pl.num_cells)
+        ci = idx // (nc3 * nc3)
+        cj = (idx // nc3) % nc3
+        ck = idx % nc3
+        bs = ncell // sub
+        block = ((ci // bs) * sub + (cj // bs)) * sub + (ck // bs)
+        locs, l2gs = [], []
+        for b in range(sub ** 3):
+            cells_b = np.flatnonzero(block == b)
+            verts = np.unique(pl.cells[cells_b])
+            verts = verts[gnum[verts] >= 0]
+            lmap = np.full(nv, -1)
+            lmap[verts] = np.arange(len(verts))
+            rows, cols, vals = [], [], []
+            for c in cells_b:
+                vvk = pl.cells[c]
+                for a in range(8):
+                    if gnum[vvk[a]] < 0:
+                        continue
+                    for q in range(8):
+                        if gnum[vvk[q]] < 0:
+                            continue
+                        rows.append(lmap[vvk[a]])
+                        cols.append(lmap[vvk[q]])
+                        vals.append(Ke[c, a, q])
+            locs.append(sp.coo_matrix(
+                (vals, (rows, cols)),
+                shape=(len(verts), len(verts))).tocsr())
+            l2gs.append(gnum[verts])
+        M = matis_from_subdomains(locs, l2gs, len(free))
+        pc = make_bddc(M)
+        # 3-D 2x2x2: 1 interior cross vertex, 6 face classes (|sig|=2),
+        # 12 edge classes (|sig|=4) -> vertices(per-dof) + averages
+        assert pc.nprimal > 7
+        Ah = M.assemble_host()
+        rng = np.random.default_rng(4)
+        xex = rng.standard_normal(Ah.shape[0])
+        b = jnp.asarray(Ah @ xex)
+        r = ksp_solve(M, b, pc=pc, ksp_type="fgmres", rtol=1e-8,
+                      maxits=200)
+        assert int(r.reason) > 0 and int(r.its) <= 20, int(r.its)
+        assert np.abs(np.asarray(r.x) - xex).max() < 1e-5
+
     def test_primal_space_contents(self):
         """4x4 decomposition of a 2-D grid: 9 interior cross points
         (vertices) + 24 interface edges."""

@@ -106,6 +106,40 @@ class TestSBAIJCholesky:
         assert int(r_blk.its) <= int(r_sca.its), (int(r_blk.its),
                                                   int(r_sca.its))
 
+    def test_ex10_19_sbaij_stream_equality(self):
+        """runex10_19 (ksp tutorials makefile:622-634): the reference
+        asserts that CG+ICC(k) streams through AIJ and through SBAIJ
+        are IDENTICAL (its own golden is the diff of the two runs).
+        Same check here on a shipped SPD datafile for k = 0, 2, 4:
+        scalar-ICC and the sbaij blocked path (bs=1) must produce
+        identical convergence histories."""
+        import os
+        path = ("/root/reference/share/petsc/datafiles/matrices/"
+                "spd-real-int32-float64")
+        if not os.path.exists(path):
+            pytest.skip("reference datafiles not mounted")
+        from petsctpu.io.viewer import petsc_binary_read_mat
+        from petsctpu.pc.factor import make_icc
+
+        A = petsc_binary_read_mat(path, complex_scalars=False)
+        Ad = aij_from_scipy(A.tocsr(), dtype=np.float64)
+        b = jnp.asarray(np.ones(A.shape[0]))
+        for k in (0, 2, 4):
+            r_aij = ksp_solve(Ad, b, pc=make_icc(A, levels=k,
+                                                 shift_type="none"),
+                              ksp_type="cg", rtol=1e-8, maxits=200)
+            r_sb = ksp_solve(Ad, b, pc=make_sbaij_cholesky(A, bs=1,
+                                                           levels=k),
+                             ksp_type="cg", rtol=1e-8, maxits=200)
+            assert int(r_aij.its) == int(r_sb.its), (k, int(r_aij.its),
+                                                     int(r_sb.its))
+            ha = np.asarray(r_aij.history[: int(r_aij.its) + 1])
+            hs = np.asarray(r_sb.history[: int(r_sb.its) + 1])
+            # the reference diffs the PRINTED -ksp_monitor_short
+            # streams (%.6g); the factors agree to ~1e-13 but the
+            # block recurrence sums in a different order
+            np.testing.assert_allclose(ha, hs, rtol=5e-7, atol=1e-14)
+
     def test_bs1_matches_scalar_icc(self):
         """bs=1 blocked IC(0) == the scalar aijfact route (same
         algorithm at block size 1), digit-exact factors."""
