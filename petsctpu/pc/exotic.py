@@ -47,19 +47,25 @@ def _box_splits(n: int, parts: int):
 
 def exotic_interpolation(A_host, grid: Tuple[int, int, int],
                          sub: Tuple[int, int, int],
-                         etype: str = "wirebasket") -> sp.csr_matrix:
+                         etype: str = "wirebasket",
+                         direct_solve: bool = True) -> sp.csr_matrix:
     """Build the exotic coarse-space interpolation P (host, scipy).
 
     grid: global dims (C-order flattening, matching dm.da.DA).
     sub:  number of subdomain boxes per axis (the reference uses the
           processor decomposition; serial callers choose it).
     etype "wirebasket": one coarse dof per box-boundary piece (vertex/
-          edge/face — up to 26 per box); "face": pieces merged onto the
-          6 faces (vertices/edges assigned to a dominant face) so each
-          box contributes 6 columns, like DMDAGetFaceInterpolation.
+          edge/face — up to 26 per box, wb.c:80-90's 3x3x3
+          classification); "face" (the reference DEFAULT, wb.c:576):
+          6 columns per box indicating face INTERIORS only — wire
+          nodes (vertices/edges) get ZERO rows
+          (DMDAGetFaceInterpolation wb.c:357-364).
     Surface rows of each column are indicators; interior rows are the
-    harmonic extension −A_ii⁻¹A_is·Xsurf (wb.c:155-185), so P
-    reproduces constants exactly (the wb.c debug check).
+    extension −A_ii⁻¹A_is·Xsurf (wb.c:155-185). direct_solve=False
+    mimics the reference default (-pc_exotic_direct_solver false):
+    each column's interior solve runs GMRES+ILU(0) to rtol 1e-5 — the
+    interpolation then only approximately reproduces constants (the
+    wb.c:92 comment).
     """
     A = sp.csr_matrix(A_host)
     grid = tuple(grid)
@@ -101,27 +107,55 @@ def exotic_interpolation(A_host, grid: Tuple[int, int, int],
                 surf = np.any(ext != 0, axis=1)
                 S, I = gidx[surf], gidx[~surf]
                 box = (b0, b1, b2)
-                # piece key per surface node
+                # piece key per surface node. NOTE on "face": the
+                # reference's DMDAGetFaceInterpolation writes its
+                # 6-column indicator stream into Xsurf rows by a
+                # RUNNING COUNTER that only covers the face-interior
+                # count, while Xsurf rows are the full surface in lex
+                # order (wb.c:357-364 vs the Isurf fill at :389-404).
+                # The 1s therefore land on the FIRST 150 lex-ordered
+                # surface rows — corners and edges included, the last
+                # 68 surface rows zero. The ex45_1 golden bakes this
+                # in, so it is replicated verbatim here.
                 keys = []
-                for e in ext[surf]:
-                    if etype == "wirebasket":
+                srows = []
+                if etype == "wirebasket":
+                    for sk, e in enumerate(ext[surf]):
                         keys.append(piece_col((box, tuple(e))))
-                    else:                      # face: dominant-axis merge
-                        ax = int(np.argmax(np.abs(e)))
-                        keys.append(piece_col((box, ax, int(e[ax]))))
-                keys = np.asarray(keys)
-                ncol_here = keys.max() + 1
+                        srows.append(sk)
+                else:
+                    # surface ranks follow ascending global index
+                    # (axis 0 slowest == the reference's k); the
+                    # reference's (m, n, p) = our (axis2, axis1, axis0)
+                    dz, dy, dx = (hi[0] - lo[0], hi[1] - lo[1],
+                                  hi[2] - lo[2])
+                    stream = [0] * ((dy - 2) * (dx - 2))
+                    for _k in range(dz - 2):
+                        stream += [1] * (dx - 2)
+                        for _j in range(dy - 2):
+                            stream += [2, 3]
+                        stream += [4] * (dx - 2)
+                    stream += [5] * ((dy - 2) * (dx - 2))
+                    for sk, cidx in enumerate(stream):
+                        keys.append(piece_col((box, cidx)))
+                        srows.append(sk)
+                keys = np.asarray(keys, np.int64)
+                srows = np.asarray(srows, np.int64)
+                ncol_here = (keys.max() + 1) if len(keys) else 0
                 Xsurf = sp.csr_matrix(
-                    (np.ones(len(S)), (np.arange(len(S)), keys)),
-                    shape=(len(S), ncol_here))
-                rows.append(S)
+                    (np.ones(len(keys)), (srows, keys)),
+                    shape=(len(S), max(ncol_here, 1)))
+                rows.append(S[srows])
                 cols.append(keys)
-                vals.append(np.ones(len(S)))
+                vals.append(np.ones(len(keys)))
                 if len(I):
                     Aii = A[I][:, I].tocsc()
                     Ais = A[I][:, S]
                     rhsm = -(Ais @ Xsurf).toarray()
-                    Xint = spla.splu(Aii).solve(rhsm)
+                    if direct_solve:
+                        Xint = spla.splu(Aii).solve(rhsm)
+                    else:
+                        Xint = _inexact_interior_solve(Aii.tocsr(), rhsm)
                     ri, ci = np.nonzero(np.abs(Xint) > 1e-14)
                     rows.append(I[ri])
                     cols.append(ci)
@@ -131,6 +165,27 @@ def exotic_interpolation(A_host, grid: Tuple[int, int, int],
          (np.concatenate(rows), np.concatenate(cols))),
         shape=(n, len(piece_ids)))
     return P
+
+
+def _inexact_interior_solve(Aii: sp.csr_matrix, rhsm: np.ndarray):
+    """The reference's default interior extension (exotic->directSolve
+    false, wb.c:168-185): per column, GMRES(30)+ILU(0) to the KSP
+    default rtol 1e-5, zero initial guess — via our own solver (whose
+    gmres stream is digit-matched to the reference elsewhere)."""
+    import jax.numpy as jnp
+
+    from petsctpu.ksp import ksp_solve
+    from petsctpu.mat.ell import aij_from_scipy
+    from petsctpu.pc.factor import make_ilu
+
+    Ad = aij_from_scipy(Aii, dtype=np.float64)
+    pc = make_ilu(Aii, dtype=np.float64)
+    out = np.empty_like(rhsm)
+    for c in range(rhsm.shape[1]):
+        r = ksp_solve(Ad, jnp.asarray(rhsm[:, c]), pc=pc,
+                      ksp_type="gmres", rtol=1e-5, maxits=10000)
+        out[:, c] = np.asarray(r.x)
+    return out
 
 
 def make_exotic(A_host, grid, sub=(2, 2, 2), etype: str = "wirebasket",

@@ -40,16 +40,21 @@ class TestExotic:
         A = lap3d(m)
         # make interior rows exactly harmonic (zero row sums) so the
         # constant check is exact: add Neumann-like closure
-        for etype, ncols in (("wirebasket", 26), ("face", 6)):
-            P = exotic_interpolation(A, (m, m, m), (2, 2, 2), etype)
-            assert P.shape == (m ** 3, 8 * ncols)
-            # interior rows of the grid (not touching the global
-            # boundary): the 7-pt stencil there has zero row sum, so
-            # the harmonic extension preserves the constant
-            idx = np.arange(m ** 3).reshape(m, m, m)
-            inner = idx[1:-1, 1:-1, 1:-1].ravel()
-            rs = np.asarray(P.sum(axis=1)).ravel()
-            np.testing.assert_allclose(rs[inner], 1.0, atol=1e-10)
+        P = exotic_interpolation(A, (m, m, m), (2, 2, 2), "wirebasket")
+        assert P.shape == (m ** 3, 8 * 26)
+        # interior rows of the grid (not touching the global
+        # boundary): the 7-pt stencil there has zero row sum, so
+        # the harmonic extension preserves the constant
+        idx = np.arange(m ** 3).reshape(m, m, m)
+        inner = idx[1:-1, 1:-1, 1:-1].ravel()
+        rs = np.asarray(P.sum(axis=1)).ravel()
+        np.testing.assert_allclose(rs[inner], 1.0, atol=1e-10)
+        # face type (the reference DEFAULT): 6 columns per box; does
+        # NOT reproduce constants (wb.c:92's own comment + the
+        # row-misaligned indicator fill replicated from wb.c:357)
+        Pf = exotic_interpolation(A, (m, m, m), (2, 2, 2), "face")
+        assert Pf.shape == (m ** 3, 8 * 6)
+        assert np.asarray(Pf.sum(axis=1)).max() <= 1.0 + 1e-10
 
     @pytest.mark.parametrize("etype", ["wirebasket", "face"])
     def test_accelerates_cg(self, etype):
@@ -66,6 +71,52 @@ class TestExotic:
             etype, int(r_pc.its), int(r_none.its))
         x = np.asarray(r_pc.x)
         np.testing.assert_allclose(A @ x, np.asarray(b), atol=1e-6)
+
+
+class TestEx45ExoticOracle:
+    """runex45_1 (ksp tutorials makefile:956) run SERIALLY against a
+    reference-source oracle: -pc_type exotic -ksp_type fgmres
+    -mg_levels_ksp_type gmres -mg_levels_ksp_max_it 1
+    -mg_levels_pc_type bjacobi on the 7³ ex45 system. Two findings
+    baked into these goldens:
+      * PCExotic DEFAULTS to the FACE space (wb.c:576), whose Xsurf
+        fill uses a running counter that misaligns the indicator rows
+        onto the first lex-ordered surface nodes (wb.c:357 vs :389) —
+        replicated verbatim in exotic_interpolation;
+      * the interior extension uses the INEXACT inner KSP by default
+        (gmres+ILU to rtol 1e-5, wb.c:168-185) — our gmres stream
+        matches the reference's, so P matches to 1e-16.
+    """
+
+    def _run(self, etype, direct):
+        from petsctpu.models import ex45_true_system
+        from petsctpu.pc.mg import make_full_mg_gmres_ilu
+
+        A, b = ex45_true_system(7)
+        P = exotic_interpolation(A, (7, 7, 7), (1, 1, 1), etype,
+                                 direct_solve=direct)
+        Ac = (P.T @ A @ P).tocsr()
+        pc = make_full_mg_gmres_ilu([sp.csr_matrix(A), Ac], [P],
+                                    sm_its=1, mg_type="multiplicative")
+        return ksp_solve(aij_from_scipy(A), jnp.asarray(b), pc=pc,
+                         cfg=KSPConfig(ksp_type="fgmres", rtol=1e-5,
+                                       atol=1e-50, maxits=50))
+
+    def test_face_default_digit_exact(self):
+        r = self._run("face", direct=False)
+        assert int(r.its) == 4
+        np.testing.assert_allclose(
+            np.asarray(r.history[:5]),
+            [14.7649, 0.366269, 0.0201148, 0.000508032, 2.18155e-05],
+            rtol=2e-5)
+
+    def test_wirebasket_digit_exact(self):
+        r = self._run("wirebasket", direct=True)
+        assert int(r.its) == 4
+        np.testing.assert_allclose(
+            np.asarray(r.history[:5]),
+            [14.7649, 0.423, 0.015459, 0.000227489, 8.60837e-06],
+            rtol=2e-5)
 
 
 class TestTFS:
