@@ -11,9 +11,14 @@ the storage format at runtime. Device formats here:
   dia      diagonal-offset streams (few-diagonal matrices)
   band     MXU-tiled band (RCM-ordered irregular — the TPU fast path
            for file-driven ex10-style workloads)
+  sell     Pallas sliced-ELL (mat/sell.py): the fast irregular path
+           when the RCM band is too wide for `band` (fp32 only;
+           2.5e10 nnz/s measured vs 1.25e8 for the aij gather)
+  auto     pick for the hardware: band if the RCM band is narrow,
+           else sell if viable (fp32/TPU), else aij
 
-band/dia solve in the permuted space: the returned `perm` (or None)
-must be applied to b and inverted on x.
+band/dia/sell solve in the permuted space: the returned `perm` (or
+None) must be applied to b and inverted on x.
 """
 
 from __future__ import annotations
@@ -54,5 +59,37 @@ def mat_from_options(A, opts=None, mat_type: str = None, dtype=None):
         if mat_type == "band":
             return band_from_scipy(A, dtype=dtype, perm=perm), perm
         return dia_from_scipy(A, dtype=dtype, perm=perm), perm
+    if mat_type == "sell":
+        from petsctpu.mat.sell import sell_from_scipy
+        perm = get_ordering(A, ordering)
+        Ap = A[perm][:, perm].tocsr()
+        Ap.sum_duplicates()
+        return sell_from_scipy(Ap), perm
+    if mat_type == "auto":
+        return _auto_format(A, ordering, dtype)
     raise ValueError(f"unknown -mat_type {mat_type!r} "
-                     "(aij|baij|sbaij|dense|band|dia)")
+                     "(aij|baij|sbaij|dense|band|dia|sell|auto)")
+
+
+def _auto_format(A: sp.csr_matrix, ordering: str, dtype):
+    """Hardware-aware default: narrow RCM band -> BandMat (751 GB/s);
+    wide band but SELL-viable (fp32) -> SellMat (2.5e10 nnz/s); else
+    the robust aij/ELL gather path."""
+    import jax
+
+    from petsctpu.mat import aij_from_scipy, band_from_scipy
+    from petsctpu.mat.order import bandwidth, get_ordering
+
+    perm = get_ordering(A, ordering)
+    Ap = A[perm][:, perm].tocsr()
+    bw = bandwidth(Ap)
+    n = A.shape[0]
+    f32 = np.dtype(dtype or A.dtype) == np.float32
+    if bw <= max(512, n // 64):
+        return band_from_scipy(A, dtype=dtype, perm=perm), perm
+    if f32 and jax.default_backend() == "tpu":
+        from petsctpu.mat.sell import sell_from_scipy, sell_viable
+        Ap.sum_duplicates()
+        if sell_viable(Ap):
+            return sell_from_scipy(Ap), perm
+    return aij_from_scipy(A, dtype=dtype), None

@@ -67,6 +67,26 @@ class TestSellMat:
         with pytest.raises(ValueError):
             sell_from_scipy(A.tocsr(), G=8, max_span_rows=4)
 
+    def test_factory_sell_and_auto(self):
+        """-mat_type sell|auto route (MatSetFromOptions analog):
+        explicit sell returns the permuted-space SellMat; auto picks
+        BandMat for narrow RCM bands and falls back to aij off-TPU."""
+        from petsctpu.mat.factory import mat_from_options
+        from petsctpu.models import laplacian_2d
+        import jax
+
+        A = laplacian_2d(24, 24, dtype=np.float64).tocsr()
+        M, perm = mat_from_options(A, mat_type="auto")
+        assert type(M).__name__ == "BandMat"
+        rng = np.random.default_rng(7)
+        p = rng.permutation(24 * 24)
+        As = laplacian_2d(24, 24, dtype=np.float32).tocsr()[p][:, p]
+        M2, p2 = mat_from_options(As.tocsr(), mat_type="sell")
+        x = rng.standard_normal(24 * 24).astype(np.float32)
+        Ap = As.tocsr()[p2][:, p2]
+        y = np.asarray(M2.mult(jnp.asarray(x)))
+        np.testing.assert_allclose(y, Ap @ x, rtol=2e-5, atol=2e-5)
+
     def test_ksp_solve_through_sell(self):
         """A SellMat drives a CG solve end-to-end (format has mult/
         diagonal — enough for cg+jacobi)."""
