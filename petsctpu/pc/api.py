@@ -178,10 +178,17 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
         return make_lu(A_host, dtype=dt)
     if pc_type in ("nn", "bddc"):
         from petsctpu.mat.matis import MatIS
-        from petsctpu.pc.nn import make_nn
         if not isinstance(A, MatIS):
             raise ValueError(f"pc_type={pc_type} needs a MatIS operator "
                              "(unassembled local Neumann matrices)")
+        if pc_type == "bddc":
+            # proper vertex/edge/face constraint spaces (bddc.c)
+            from petsctpu.pc.bddc import make_bddc
+            return make_bddc(
+                A, dtype=dt,
+                vertices=opts.get_bool("pc_bddc_use_vertices", True),
+                edges=opts.get_bool("pc_bddc_use_edges", True))
+        from petsctpu.pc.nn import make_nn
         return make_nn(A, dtype=dt,
                        balanced=opts.get_bool("pc_nn_balanced", True))
     if pc_type == "eisenstat":

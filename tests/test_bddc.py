@@ -190,3 +190,13 @@ class TestBDDC:
         # count primal dof kinds via the coarse dimension: 9 vertices
         # + 24 edges = 33
         assert pc.nprimal == 33, pc.nprimal
+
+    def test_registry_dispatch(self):
+        """-pc_type bddc through the PC factory (vs nn)."""
+        from petsctpu.pc import make_pc
+        from petsctpu.pc.bddc import BDDCPC
+        from petsctpu.pc.nn import NNPC
+
+        M = matis_poisson_2d(8, 2)
+        assert isinstance(make_pc("bddc", A=M), BDDCPC)
+        assert isinstance(make_pc("nn", A=M), NNPC)
