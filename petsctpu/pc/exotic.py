@@ -189,14 +189,17 @@ def _inexact_interior_solve(Aii: sp.csr_matrix, rhsm: np.ndarray):
 
 
 def make_exotic(A_host, grid, sub=(2, 2, 2), etype: str = "wirebasket",
-                dtype=None, sm_its: int = 2, mg_type: str = "multiplicative"):
+                dtype=None, sm_its: int = 2,
+                mg_type: str = "multiplicative",
+                direct_solve: bool = True):
     """PCExotic: 2-level MG with the wirebasket/face coarse space
     (PCSetUp_Exotic wb.c:~380: build P, then PCMG with Galerkin
     coarse operator)."""
     from petsctpu.pc.mg import make_algebraic_mg_from_hierarchy
 
     A = sp.csr_matrix(A_host)
-    P = exotic_interpolation(A, grid, sub, etype)
+    P = exotic_interpolation(A, grid, sub, etype,
+                             direct_solve=direct_solve)
     Ac = (P.T @ A @ P).tocsr()
     return make_algebraic_mg_from_hierarchy(
         [A, Ac], [P], dtype=dtype, sm_its=sm_its, mg_type=mg_type)
@@ -247,6 +250,11 @@ def make_exotic_from_options(A, A_host, opts: Options):
     if grid is None:
         raise ValueError("pc_exotic_grid (3-D dims tuple) required")
     sub = opts.get("pc_exotic_sub", (2, 2, 2))
-    return make_exotic(A_host, tuple(grid), tuple(sub),
-                       etype=opts.get_str("pc_exotic_type", "wirebasket"),
-                       dtype=getattr(A, "dtype", None))
+    # reference default TYPE is face (wb.c:576); direct_solve mirrors
+    # -pc_exotic_direct_solver (default FALSE — inexact gmres+ILU
+    # interior extension; see the ex45_1 oracle parity test)
+    return make_exotic(
+        A_host, tuple(grid), tuple(sub),
+        etype=opts.get_str("pc_exotic_type", "face"),
+        direct_solve=opts.get_bool("pc_exotic_direct_solver", False),
+        dtype=getattr(A, "dtype", None))
