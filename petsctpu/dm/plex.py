@@ -554,3 +554,123 @@ def fem_assemble_poisson(plex, f: Callable = None, dtype=np.float64,
 def p1_assemble_poisson(plex, f: Callable = None, dtype=np.float64):
     """Back-compat alias (rounds 1-2 name)."""
     return fem_assemble_poisson(plex, f=f, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# P2 (quadratic) triangles through the Section — dofs on vertices AND
+# edge midpoints (the PetscSection multi-stratum layout, plex.c's
+# DMPlexGetDepthStratum over vertices + edges)
+# ---------------------------------------------------------------------------
+
+def p2_element_stiffness(coords_cell: jax.Array) -> jax.Array:
+    """6×6 P2 stiffness for a straight triangle (coords [3,2]).
+
+    Local ordering: vertices 0,1,2 then midpoints of edges (0,1),
+    (1,2), (2,0). Barycentric shapes N_i = λ_i(2λ_i−1),
+    N_{3+k} = 4λ_aλ_b; the 3-midpoint rule integrates the quadratic
+    gradient products exactly."""
+    p0, p1, p2 = coords_cell[0], coords_cell[1], coords_cell[2]
+    J = jnp.stack([p1 - p0, p2 - p0], axis=1)
+    detJ = J[0, 0] * J[1, 1] - J[0, 1] * J[1, 0]
+    area = 0.5 * jnp.abs(detJ)
+    Jinv = jnp.array([[J[1, 1], -J[0, 1]], [-J[1, 0], J[0, 0]]]) / detJ
+    # ∇λ (constant): λ = [1-ξ-η, ξ, η] in reference coords
+    glam = jnp.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]]) @ Jinv
+    # midpoint quadrature: barycentric (1/2,1/2,0),(0,1/2,1/2),(1/2,0,1/2)
+    qpts = np.array([[0.5, 0.5, 0.0], [0.0, 0.5, 0.5], [0.5, 0.0, 0.5]])
+    edges = ((0, 1), (1, 2), (2, 0))
+    K = jnp.zeros((6, 6), coords_cell.dtype)
+    for lam in qpts:
+        G = []
+        for i in range(3):                   # vertex shapes
+            G.append((4.0 * lam[i] - 1.0) * glam[i])
+        for (a, b) in edges:                 # edge bubbles
+            G.append(4.0 * (lam[a] * glam[b] + lam[b] * glam[a]))
+        G = jnp.stack(G)                     # [6, 2]
+        K = K + (area / 3.0) * (G @ G.T)
+    return K
+
+
+def p2_closure(plex):
+    """[nc, 6] closure point ids (vertices then edge points offset by
+    nv) and the edge table used for the numbering."""
+    edges = plex.edges()
+    emap = {tuple(e): k for k, e in enumerate(edges)}
+    nv = plex.num_vertices
+    cl = np.empty((plex.num_cells, 6), np.int64)
+    for c, (a, b, d) in enumerate(plex.cells):
+        cl[c, :3] = (a, b, d)
+        cl[c, 3] = nv + emap[tuple(sorted((int(a), int(b))))]
+        cl[c, 4] = nv + emap[tuple(sorted((int(b), int(d))))]
+        cl[c, 5] = nv + emap[tuple(sorted((int(d), int(a))))]
+    return cl, edges
+
+
+def p2_assemble_poisson(plex, f: Callable = None, dtype=np.float64):
+    """Assemble −Δu = f with P2 triangles, homogeneous Dirichlet.
+
+    Returns (A_device, A_host, b_device, node_coords) where
+    node_coords [nv+ne, 2] includes the edge midpoints (for evaluating
+    exact solutions at every dof)."""
+    from petsctpu.dm.section import Section
+    from petsctpu.mat.ell import aij_from_scipy
+
+    cl, edges = p2_closure(plex)
+    nv = plex.num_vertices
+    ne = edges.shape[0]
+    npts = nv + ne
+    mids = 0.5 * (plex.coords[edges[:, 0]] + plex.coords[edges[:, 1]])
+    node_coords = np.concatenate([plex.coords, mids])
+
+    # boundary: vertices on boundary + midpoints of boundary edges
+    e_all = np.concatenate([plex.cells[:, [0, 1]], plex.cells[:, [1, 2]],
+                            plex.cells[:, [2, 0]]])
+    e_all = np.sort(e_all, axis=1)
+    uniq, counts = np.unique(e_all, axis=0, return_counts=True)
+    bedges = uniq[counts == 1]
+    bnd_v = np.unique(bedges.reshape(-1))
+    emap = {tuple(e): k for k, e in enumerate(edges)}
+    bnd_e = np.asarray([nv + emap[tuple(e)] for e in bedges], np.int64)
+    con_pts = np.concatenate([bnd_v, bnd_e])
+
+    sec = Section(npts).set_dof(np.arange(npts), 1)
+    sec.set_constrained(con_pts)
+    sec.setup()
+
+    coords = jnp.asarray(plex.coords, dtype)
+    Ke = np.asarray(jax.vmap(
+        lambda c: p2_element_stiffness(coords[c]))(
+        jnp.asarray(plex.cells)))
+
+    ci = sec.closure_indices(cl)                      # [nc, 6]
+    rows = np.repeat(ci, 6, axis=1).reshape(-1)
+    cols = np.tile(ci, (1, 6)).reshape(-1)
+    vals = Ke.reshape(-1)
+    ndof = sec.total_dofs
+    keys = rows.astype(np.int64) * ndof + cols
+    ukeys, slot = np.unique(keys, return_inverse=True)
+    data = np.zeros(len(ukeys), dtype)
+    np.add.at(data, slot, vals)
+    indptr = np.searchsorted(ukeys // ndof, np.arange(ndof + 1))
+    A = sp.csr_matrix((data, (ukeys % ndof).astype(np.int32), indptr),
+                      shape=(ndof, ndof))
+
+    # load: midpoint rule — only edge dofs receive load (vertex P2
+    # shapes vanish at midpoints)
+    measures = _simplex_measures(plex.coords, plex.cells)
+    b = np.zeros(ndof)
+    for k in range(3, 6):
+        pts = node_coords[cl[:, k]]
+        fv = (np.ones(len(pts)) if f is None
+              else np.asarray([f(p) for p in pts], float))
+        # ∫ N_edge = area/3; midpoint-rule weight area/3 × N=1 at its
+        # own midpoint (other shapes vanish there)
+        np.add.at(b, ci[:, k], measures / 3.0 * fv)
+
+    con = sec.constrained
+    rr = np.repeat(np.arange(ndof), np.diff(A.indptr))
+    A.data[con[rr] | con[A.indices]] = 0.0
+    A.data[(A.indices == rr) & con[rr]] = 1.0
+    b[con] = 0.0
+    return aij_from_scipy(A, dtype=dtype), A, jnp.asarray(b, dtype), \
+        node_coords

@@ -118,6 +118,61 @@ class TestQ1Elements:
         assert Ah[i, j] == 0.0
 
 
+class TestP2Elements:
+    """Quadratic triangles through the Section (dofs on vertices AND
+    edge midpoints — the multi-stratum PetscSection layout)."""
+
+    def test_patch_consistency(self):
+        import jax.numpy as jnp
+        from petsctpu.dm.plex import p2_element_stiffness
+        q = np.array([[0.0, 0.0], [1.2, 0.1], [0.3, 1.1]])
+        K = np.asarray(p2_element_stiffness(jnp.asarray(q)))
+        np.testing.assert_allclose(K.sum(axis=1), 0, atol=1e-12)
+        np.testing.assert_allclose(K, K.T, atol=1e-12)
+        w = np.linalg.eigvalsh(K)
+        assert w[0] > -1e-12 and w[1] > -1e-12   # PSD, rank 5
+
+    def test_p2_poisson_convergence(self):
+        from petsctpu.dm.plex import p2_assemble_poisson
+        from petsctpu.ksp import ksp_solve
+
+        def f(p):
+            return 2 * np.pi ** 2 * np.sin(np.pi * p[0]) \
+                * np.sin(np.pi * p[1])
+
+        errs = []
+        for nx in (4, 8):
+            pl = Plex.create_box_mesh(nx, nx)
+            Ad, Ah, b, nc = p2_assemble_poisson(pl, f=f)
+            r = ksp_solve(Ad, b, ksp_type="cg", rtol=1e-13, maxits=4000)
+            u = np.sin(np.pi * nc[:, 0]) * np.sin(np.pi * nc[:, 1])
+            errs.append(np.abs(np.asarray(r.x) - u).max())
+        # cubic-plus nodal convergence (measured ~h^4 on the
+        # structured mesh); require well beyond P1's h^2
+        assert errs[0] / errs[1] > 8, errs
+
+    def test_p2_beats_p1_per_mesh(self):
+        from petsctpu.dm.plex import fem_assemble_poisson, \
+            p2_assemble_poisson
+        from petsctpu.ksp import ksp_solve
+
+        def f(p):
+            return 2 * np.pi ** 2 * np.sin(np.pi * p[0]) \
+                * np.sin(np.pi * p[1])
+
+        pl = Plex.create_box_mesh(8, 8)
+        A1, _, b1 = fem_assemble_poisson(pl, f=f)
+        r1 = ksp_solve(A1, b1, ksp_type="cg", rtol=1e-13, maxits=4000)
+        u1 = np.sin(np.pi * pl.coords[:, 0]) \
+            * np.sin(np.pi * pl.coords[:, 1])
+        e1 = np.abs(np.asarray(r1.x) - u1).max()
+        A2, _, b2, nc = p2_assemble_poisson(pl, f=f)
+        r2 = ksp_solve(A2, b2, ksp_type="cg", rtol=1e-13, maxits=4000)
+        u2 = np.sin(np.pi * nc[:, 0]) * np.sin(np.pi * nc[:, 1])
+        e2 = np.abs(np.asarray(r2.x) - u2).max()
+        assert e2 < e1 / 5, (e1, e2)
+
+
 class TestDistPlex:
     @pytest.mark.parametrize("mesh_cls,nx", [(Plex, 16), (PlexQuad, 16),
                                              (Plex3D, 5), (PlexHex, 5)])
