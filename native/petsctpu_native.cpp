@@ -649,6 +649,139 @@ static int64_t cut_of(const Graph& g, const std::vector<int32_t>& part) {
 
 extern "C" {
 
+// Blocked UᵀDU factorization over a given strict-upper BLOCK pattern
+// (MatCholeskyFactorNumeric_SeqSBAIJ_N, sbaijfact.c): bs×bs block
+// pivots D_k, unit-block-diagonal U. Inputs: the block-CSR of A's
+// upper triangle INCLUDING diagonal blocks (ab: nb+1 indptr, abj
+// cols, abv values [bs*bs] row-major per block), the factor pattern
+// (ui/uj strict upper). Outputs: uv (pattern blocks of U), dv (nb
+// diagonal blocks). Dense per-block work is O(bs^3). Returns 0, or
+// (k+1) when block pivot k is singular.
+int64_t sbaij_block_udu(int64_t nb, int64_t bs,
+                        const int64_t* ai, const int64_t* aj,
+                        const double* av,
+                        const int64_t* ui, const int64_t* uj,
+                        double* uv, double* dv, double shift) {
+    const int64_t b2 = bs * bs;
+    // dense LU-based inverse of a bs×bs block (partial pivoting)
+    std::vector<double> w(b2), inv(b2);
+    std::vector<int64_t> piv(bs);
+    auto invert = [&](const double* M, double* out) -> bool {
+        std::copy(M, M + b2, w.begin());
+        for (int64_t i = 0; i < bs; ++i)
+            for (int64_t j = 0; j < bs; ++j)
+                out[i * bs + j] = (i == j) ? 1.0 : 0.0;
+        for (int64_t c = 0; c < bs; ++c) {
+            int64_t p = c;
+            for (int64_t r = c + 1; r < bs; ++r)
+                if (std::fabs(w[r * bs + c]) > std::fabs(w[p * bs + c]))
+                    p = r;
+            if (w[p * bs + c] == 0.0) return false;
+            if (p != c) {
+                for (int64_t j = 0; j < bs; ++j) {
+                    std::swap(w[p * bs + j], w[c * bs + j]);
+                    std::swap(out[p * bs + j], out[c * bs + j]);
+                }
+            }
+            const double d = w[c * bs + c];
+            for (int64_t j = 0; j < bs; ++j) {
+                w[c * bs + j] /= d;
+                out[c * bs + j] /= d;
+            }
+            for (int64_t r = 0; r < bs; ++r) {
+                if (r == c) continue;
+                const double f = w[r * bs + c];
+                if (f == 0.0) continue;
+                for (int64_t j = 0; j < bs; ++j) {
+                    w[r * bs + j] -= f * w[c * bs + j];
+                    out[r * bs + j] -= f * out[c * bs + j];
+                }
+            }
+        }
+        return true;
+    };
+    // acc[j] accumulator blocks for the current row, keyed by column
+    std::vector<double> acc((size_t)0);
+    std::vector<int64_t> accpos(nb, -1);
+    std::vector<double> accbuf;
+    std::vector<int64_t> acccols;
+    std::vector<double> D((size_t)nb * b2, 0.0);
+    std::vector<double> M(b2), T(b2);
+    // colbucket[k]: rows i<k with k in pattern(i), plus position
+    std::vector<std::vector<std::pair<int64_t, int64_t>>> bucket(nb);
+    for (int64_t k = 0; k < nb; ++k) {
+        acccols.clear();
+        accbuf.clear();
+        auto acc_of = [&](int64_t j) -> double* {
+            if (accpos[j] < 0) {
+                accpos[j] = (int64_t)acccols.size();
+                acccols.push_back(j);
+                accbuf.resize(accbuf.size() + b2, 0.0);
+            }
+            return accbuf.data() + accpos[j] * b2;
+        };
+        // seed with A's blocks (upper incl. diagonal)
+        {
+            double* d = acc_of(k);
+            for (int64_t t = 0; t < bs; ++t) d[t * bs + t] += shift;
+        }
+        for (int64_t t = ai[k]; t < ai[k + 1]; ++t) {
+            if (aj[t] < k) continue;
+            double* d = acc_of(aj[t]);
+            for (int64_t q = 0; q < b2; ++q) d[q] += av[t * b2 + q];
+        }
+        // pattern slots must exist even if A has no block there
+        for (int64_t t = ui[k]; t < ui[k + 1]; ++t) (void)acc_of(uj[t]);
+        // subtract U_ikᵀ D_i U_ij for prior rows i with k in pattern
+        for (auto& pr : bucket[k]) {
+            const int64_t i = pr.first, tik = pr.second;
+            const double* Uik = uv + tik * b2;
+            const double* Di = D.data() + i * b2;
+            // M = Uikᵀ · D_i
+            for (int64_t r = 0; r < bs; ++r)
+                for (int64_t c = 0; c < bs; ++c) {
+                    double s = 0.0;
+                    for (int64_t q = 0; q < bs; ++q)
+                        s += Uik[q * bs + r] * Di[q * bs + c];
+                    M[r * bs + c] = s;
+                }
+            for (int64_t t = ui[i]; t < ui[i + 1]; ++t) {
+                const int64_t j = uj[t];
+                if (j < k || accpos[j] < 0) continue;
+                const double* Uij = uv + t * b2;
+                double* d = accbuf.data() + accpos[j] * b2;
+                for (int64_t r = 0; r < bs; ++r)
+                    for (int64_t c = 0; c < bs; ++c) {
+                        double s = 0.0;
+                        for (int64_t q = 0; q < bs; ++q)
+                            s += M[r * bs + q] * Uij[q * bs + c];
+                        d[r * bs + c] -= s;
+                    }
+            }
+        }
+        // D_k and U_kj = D_k⁻¹ acc[j]
+        std::copy(accbuf.data() + accpos[k] * b2,
+                  accbuf.data() + accpos[k] * b2 + b2,
+                  D.data() + k * b2);
+        if (!invert(D.data() + k * b2, inv.data())) return k + 1;
+        for (int64_t t = ui[k]; t < ui[k + 1]; ++t) {
+            const double* a = accbuf.data() + accpos[uj[t]] * b2;
+            double* u = uv + t * b2;
+            for (int64_t r = 0; r < bs; ++r)
+                for (int64_t c = 0; c < bs; ++c) {
+                    double s = 0.0;
+                    for (int64_t q = 0; q < bs; ++q)
+                        s += inv[r * bs + q] * a[q * bs + c];
+                    u[r * bs + c] = s;
+                }
+            bucket[uj[t]].push_back({k, t});
+        }
+        for (int64_t j : acccols) accpos[j] = -1;
+    }
+    std::copy(D.begin(), D.end(), dv);
+    return 0;
+}
+
 // Multilevel k-way partition of an undirected CSR graph (symmetric
 // pattern assumed; self-loops ignored). ewts may be NULL (unit weights).
 // Fills part[n]; returns the weighted edge cut (>= 0) or -1 on error.

@@ -71,6 +71,36 @@ def sbaij_cholesky_factor(A_host, bs: int, levels=None,
             if j >= k:
                 Ablk[(k, j)] = Ab.data[t]
 
+    # native C++ numeric kernel (sbaij_block_udu) when available —
+    # same recurrence, bit-compatible with the Python loop below
+    from petsctpu import native as _native
+    pat_indptr = np.zeros(nb + 1, np.int64)
+    pat_indptr[1:] = np.cumsum([len(r) for r in pat_rows])
+    pat_cols = (np.concatenate(pat_rows) if pat_indptr[-1]
+                else np.zeros(0, np.int64))
+    # upper-including-diagonal block CSR of A
+    mask_up = np.repeat(np.arange(nb), np.diff(Ab.indptr)) <= Ab.indices
+    native_res = None
+    if _native.available():
+        au_i = np.zeros(nb + 1, np.int64)
+        rows_of = np.repeat(np.arange(nb), np.diff(Ab.indptr))
+        au_rows = rows_of[mask_up]
+        au_cols = Ab.indices[mask_up].astype(np.int64)
+        au_vals = Ab.data[mask_up]
+        np.add.at(au_i, au_rows + 1, 1)
+        np.cumsum(au_i, out=au_i)
+        native_res = _native.sbaij_block_udu(au_i, au_cols, au_vals,
+                                             pat_indptr, pat_cols, bs,
+                                             shift)
+    if native_res is not None:
+        uv, dv = native_res
+        U = [dict() for _ in range(nb)]
+        D = [dv[k] for k in range(nb)]
+        for k in range(nb):
+            for t in range(pat_indptr[k], pat_indptr[k + 1]):
+                U[k][int(pat_cols[t])] = uv[t]
+        return _expand_scalar(U, D, nb, bs, pat_rows)
+
     U = [None] * nb                           # per row: {j: block}
     D = [None] * nb
     colbucket = [[] for _ in range(nb)]       # k -> list of rows i<k
@@ -96,7 +126,13 @@ def sbaij_cholesky_factor(A_host, bs: int, levels=None,
         for j in cols_k:
             colbucket[int(j)].append(k)
 
-    # scalar expansion: W = blockdiag(u_k) (I + U_strict) − I
+    return _expand_scalar(U, D, nb, bs, pat_rows)
+
+
+def _expand_scalar(U, D, nb: int, bs: int, pat_rows):
+    """Scalar expansion: W = blockdiag(u_k) (I + U_strict) − I with
+    D_k = u_kᵀ d_k u_k, so A ≈ (I+W)ᵀ diag(d) (I+W)."""
+    n = nb * bs
     rows, cols, vals = [], [], []
     d_scalar = np.zeros(n)
     for k in range(nb):

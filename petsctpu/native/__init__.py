@@ -227,6 +227,50 @@ def _have_round3() -> bool:
     return True
 
 
+def sbaij_block_udu(ai, aj, av, ui, uj, bs: int, shift: float = 0.0):
+    """Blocked UᵀDU numeric factorization (sbaijfact.c analog) over a
+    strict-upper block pattern. av: [nnzb_A, bs, bs] upper blocks of A
+    (incl. diagonal). Returns (uv [nnzb_U, bs, bs], dv [nb, bs, bs])
+    or None when unavailable; raises on a singular block pivot."""
+    lib = _load()
+    if not lib:
+        return None
+    if not getattr(lib, "_sbaij_ok", False):
+        try:
+            i64 = ctypes.c_int64
+            p64 = np.ctypeslib.ndpointer(np.int64, flags="C")
+            pf64 = np.ctypeslib.ndpointer(np.float64, flags="C")
+            lib.sbaij_block_udu.restype = i64
+            lib.sbaij_block_udu.argtypes = [i64, i64, p64, p64, pf64,
+                                            p64, p64, pf64, pf64,
+                                            ctypes.c_double]
+            lib._sbaij_ok = True
+        except AttributeError:
+            try:
+                os.remove(_SO)
+            except OSError:
+                pass
+            global _lib
+            _lib = None
+            if not _load():
+                return None
+            return sbaij_block_udu(ai, aj, av, ui, uj, bs, shift)
+    nb = len(ai) - 1
+    ui = np.ascontiguousarray(ui, np.int64)
+    uv = np.zeros((int(ui[-1]), bs, bs), np.float64)
+    dv = np.zeros((nb, bs, bs), np.float64)
+    rc = lib.sbaij_block_udu(
+        nb, bs, np.ascontiguousarray(ai, np.int64),
+        np.ascontiguousarray(aj, np.int64),
+        np.ascontiguousarray(av, np.float64).reshape(-1), ui,
+        np.ascontiguousarray(uj, np.int64),
+        uv.reshape(-1), dv.reshape(-1), shift)
+    if rc > 0:
+        raise ZeroDivisionError(
+            f"sbaij UtDU: singular block pivot {rc - 1}")
+    return uv, dv
+
+
 def kway_partition(indptr, indices, nparts: int, ewts=None, seed: int = 1):
     """Multilevel k-way partition (HEM coarsen + greedy grow + FM
     refine — the ParMetis-analog, pmetis.c). Returns (part, edgecut)

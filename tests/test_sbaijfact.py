@@ -140,6 +140,26 @@ class TestSBAIJCholesky:
             # block recurrence sums in a different order
             np.testing.assert_allclose(ha, hs, rtol=5e-7, atol=1e-14)
 
+    def test_native_matches_python(self):
+        """The C++ sbaij_block_udu kernel and the Python recurrence
+        produce the same factor to roundoff."""
+        from petsctpu import native
+        from petsctpu.mat import sbaijfact as sf
+        if not native.available():
+            pytest.skip("native library unavailable")
+        A = block_spd(40, 3, seed=9)
+        W1, d1 = sf.sbaij_cholesky_factor(A, bs=3, levels=0)
+        orig = native.available
+        try:
+            native.available = lambda: False
+            W2, d2 = sf.sbaij_cholesky_factor(A, bs=3, levels=0)
+        finally:
+            native.available = orig
+        np.testing.assert_allclose(d1, d2, rtol=1e-13)
+        assert W1.nnz == W2.nnz
+        np.testing.assert_allclose(W1.toarray(), W2.toarray(),
+                                   atol=1e-14)
+
     def test_bs1_matches_scalar_icc(self):
         """bs=1 blocked IC(0) == the scalar aijfact route (same
         algorithm at block size 1), digit-exact factors."""
