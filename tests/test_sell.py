@@ -87,6 +87,33 @@ class TestSellMat:
         y = np.asarray(M2.mult(jnp.asarray(x)))
         np.testing.assert_allclose(y, Ap @ x, rtol=2e-5, atol=2e-5)
 
+    def test_gamg_levels_through_sell(self):
+        """fmt="sell" AMG: level operators on the Pallas kernel, same
+        convergence as the ELL route."""
+        from petsctpu.ksp import ksp_solve
+        from petsctpu.mat import aij_from_scipy
+        from petsctpu.models import laplacian_2d
+        from petsctpu.pc.gamg import gamg_hierarchy
+        from petsctpu.pc.mg import make_algebraic_mg_from_hierarchy
+
+        rng = np.random.default_rng(0)
+        A = laplacian_2d(48, 48, dtype=np.float64).tocsr()
+        p = rng.permutation(A.shape[0])
+        As = (A[p][:, p]).tocsr()
+        Asys, Ps = gamg_hierarchy(As, coarse_n=64)
+        b = jnp.asarray(rng.standard_normal(As.shape[0])
+                        .astype(np.float32))
+        Ad = aij_from_scipy(As.astype(np.float32), dtype=np.float32)
+        its = {}
+        for fmt in ("ell", "sell"):
+            pc = make_algebraic_mg_from_hierarchy(
+                Asys, Ps, dtype=np.float32, fmt=fmt)
+            r = ksp_solve(Ad, b, pc=pc, ksp_type="cg", rtol=1e-5,
+                          maxits=60)
+            assert int(r.reason) > 0, fmt
+            its[fmt] = int(r.its)
+        assert abs(its["sell"] - its["ell"]) <= 2, its
+
     def test_ksp_solve_through_sell(self):
         """A SellMat drives a CG solve end-to-end (format has mult/
         diagonal — enough for cg+jacobi)."""
