@@ -93,6 +93,27 @@ class TestVISemismooth:
         assert np.all(Fu[contact] >= -1e-6)
         np.testing.assert_allclose(Fu[~contact], 0.0, atol=1e-6)
 
+    def test_phi_matches_reference_oracle(self):
+        """‖Φ(x₀)‖ on the 1-D obstacle problem (n=40, ψ=-0.2+0.4(x-½)²,
+        F = A u + 8) matches a reference-source oracle running
+        SNESVINEWTONSSLS (scripts/mint_vi_oracle.c):
+        '0 SNES Function norm 1.067412728097e+00'. Pins the verbatim
+        Phi/DPhi composition (viss.c:37-47,61-91); the subsequent
+        trajectory differs only in the line search (ours: Armijo,
+        converging in ~24 its vs the reference bt's 43)."""
+        from petsctpu.snes.vi import _phi_fb
+        n = 40
+        h = 1.0 / (n + 1)
+        A = sp.diags([-np.ones(n - 1), 2 * np.ones(n), -np.ones(n - 1)],
+                     [-1, 0, 1]).tocsr() / h ** 2
+        xs = np.linspace(h, 1 - h, n)
+        psi = -0.2 + 0.4 * (xs - 0.5) ** 2
+        x0 = np.zeros(n)
+        F0 = A @ x0 + 8.0
+        phi = _phi_fb(jnp.asarray(x0 - psi), jnp.asarray(F0))
+        np.testing.assert_allclose(float(jnp.linalg.norm(phi)),
+                                   1.067412728097, rtol=1e-11)
+
     def test_unconstrained_is_newton(self):
         rng = np.random.default_rng(0)
         a = jnp.asarray(rng.uniform(1.0, 2.0, 10))
