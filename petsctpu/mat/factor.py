@@ -481,8 +481,8 @@ class BandTRSVPlan:
 
         def step(win, t):
             dinv, off, bb = t
-            acc = off @ win
-            xt = dinv @ (bb - acc)
+            acc = jnp.matmul(off, win, precision="highest")
+            xt = jnp.matmul(dinv, bb - acc, precision="highest")
             if self.lower:
                 win = jnp.concatenate([win[T:], xt])
             else:
@@ -537,8 +537,11 @@ class BandTRSVHierPlan:
         # phase 1: particular solutions, all groups in parallel
         def step(win, t):
             dinv, off, bv = t                            # [G,T,T],[G,T,W],[G,T]
-            xt = jnp.einsum("gij,gj->gi", dinv,
-                            bv - jnp.einsum("giw,gw->gi", off, win))
+            xt = jnp.einsum(
+                "gij,gj->gi", dinv,
+                bv - jnp.einsum("giw,gw->gi", off, win,
+                                precision="highest"),
+                precision="highest")
             win = jnp.concatenate([win[:, T:], xt], axis=1)
             return win, xt
 
@@ -549,38 +552,74 @@ class BandTRSVHierPlan:
         # phase 2: boundary windows v_g (entry window of each group)
         def bstep(v, t):
             P, pe = t
-            vn = P @ v + pe
+            vn = jnp.matmul(P, v, precision="highest") + pe
             return vn, v
 
         _, vs = jax.lax.scan(bstep, jnp.zeros((W,), b.dtype),
                              (self.Pg, wend))            # vs: [G, W]
 
         # phase 3: batched correction
-        x = x0 + jnp.einsum("lgtw,gw->lgt", self.R, vs)
+        x = x0 + jnp.einsum("lgtw,gw->lgt", self.R, vs,
+                            precision="highest")
         x = x.transpose(1, 0, 2).reshape(-1)[:self.nt * T]  # processed order
         if not self.lower:
             x = x.reshape(self.nt, T)[::-1].reshape(-1)
         return x[:self.n]
 
 
+@jax.jit
+def _hier_propagators(dinv_gl, off_gl):
+    """Group propagators Pg and within-group prefix rows R, on device.
+
+    The window recurrence w_t = A_t w_{t-1} + c_t has propagator
+    A_t = [[shift], [M_t]] with M_t = −Dinv_t Off_t, so the product
+    update only needs M_t @ Q (the other rows are a copy):
+        Q ← [Q[T:], M_t Q],  R_t = last T rows = M_t Q.
+    Scanned over the L within-group steps, vmapped over groups."""
+    G, L, T, W = off_gl.shape
+    M = -jnp.einsum("glij,gljw->gliw", dinv_gl, off_gl,
+                    precision="highest")
+
+    def step(Q, Ml):                      # Q [G, W, W]; Ml [G, T, W]
+        Rl = jnp.einsum("gtw,gwv->gtv", Ml, Q, precision="highest")
+        Qn = jnp.concatenate([Q[:, T:, :], Rl], axis=1)
+        return Qn, Rl
+
+    Q0 = jnp.broadcast_to(jnp.eye(W, dtype=off_gl.dtype), (G, W, W))
+    Pg, R = jax.lax.scan(step, Q0, M.transpose(1, 0, 2, 3))
+    return Pg, R                          # R [L, G, T, W]
+
+
 def make_band_trsv_hier_plan(Tmat, lower: bool, unit_diag: bool, dtype=None,
-                             tile: int = None,
-                             group_len: int = None) -> BandTRSVHierPlan:
+                             tile: int = None, group_len: int = None,
+                             pad_to: tuple = None) -> BandTRSVHierPlan:
     """Build the two-phase plan from a scipy triangle. Reuses the flat
-    plan's tiling, then precomputes propagator products on host.
+    plan's tiling, then precomputes propagator products on device
+    (one jitted scan — the host triple loop took seconds per plan).
 
     tile default is 128 (measured best for the two-phase shape on
     v5e: 1096 MFlop/s vs 987 at 256 on the medium ILU factors — the
-    batched phase-1/3 ops amortize launches, so smaller tiles win)."""
+    batched phase-1/3 ops amortize launches, so smaller tiles win).
+
+    pad_to=(nt, W) forces uniform static shapes so plans from
+    different local blocks can be stacked for vmap (bjacobi/ASM)."""
     base = make_band_trsv_plan(Tmat, lower, unit_diag, dtype=dtype,
-                               tile=tile or 128)
+                               tile=tile or 128,
+                               pad_to=pad_to)
     dinv = np.asarray(base.dinv_tiles)
     off = np.asarray(base.off_tiles)
+    nt, T, W = off.shape
     if not lower:
         # the flat plan reverses tiles at runtime; bake the reversal in
-        # so the hier recurrence is always "lower-style"
-        dinv, off = dinv[::-1].copy(), off[::-1].copy()
-    nt, T, W = off.shape
+        # so the hier recurrence is always "lower-style". The window of
+        # the baked chain holds the previously produced tiles in
+        # REVERSED tile order relative to the flat-upper window, so the
+        # T-blocks of the off columns must be flipped too (W == T made
+        # the flip a no-op, which is how the W > T upper bug survived
+        # the original tests).
+        dinv = dinv[::-1].copy()
+        off = off[::-1].reshape(nt, T, W // T, T)[:, :, ::-1, :] \
+            .reshape(nt, T, W).copy()
     L = group_len or max(int(np.ceil(np.sqrt(nt))), 1)
     G = -(-nt // L)
     pad = L * G - nt
@@ -589,36 +628,44 @@ def make_band_trsv_hier_plan(Tmat, lower: bool, unit_diag: bool, dtype=None,
         dinv = np.concatenate([dinv, np.tile(np.eye(T, dtype=dinv.dtype),
                                              (pad, 1, 1))])
         off = np.concatenate([off, np.zeros((pad, T, W), off.dtype)])
-    # propagators A_t = S − E (dinv_t off_t)
-    S = np.zeros((W, W), dinv.dtype)
-    S[np.arange(W - T), np.arange(W - T) + T] = 1.0
-    Pg = np.empty((G, W, W), dinv.dtype)
-    R = np.empty((L * G, T, W), dinv.dtype)
-    for g in range(G):
-        Q = np.eye(W, dtype=dinv.dtype)
-        for l in range(L):
-            t = g * L + l
-            A = S.copy()
-            A[W - T:, :] = -dinv[t] @ off[t]
-            Q = A @ Q
-            R[t] = Q[W - T:, :]
-        Pg[g] = Q
-    dinv_lg = dinv.reshape(G, L, T, T).transpose(1, 0, 2, 3)
-    off_lg = off.reshape(G, L, T, W).transpose(1, 0, 2, 3)
-    R_lg = R.reshape(G, L, T, W).transpose(1, 0, 2, 3)
-    return BandTRSVHierPlan(jnp.asarray(dinv_lg), jnp.asarray(off_lg),
-                            jnp.asarray(Pg), jnp.asarray(R_lg),
-                            lower, T, base.n, nt)
+    dinv_gl = jnp.asarray(dinv.reshape(G, L, T, T))
+    off_gl = jnp.asarray(off.reshape(G, L, T, W))
+    Pg, R = _hier_propagators(dinv_gl, off_gl)
+    return BandTRSVHierPlan(dinv_gl.transpose(1, 0, 2, 3),
+                            off_gl.transpose(1, 0, 2, 3),
+                            Pg, R, lower, T, base.n, nt)
+
+
+def band_dims(Tmat, lower: bool, tile: int = 128) -> tuple:
+    """(nt, W) the banded plans would use — the cheap viability probe
+    for the auto triangular-solve strategy (storage ~ nt·T·W·2 floats
+    per triangle for the hier plan's off + prefix tables)."""
+    Tmat = sp.csr_matrix(Tmat)
+    n = Tmat.shape[0]
+    T = tile
+    nt = max(-(-n // T), 1)
+    coo = Tmat.tocoo()
+    toff = coo.col - (coo.row // T) * T
+    outside = (toff < 0) if lower else (toff >= T)
+    B = int(np.abs(toff[outside] - (0 if lower else T - 1)).max()) \
+        if outside.any() else 1
+    return nt, max(-(-B // T), 1) * T
 
 
 def make_band_trsv_plan(Tmat, lower: bool, unit_diag: bool, dtype=None,
-                        tile: int = None) -> BandTRSVPlan:
+                        tile: int = None,
+                        pad_to: tuple = None) -> BandTRSVPlan:
     """Build a banded back-substitution plan from a scipy triangle.
 
     tile=None auto-selects: each scan step is launch-latency-bound, so
     fewer/larger tiles win until per-step matvec work overtakes the
     latency (measured on v5e: 128→446, 256→942, 512→693 MFlop/s on the
-    n=10800 medium triangle) — 256 for all but tiny systems."""
+    n=10800 medium triangle) — 256 for all but tiny systems.
+
+    pad_to=(nt, W) forces at-least dimensions (identity diagonal tiles
+    / zero off columns) so plans of different blocks stack for vmap.
+    Padding columns go on the far side of the window (left for lower,
+    right for upper) so real data keeps its window alignment."""
     Tmat = sp.csr_matrix(Tmat)
     n = Tmat.shape[0]
     coo = Tmat.tocoo()
@@ -630,6 +677,9 @@ def make_band_trsv_plan(Tmat, lower: bool, unit_diag: bool, dtype=None,
     B = int(np.abs(toff[outside] - (0 if lower else T - 1)).max()) \
         if outside.any() else 1
     W = max(-(-B // T), 1) * T
+    if pad_to is not None:
+        nt = max(nt, pad_to[0])
+        W = max(W, pad_to[1])
     dtiles = np.zeros((nt, T, T), dtype or Tmat.dtype)
     otiles = np.zeros((nt, T, W), dtype or Tmat.dtype)
     t_of = coo.row // T

@@ -66,7 +66,7 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
                         levels=opts.get_int("pc_factor_levels", 0),
                         ordering=opts.get_str("pc_factor_mat_ordering_type",
                                               "natural"),
-                        tri=opts.get_str("pc_factor_tri_solve", "level"),
+                        tri=opts.get_str("pc_factor_tri_solve", "auto"),
                         drop_tol=opts.get_real("pc_factor_drop_tolerance",
                                                0.0),
                         fill_factor=opts.get_real("pc_factor_fill", 10.0))
@@ -113,7 +113,7 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
         # lives in pc/parallel.py)
         _require_host(A_host, "bjacobi")
         from petsctpu.pc.asm import make_asm
-        return make_asm(A_host, dtype=dt,
+        return make_asm(A_host, dtype=dt, options=opts,
                         nblocks=opts.get_int("pc_bjacobi_blocks", 1),
                         overlap=0, restricted=False,
                         sub_pc=opts.get_str("sub_pc_type", "ilu"))

@@ -50,10 +50,19 @@ class ASMPC:
     n: int = field(metadata=dict(static=True))
     restricted: bool = field(metadata=dict(static=True), default=True)
     use_perm: bool = field(metadata=dict(static=True), default=False)
+    # zero-overlap equal contiguous blocks (the bjacobi shape): the
+    # subdomain gather/scatter is a pure reshape — skips two n-sized
+    # arbitrary gathers per apply (~2 ms at 110k rows on v5e)
+    contiguous: bool = field(metadata=dict(static=True), default=False)
 
     def apply(self, x):
-        xp = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
-        xs = xp[self.idx]                           # [nb, bmax]
+        nb, bmax = self.idx.shape
+        if self.contiguous:
+            xs = jnp.zeros((nb * bmax,), x.dtype).at[: self.n].set(x)
+            xs = xs.reshape(nb, bmax)
+        else:
+            xp = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+            xs = xp[self.idx]                       # [nb, bmax]
 
         def sub_solve(Lp, Up, pr, pcm, b):
             if self.use_perm:
@@ -65,6 +74,8 @@ class ASMPC:
 
         ys = jax.vmap(sub_solve)(self.Lplans, self.Uplans, self.perm_r,
                                  self.perm_c, xs)
+        if self.contiguous:
+            return ys.reshape(-1)[: self.n]
         mask = self.valid & (self.own if self.restricted else True)
         tgt = jnp.where(mask, self.idx, self.n)
         y = jnp.zeros(self.n + 1, x.dtype).at[tgt.ravel()].add(
@@ -75,7 +86,8 @@ class ASMPC:
 def make_asm(A_host, nblocks: int = 4, overlap: int = 1,
              restricted: bool = True, sub_pc: str = "ilu",
              dtype=None, options: Options = None, blocks=None,
-             outer=None) -> ASMPC:
+             outer=None, sub_ordering: str = "natural",
+             tri: str = "auto") -> ASMPC:
     """blocks: optional explicit non-overlapping subdomains — a list of
     either (start, end) ranges or index arrays (PCASMSetLocalSubdomains
     analog; the default is the reference's one-per-rank equal split).
@@ -84,13 +96,25 @@ def make_asm(A_host, nblocks: int = 4, overlap: int = 1,
     (the PCGASMSetSubdomains iis/ois pair, gasm.c) — when given, the
     matrix-connectivity overlap growth is skipped and these index sets
     define the subdomain solves; `blocks` still defines the restricted
-    prolongation ownership."""
+    prolongation ownership.
+
+    sub_ordering ("sub_pc_factor_mat_ordering_type"): per-subdomain
+    fill/bandwidth-reducing ordering for the ILU factors (the
+    reference's -sub_pc_factor_mat_ordering_type rcm). tri
+    ("sub_pc_factor_tri_solve"): 'level' | 'band2' | 'auto' — auto
+    picks the MXU two-phase banded solve when the factors are fp32 and
+    band-viable (pc/parallel.band_solve_viable), else level-scheduled
+    gathers; the reference's default MatSolve is its fast path
+    (aijfact.c:603), so ours auto-selects too."""
     opts = options or Options()
     nblocks = opts.get_int("pc_asm_blocks", nblocks)
     overlap = opts.get_int("pc_asm_overlap", overlap)
     if opts.get_str("pc_asm_type", "restrict") == "basic":
         restricted = False
     sub_pc = opts.get_str("sub_pc_type", sub_pc)
+    sub_ordering = opts.get_str("sub_pc_factor_mat_ordering_type",
+                                sub_ordering)
+    tri = opts.get_str("sub_pc_factor_tri_solve", tri)
 
     A = sp.csr_matrix(A_host)
     n = A.shape[0]
@@ -143,16 +167,39 @@ def make_asm(A_host, nblocks: int = 4, overlap: int = 1,
         pcm = jnp.asarray(np.stack(pcs), jnp.int32)
         use_perm = True
     else:
-        Ls, Us = [], []
+        Ls, Us, iperms = [], [], []
         for S in subs:
+            if sub_ordering not in ("natural", ""):
+                from petsctpu.mat.order import get_ordering
+                perm = get_ordering(S, sub_ordering)
+                S = S[perm][:, perm].tocsr()
+                iperms.append(np.argsort(perm))
+            else:
+                iperms.append(np.arange(S.shape[0]))
             L, U = ilu0(S)
             Ls.append(L)
             Us.append(U)
-        Lp = _stacked_tri_plans(Ls, True, True, dtype)
-        Up = _stacked_tri_plans(Us, False, False, dtype)
-        pr = jnp.zeros((nb, bmax), jnp.int32)
-        pcm = jnp.zeros((nb, bmax), jnp.int32)
-        use_perm = False
+        if tri == "auto":
+            from petsctpu.pc.parallel import band_solve_viable
+            tri = "band2" if band_solve_viable(Ls, Us, dtype) else "level"
+        if tri == "band2":
+            from petsctpu.pc.parallel import _stacked_band_hier_plans
+            Lp = _stacked_band_hier_plans(Ls, True, True, dtype)
+            Up = _stacked_band_hier_plans(Us, False, False, dtype)
+        else:
+            Lp = _stacked_tri_plans(Ls, True, True, dtype)
+            Up = _stacked_tri_plans(Us, False, False, dtype)
+        # symmetric-permutation solves reuse the LU perm slots:
+        # pb[iperm[i]] = b[i] permutes in, z[iperm] permutes back
+        pr = jnp.asarray(np.stack(iperms), jnp.int32)
+        pcm = pr
+        use_perm = sub_ordering not in ("natural", "")
 
+    # bjacobi shape: padded-flat [nb, bmax] layout IS the vector layout
+    expected = np.arange(nb * bmax).reshape(nb, bmax)
+    contiguous = bool(
+        np.array_equal(np.where(valid, idx, -1),
+                       np.where(valid, expected, -1))
+        and valid.ravel()[:n].all() and not valid.ravel()[n:].any())
     return ASMPC(jnp.asarray(idx), jnp.asarray(own), jnp.asarray(valid),
-                 Lp, Up, pr, pcm, n, restricted, use_perm)
+                 Lp, Up, pr, pcm, n, restricted, use_perm, contiguous)

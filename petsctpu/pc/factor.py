@@ -48,7 +48,7 @@ class PermutedPC:
 
 
 def make_ilu(A_host, dtype=None, levels: int = 0,
-             ordering: str = "natural", tri: str = "level",
+             ordering: str = "natural", tri: str = "auto",
              drop_tol: float = 0.0, fill_factor: float = 10.0):
     """tri: 'level' (level-scheduled SpTRSV) or 'band' (MXU-tiled
     blocked back-substitution — far faster on TPU for banded/RCM-
@@ -131,7 +131,7 @@ def _iluk_pattern(A, k: int):
 
 
 def _make_ilu_natural(A_host, dtype=None, levels: int = 0,
-                      tri: str = "level") -> ILUPC:
+                      tri: str = "auto") -> ILUPC:
     if levels != 0:
         import scipy.sparse as sp
         # symbolic ILU(k): Saad's level-of-fill rule —
@@ -158,6 +158,12 @@ def _make_ilu_natural(A_host, dtype=None, levels: int = 0,
         L, U = ilu0(Awide)
     else:
         L, U = ilu0(A_host)
+    if tri == "auto":
+        # the reference's default MatSolve is its fast path
+        # (aijfact.c:603); auto picks the MXU banded solve when the
+        # factors are fp32 + band-viable, else level scheduling
+        from petsctpu.pc.parallel import band_solve_viable
+        tri = "band2" if band_solve_viable([L], [U], dtype) else "level"
     if tri == "band2":
         from petsctpu.mat.factor import make_band_trsv_hier_plan
         return ILUPC(

@@ -48,6 +48,48 @@ def _stacked_tri_plans(tris, lower, unit_diag, dtype):
     return stack_pytrees(plans)
 
 
+def _stacked_band_hier_plans(tris, lower, unit_diag, dtype, tile=128):
+    """Build per-block two-phase banded plans with uniform static
+    shapes (common nt and window W), stacked for vmap — the fast
+    MatSolve route for bjacobi/ASM subdomain factors
+    (mat/factor.BandTRSVHierPlan; the reference's default MatSolve is
+    its fast path, aijfact.c:603)."""
+    from petsctpu.mat.factor import band_dims, make_band_trsv_hier_plan
+    nt = W = 1
+    for T in tris:
+        nti, Wi = band_dims(T, lower, tile)
+        nt, W = max(nt, nti), max(W, Wi)
+    plans = [make_band_trsv_hier_plan(T, lower=lower, unit_diag=unit_diag,
+                                      dtype=dtype, tile=tile,
+                                      pad_to=(nt, W))
+             for T in tris]
+    return stack_pytrees(plans)
+
+
+def band_solve_viable(tris_lower, tris_upper, dtype,
+                      mem_cap_bytes: int = 2 * 1024 * 1024 * 1024,
+                      tile: int = 128) -> bool:
+    """Auto triangular-solve strategy probe: the banded two-phase plan
+    is selected when (a) the value dtype is fp32 (the perf path — fp64
+    matmuls are software-emulated on TPU, where the gather-based
+    level-scheduled solve wins) and (b) the dense band storage
+    (off + prefix tables, ~2·nt·T·W floats per triangle) fits the cap.
+    RCM-ordered stencil factors pass; SuperLU fill patterns with
+    near-n bandwidth fail back to level scheduling."""
+    from petsctpu.mat.factor import band_dims
+    if np.dtype(dtype or np.float64) != np.float32:
+        return False
+    total = 0
+    for tris, lower in ((tris_lower, True), (tris_upper, False)):
+        for T in tris:
+            nt, W = band_dims(T, lower, tile)
+            L = max(int(np.ceil(np.sqrt(nt))), 1)
+            G = -(-nt // L)
+            total += (2 * L * G * tile * W + G * W * W
+                      + L * G * tile * tile) * 4
+    return total <= mem_cap_bytes
+
+
 def make_bjacobi(part: PartitionedCSR, sub_pc: str = "ilu", dtype=None):
     """Block Jacobi over shard diagonal blocks; sub_pc: ilu | lu."""
     if sub_pc == "ilu":
