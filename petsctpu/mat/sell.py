@@ -296,3 +296,62 @@ def sell_from_scipy(A, G: int = 16, interpret: bool = None,
                    jnp.asarray(winstart),
                    jnp.asarray(A.diagonal().astype(np.float32)),
                    (n, A.shape[1]), int(A.nnz), G, S, Lp, interpret)
+
+
+# ---------------------------------------------------------------------------
+# frozen-pattern templates: jit-safe numeric refill
+# ---------------------------------------------------------------------------
+def sell_template(A, G: int = 16, interpret: bool = None,
+                  max_span_rows: int = 8192):
+    """(template SellMat, pos, diag_idx): the symbolic side of the
+    format, built once from a PATTERN — `sell_fill(tmpl, pos, diag_idx,
+    data)` then rebuilds the numeric matrix INSIDE jit from a
+    CSR-ordered data vector (the MatAssembly symbolic/numeric split the
+    GAMG device refresh needs; reference: PCSetUp_GAMG re-runs host
+    assembly per refresh, gamg.c:533 — here it is one device scatter).
+
+    pos: int32 [nnz] flat slot of each sorted-CSR entry in the
+    [nt, P, G, 128] value array. diag_idx: int32 [n] sorted-CSR data
+    index of each diagonal entry (missing diagonals hit an appended
+    zero slot)."""
+    A = sp.csr_matrix(A).astype(np.float32)
+    A.sum_duplicates()
+    A.sort_indices()
+    n = A.shape[0]
+    tmpl = sell_from_scipy(A, G=G, interpret=interpret,
+                           max_span_rows=max_span_rows)
+    m = _plan(A, G)
+    nt, P = m["nt"], m["P"]
+    # invert the plan's (t, q, row, col) lexsort: order[k] = CSR entry
+    # index of plan slot k, so pos maps CSR data order -> flat slots
+    coo = A.tocoo()
+    rows = coo.row.astype(np.int64)
+    cols = coo.col.astype(np.int64)
+    C = G * 128
+    t = rows // C
+    g = (rows % C) // 128
+    wmin = m["wmin"]
+    q = (cols - wmin[t]) // 128 - g
+    order = np.lexsort((cols, rows, q, t))
+    flat = ((m["t"] * P + m["pass_of"]) * G + m["g"]) * 128 + m["lane"]
+    pos = np.empty(A.nnz, np.int64)
+    pos[order] = flat
+    d = A.diagonal()
+    diag_idx = np.full(n, A.nnz, np.int64)      # sentinel -> appended 0
+    rr = np.repeat(np.arange(n), np.diff(A.indptr))
+    isd = rr == A.indices
+    diag_idx[rr[isd]] = np.flatnonzero(isd)
+    return (tmpl, jnp.asarray(pos, jnp.int32),
+            jnp.asarray(diag_idx, jnp.int32))
+
+
+def sell_fill(tmpl: SellMat, pos, diag_idx, data) -> SellMat:
+    """Numeric refill of a SELL template from sorted-CSR data (jit-safe)."""
+    nt, P, G, _ = tmpl.vals.shape
+    flat = jnp.zeros((nt * P * G * 128,), jnp.float32)
+    flat = flat.at[pos].set(data.astype(jnp.float32))
+    dpad = jnp.concatenate([data.astype(jnp.float32),
+                            jnp.zeros((1,), jnp.float32)])
+    return SellMat(flat.reshape(tmpl.vals.shape), tmpl.idx, tmpl.qs,
+                   tmpl.winstart, dpad[diag_idx], tmpl.shape, tmpl.nnz,
+                   tmpl.G, tmpl.S, tmpl.Lp, tmpl.interpret)

@@ -1,6 +1,9 @@
 """GAMG hierarchy REBUILD time on device (the Newton/TS operator-
 refresh path): ksp ex56 3-D elasticity (bs=3, rigid-body-mode
-candidates), frozen symbolic plan + jitted numeric refresh.
+candidates), frozen symbolic plan + jitted numeric refresh via
+comb-probe Galerkin (colored SpMV probing over the fast kernels,
+pc/gamg_device.gamg_probe_plan — replaces the gather-bound SpGEMM
+numerics of round 3 at 2.7 s/refresh; measured 115 ms on v5e).
 
 Reference cost being replaced: PCSetUp_GAMG host re-setup
 (gamg.c:533) — ~2.1 s host work per refresh after round-2's batched
@@ -26,14 +29,14 @@ def main():
     from petsctpu.pc.asa import asa_tentatives
     from petsctpu.pc.gamg import rigid_body_modes
     from petsctpu.pc.gamg_device import (csr_data_of_matching,
-                                         gamg_device_plan)
+                                         gamg_probe_plan)
 
     ne = int(sys.argv[1]) if len(sys.argv) > 1 else 19
     A, b, coords = ex56_system(ne, 1e-3, dtype=np.float32)
     B = rigid_body_modes(coords, dof=3)
     t0 = time.time()
     p0s = asa_tentatives(A, B, coarse_n=80, bs=3)
-    plan = gamg_device_plan(A, p0s=p0s, coarse_n=1300, dtype=np.float32)
+    plan = gamg_probe_plan(A, p0s=p0s, coarse_n=1300, dtype=np.float32)
     plan_s = time.time() - t0
     a0 = jnp.asarray(csr_data_of_matching(A, np.float32))
 

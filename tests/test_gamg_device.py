@@ -105,3 +105,63 @@ class TestDeviceGAMG:
         assert int(r.its) <= 6
         # solution check: residual is tiny
         assert float(jnp.linalg.norm(F(r.x))) < 1e-6
+
+
+class TestProbeGAMG:
+    """Comb-probe Galerkin refresh (gamg_probe_plan): the colored-SpMV
+    route must reproduce the SpGEMM-plan route's hierarchy exactly
+    (VERDICT r3 item 1; reference: agg.c:1110 + gamg.c:156 MatPtAP)."""
+
+    def test_matches_spgemm_plan(self):
+        from petsctpu.pc.gamg_device import gamg_probe_plan
+        m = 40
+        A = laplacian_2d(m, m, dtype=np.float32).tocsr()
+        a0 = jnp.asarray(csr_data_of_matching(A, np.float32))
+        p_old = gamg_device_plan(A, dtype=np.float32, coarse_n=32)
+        p_new = gamg_probe_plan(A, dtype=np.float32, coarse_n=32)
+        pc_o = jax.jit(p_old.refresh)(a0)
+        pc_n = jax.jit(p_new.refresh)(a0)
+        assert len(pc_o.levels) == len(pc_n.levels)
+        for lo, ln in zip(pc_o.levels, pc_n.levels):
+            np.testing.assert_allclose(np.asarray(ln.P.P.vals),
+                                       np.asarray(lo.P.vals),
+                                       atol=1e-5)
+            np.testing.assert_allclose(np.asarray(ln.smoother.dinv),
+                                       np.asarray(lo.smoother.dinv),
+                                       rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(pc_n.coarse.lu),
+                                   np.asarray(pc_o.coarse.lu),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_probe_refresh_preconditions_cg(self):
+        from petsctpu.pc.gamg_device import gamg_probe_plan
+        m = 40
+        rng = np.random.default_rng(4)
+        A = laplacian_2d(m, m, dtype=np.float32).tocsr()
+        plan = gamg_probe_plan(A, dtype=np.float32, coarse_n=32)
+        d = np.exp(0.2 * rng.standard_normal(m * m))
+        A2 = (sp.diags(d) @ A @ sp.diags(d)).tocsr()
+        A2.sort_indices()
+        pc2 = jax.jit(plan.refresh)(
+            jnp.asarray(csr_data_of_matching(A2, np.float32)))
+        A2d = aij_from_scipy(A2, dtype=np.float32)
+        b = jnp.asarray(rng.standard_normal(m * m).astype(np.float32))
+        r = ksp_solve(A2d, b, pc=pc2, ksp_type="cg", rtol=1e-6, maxits=80)
+        assert int(r.reason) > 0 and int(r.its) <= 25
+
+    def test_probe_blocked_rbm_route(self):
+        """ex56-style elasticity through asa tentatives (p0s)."""
+        from petsctpu.models.elasticity import ex56_system
+        from petsctpu.pc.asa import asa_tentatives
+        from petsctpu.pc.gamg import rigid_body_modes
+        from petsctpu.pc.gamg_device import gamg_probe_plan
+        A, b, coords = ex56_system(5, 1e-3, dtype=np.float32)
+        B = rigid_body_modes(coords, dof=3)
+        p0s = asa_tentatives(A, B, coarse_n=30, bs=3)
+        plan = gamg_probe_plan(A, p0s=p0s, coarse_n=60, dtype=np.float32)
+        pc = jax.jit(plan.refresh)(
+            jnp.asarray(csr_data_of_matching(A, np.float32)))
+        Ad = aij_from_scipy(A, dtype=np.float32)
+        bd = jnp.asarray(np.asarray(b, np.float32))
+        r = ksp_solve(Ad, bd, pc=pc, ksp_type="cg", rtol=1e-6, maxits=120)
+        assert int(r.reason) > 0
