@@ -108,8 +108,10 @@ class AIJ:
 
 
 # ---- host converters ---------------------------------------------------------
-def aij_from_scipy(A, dtype=None, min_width: int = 1) -> AIJ:
-    """Build a device AIJ from any scipy.sparse matrix."""
+def aij_pack(A, dtype=None, min_width: int = 1):
+    """Host-side ELL pack: (cols int32 [m,K], vals [m,K], shape, nnz).
+    Lets callers batch the device transfers (core/hostmem
+    .device_put_batch) instead of paying per-array RPC latency."""
     import scipy.sparse as sp
 
     A = sp.csr_matrix(A)
@@ -125,7 +127,13 @@ def aij_from_scipy(A, dtype=None, min_width: int = 1) -> AIJ:
     rows_expanded = np.repeat(for_rows, row_nnz)
     cols[rows_expanded, slot] = A.indices
     vals[rows_expanded, slot] = A.data.astype(vals.dtype)
-    return AIJ(jnp.asarray(cols), jnp.asarray(vals), (m, n), int(A.nnz))
+    return cols, vals, (m, n), int(A.nnz)
+
+
+def aij_from_scipy(A, dtype=None, min_width: int = 1) -> AIJ:
+    """Build a device AIJ from any scipy.sparse matrix."""
+    cols, vals, shape, nnz = aij_pack(A, dtype=dtype, min_width=min_width)
+    return AIJ(jnp.asarray(cols), jnp.asarray(vals), shape, nnz)
 
 
 def aij_from_dense(M, tol: float = 0.0, dtype=None) -> AIJ:

@@ -157,6 +157,67 @@ class MGPC:
 # ---------------------------------------------------------------------------
 # setup
 # ---------------------------------------------------------------------------
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PackedMGPC:
+    """MGPC shipped to device as TWO flat buffers and carved back into
+    the level structure at trace time (static offsets — the slicing
+    fuses into the consuming jit, costing no extra executables).
+    Exists because setup-time transfer latency, not bandwidth, was the
+    GAMG PCSetUp cost on the tunneled device (one RPC per novel array
+    shape): one fp32 + one int32 shipment replaces ~30."""
+
+    fbuf: jax.Array
+    ibuf: jax.Array
+    metas: tuple = field(metadata=dict(static=True), default=())
+    coarse_meta: tuple = field(metadata=dict(static=True), default=())
+    sm_its: int = field(metadata=dict(static=True), default=2)
+    cycles: int = field(metadata=dict(static=True), default=1)
+    mg_type: str = field(metadata=dict(static=True),
+                         default="multiplicative")
+
+    def _getf(self, off_shape):
+        off, shape = off_shape
+        size = int(np.prod(shape))
+        return jax.lax.dynamic_slice(self.fbuf, (off,),
+                                     (size,)).reshape(shape)
+
+    def _geti(self, off_shape):
+        off, shape = off_shape
+        size = int(np.prod(shape))
+        return jax.lax.dynamic_slice(self.ibuf, (off,),
+                                     (size,)).reshape(shape)
+
+    def unpack(self) -> MGPC:
+        from petsctpu.mat.ell import AIJ
+        from petsctpu.pc.gamg_device import DenseLUPC
+        levels = []
+        for (ci, vi, sha, nza, pi, pv, shp, nzp, do, lam) in self.metas:
+            A = AIJ(self._geti(ci), self._getf(vi), sha, nza)
+            P = AIJ(self._geti(pi), self._getf(pv), shp, nzp)
+            dinv = self._getf((do, (sha[0],)))
+            sdt = np.dtype(self.fbuf.dtype).type
+            levels.append(MGLevel(A, P, ChebySmoother(
+                dinv, sdt(0.1 * lam), sdt(1.1 * lam), self.sm_its)))
+        ci, vi, shc, nzc, lum, pivo = self.coarse_meta
+        coarse_A = AIJ(self._geti(ci), self._getf(vi), shc, nzc)
+        coarse = DenseLUPC(self._getf(lum),
+                           self._geti((pivo, (shc[0],))))
+        return MGPC(tuple(levels), coarse, coarse_A, self.cycles,
+                    self.mg_type)
+
+    def apply(self, b):
+        return self.unpack().apply(b)
+
+    @property
+    def levels(self):
+        return self.unpack().levels
+
+    @property
+    def coarse(self):
+        return self.unpack().coarse
+
+
 def _power_lambda_max(A: sp.csr_matrix, dinv: np.ndarray,
                       iters: int = 20) -> float:
     """Host power iteration for λmax(D⁻¹A)."""
@@ -408,6 +469,51 @@ def make_algebraic_mg_from_hierarchy(As, Ps, dtype=None, sm_its: int = 2,
             if sell_viable(Ah2):
                 return sell_from_scipy(Ah2)
         return aij_from_scipy(Ah, dtype=dtype)
+
+    if fmt == "ell" and sm_pc == "jacobi" and As[-1].shape[0] <= 192:
+        # packed-transfer fast setup: every host array is concatenated
+        # into ONE fp32 + ONE int32 flat buffer (2 transfer RPCs — the
+        # axon relay charges ~50-70 ms per novel-shape transfer, so an
+        # interleaved 4-level 256² Poisson GAMG setup was 1.4 s of pure
+        # latency), and the hierarchy is carved back out of the buffers
+        # AT TRACE TIME inside the consuming jit (static offsets →
+        # zero extra executables). Coarse solve is a dense LU.
+        import scipy.linalg as sla
+        from petsctpu.mat.ell import aij_pack
+
+        fbuf, ibuf, metas = [], [], []
+        fo = io = 0
+
+        def putf(a):
+            nonlocal fo
+            fbuf.append(np.asarray(a, dtype).ravel())
+            fo += fbuf[-1].size
+            return fo - fbuf[-1].size, a.shape
+
+        def puti(a):
+            nonlocal io
+            ibuf.append(np.asarray(a, np.int32).ravel())
+            io += ibuf[-1].size
+            return io - ibuf[-1].size, a.shape
+
+        for l in range(len(Ps)):
+            ca, va, sha, nza = aij_pack(As[l], dtype=dtype)
+            cp, vp, shp, nzp = aij_pack(Ps[l], dtype=dtype)
+            d = As[l].diagonal()
+            d = np.where(d != 0, d, 1.0)
+            dinv = (1.0 / d).astype(dtype)
+            lam = _power_lambda_max(As[l], dinv)
+            metas.append((puti(ca), putf(va), sha, nza,
+                          puti(cp), putf(vp), shp, nzp,
+                          putf(dinv)[0], float(lam)))
+        ca, va, shc, nzc = aij_pack(As[-1], dtype=dtype)
+        lu, piv = sla.lu_factor(As[-1].toarray().astype(dtype))
+        coarse_meta = (puti(ca), putf(va), shc, nzc,
+                       putf(lu), puti(piv)[0])
+        return PackedMGPC(jnp.asarray(np.concatenate(fbuf)),
+                          jnp.asarray(np.concatenate(ibuf)),
+                          tuple(metas), coarse_meta, sm_its, cycles,
+                          mg_type)
 
     levels = []
     for l in range(len(Ps)):
