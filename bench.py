@@ -226,11 +226,14 @@ def main():
         cfgs["ex45_cg_bjacobi_ms_per_it"] = round(per_it * 1e3, 3)
         cfgs["ex45_its_to_rtol1e-5"] = its
 
-        # config 3: BAIJ bs=3 elasticity blocked SpMV
+        # config 3: BAIJ bs=3 elasticity blocked SpMV (fmt auto routes
+        # the forward SpMV through the scalar SELL kernel — the TPU
+        # analog of the reference's per-bs unrolled MatMult_SeqBAIJ_N,
+        # baij2.c:387)
         from petsctpu.mat.bsr import baij_from_scipy_bsr
         from petsctpu.models.elasticity import ex56_system
         A56, b56, _ = ex56_system(19, 1e-3, dtype=np.float32)
-        Ab = baij_from_scipy_bsr(A56, bs=3, dtype=np.float32)
+        Ab = baij_from_scipy_bsr(A56, bs=3, dtype=np.float32, fmt="auto")
         xb = jnp.asarray(np.random.default_rng(2)
                          .standard_normal(A56.shape[0]).astype(np.float32))
 

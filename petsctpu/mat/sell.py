@@ -264,10 +264,15 @@ def sell_viable(A, G: int = 16, max_span_rows: int = 8192,
 
 
 def sell_from_scipy(A, G: int = 16, interpret: bool = None,
-                    max_span_rows: int = 8192) -> SellMat:
+                    max_span_rows: int = 8192,
+                    force: tuple = None) -> SellMat:
     """Build a SellMat (fp32). Raises ValueError when the window span
     exceeds the VMEM cap — callers should RCM-order first and fall
-    back to ELL when not viable."""
+    back to ELL when not viable.
+
+    force=(npass, S, Lp) pads the static dimensions to at least these
+    values so SellMats of different local blocks can be stacked and
+    vmapped/shard_mapped (the MPIAIJ diag-block route)."""
     A = sp.csr_matrix(A).astype(np.float32)
     A.sum_duplicates()
     n = A.shape[0]
@@ -276,6 +281,9 @@ def sell_from_scipy(A, G: int = 16, interpret: bool = None,
     if S > max_span_rows:
         raise ValueError(f"window span {S} rows exceeds cap "
                          f"{max_span_rows}; RCM-order or use ELL")
+    if force is not None:
+        P = max(P, force[0])
+        S = -(-max(S, force[1]) // 8) * 8
     vals = np.zeros((nt, P, G, 128), np.float32)
     idx = np.zeros((nt, P, G, 128), np.int8)
     qs = np.full((nt, P), 0, np.int64)
@@ -289,6 +297,8 @@ def sell_from_scipy(A, G: int = 16, interpret: bool = None,
     winstart = (m["wmin"] // 128).astype(np.int32)
     Lp = int(max(winstart.max() + S if nt else S,
                  -(-n // 128) + G + 1))
+    if force is not None:
+        Lp = max(Lp, force[2])
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -23,6 +23,7 @@ Two halo styles:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +51,11 @@ class ShardedAIJ:
     axis: str = field(metadata=dict(static=True), default="rows")
     style: str = field(metadata=dict(static=True), default="alltoall")
     nnz: int = field(metadata=dict(static=True), default=0)
+    # optional stacked SellMat over the diag blocks (fmt="sell"): the
+    # local SpMV of every distributed solve then runs the Pallas
+    # lane-gather kernel instead of the ELL gather fallback — the
+    # MatMult_SeqAIJ-inside-MatMult_MPIAIJ fast path (mpiaij.c:1102)
+    diag_sell: Any = None
 
     # ---- local (inside shard_map) view --------------------------------
     def local(self) -> "ShardedAIJ":
@@ -73,12 +79,17 @@ class ShardedAIJ:
         recv = lax.all_to_all(send, self.axis, split_axis=0, concat_axis=0)
         return recv.reshape(-1)[self.ghost_src]      # [gmax]
 
+    def _diag_mult(self, x_local: jax.Array) -> jax.Array:
+        if self.diag_sell is not None:
+            return self.diag_sell.mult(x_local).astype(x_local.dtype)
+        return jnp.sum(self.diag_vals * x_local[self.diag_cols], axis=1)
+
     def mult(self, x_local: jax.Array) -> jax.Array:
         """y_local = (A x)_local with overlapped halo exchange."""
         if self.nshards == 1:
-            return jnp.sum(self.diag_vals * x_local[self.diag_cols], axis=1)
+            return self._diag_mult(x_local)
         g = self.ghosts(x_local)                     # collective issued first
-        y = jnp.sum(self.diag_vals * x_local[self.diag_cols], axis=1)
+        y = self._diag_mult(x_local)
         y = y + jnp.sum(self.off_vals * g[self.off_cols], axis=1)
         return y
 
@@ -124,7 +135,8 @@ class ShardedAIJ:
 
 def sharded_aij_from_scipy(A, nshards: int, dtype=None,
                            style: str = "alltoall",
-                           axis: str = "rows", perm=None) -> tuple:
+                           axis: str = "rows", perm=None,
+                           fmt: str = "ell") -> tuple:
     """Build a ShardedAIJ (stacked host arrays → device) + PartitionedCSR.
 
     Returns (mat, part) — `part` keeps the host-side per-shard scipy
@@ -169,6 +181,42 @@ def sharded_aij_from_scipy(A, nshards: int, dtype=None,
         # pad entries (val 0) keep col 0 — harmless; real ghost slots < gmax
         oc[p, :, :], ov[p] = c, v.astype(dtype)
 
+    # fmt="sell"/"auto": local diag blocks through the Pallas SELL
+    # kernel (stacked per-shard plans with common static dims so the
+    # leading shard axis splits under shard_map); all-or-nothing —
+    # every block must be viable, else the ELL gather route stands
+    diag_sell = None
+    want_sell = (fmt == "sell"
+                 or (fmt == "auto" and jax.default_backend() == "tpu"))
+    if want_sell and np.dtype(dtype) == np.float32:
+        from petsctpu.mat.sell import (sell_from_scipy, sell_plan_stats,
+                                       sell_viable)
+        import scipy.sparse as sp2
+        blocks = [sp2.csr_matrix(D).astype(np.float32)
+                  for D in part.diag_blocks]
+        for D in blocks:
+            D.sum_duplicates()
+        if all(sell_viable(D) for D in blocks):
+            npass = S = Lp = 1
+            for D in blocks:
+                Pp, _, Ss, _ = sell_plan_stats(D)
+                npass, S = max(npass, Pp), max(S, Ss)
+            mats = [sell_from_scipy(D, force=(npass, S, 1))
+                    for D in blocks]
+            Lp = max(M.Lp for M in mats)
+            if Lp != min(M.Lp for M in mats):
+                mats = [sell_from_scipy(D, force=(npass, S, Lp))
+                        for D in blocks]
+            import dataclasses
+            # uniform static metadata (nnz differs per block) so the
+            # pytree treedefs match for stacking
+            nz = max(int(D.nnz) for D in blocks)
+            mats = [dataclasses.replace(M, nnz=nz) for M in mats]
+            diag_sell = jax.tree.map(lambda *ls: jnp.stack(ls), *mats)
+        elif fmt == "sell":
+            raise ValueError("fmt='sell': a diag block is not "
+                             "SELL-viable; use fmt='auto' or 'ell'")
+
     # ghost buffer gets one sentinel slot (gmax) that always reads 0
     mat = ShardedAIJ(
         diag_cols=jnp.asarray(dc), diag_vals=jnp.asarray(dv),
@@ -177,7 +225,7 @@ def sharded_aij_from_scipy(A, nshards: int, dtype=None,
         ghost_src=jnp.asarray(part.halo.ghost_src),
         ghost_gidx=jnp.asarray(part.halo.ghost_gidx),
         shape=(lay.n_padded, lay.n_padded), nshards=P, axis=axis,
-        style=style, nnz=int(sp_nnz(A)))
+        style=style, nnz=int(sp_nnz(A)), diag_sell=diag_sell)
     return mat, part
 
 

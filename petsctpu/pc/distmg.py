@@ -256,6 +256,10 @@ def make_dist_gamg(A_host, nshards: int, dtype=None,
     sm_its = opts.get_int("mg_levels_ksp_max_it", 2)
     cycles = 2 if opts.get_str("pc_mg_cycle_type", "v") == "w" else 1
     coarse_n = opts.get_int("pc_gamg_coarse_eq_limit", 64)
+    # fmt like pc/mg.py: "sell" routes each sharded level's LOCAL diag
+    # SpMV through the Pallas kernel (ShardedAIJ.diag_sell); without it
+    # every distributed GAMG level smooths at the ELL gather rate
+    fmt = opts.get_str("pc_gamg_mat_type", "auto")
 
     As, Ps = gamg_hierarchy(sp.csr_matrix(A_host).astype(dtype),
                             theta=theta, coarse_n=coarse_n,
@@ -270,7 +274,7 @@ def make_dist_gamg(A_host, nshards: int, dtype=None,
     levels, transfers = [], []
     for l in range(L):
         Sh, _ = sharded_aij_from_scipy(As[l], nshards, dtype=dtype,
-                                       axis=axis)
+                                       axis=axis, fmt=fmt)
         levels.append(DistMGLevel(
             Sh, _stacked_cheby(sp.csr_matrix(As[l]), Sh.shape[0], dtype,
                                sm_its, nshards)))

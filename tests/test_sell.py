@@ -132,3 +132,93 @@ class TestSellMat:
         assert int(r.reason) > 0
         x = np.asarray(r.x)
         assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-4
+
+
+class TestSellBAIJ:
+    """Blocked operators through the scalar SELL kernel (fmt=auto/sell
+    on baij_from_scipy_bsr; reference fast path: MatMult_SeqBAIJ_N,
+    baij2.c:387)."""
+
+    def test_sell_baij_matches_block_ell(self):
+        from petsctpu.mat.bsr import SellBAIJ, baij_from_scipy_bsr
+        rng = np.random.default_rng(0)
+        nb, bs = 900, 3                       # 2700 rows >= G*128
+        rows = np.tile(np.arange(nb), 6)
+        cols = np.clip(rows + rng.integers(-40, 40, rows.size), 0,
+                       nb - 1)
+        D = (sp.coo_matrix((np.ones(rows.size), (rows, cols)),
+                           shape=(nb, nb)) + sp.eye(nb)).tocsr()
+        A = sp.kron(D, np.ones((bs, bs))).tocsr().astype(np.float32)
+        A.data = rng.standard_normal(A.nnz).astype(np.float32)
+        A.sum_duplicates()
+        Ab = baij_from_scipy_bsr(A, bs=bs, dtype=np.float32, fmt="sell")
+        assert isinstance(Ab, SellBAIJ)
+        Ae = baij_from_scipy_bsr(A, bs=bs, dtype=np.float32)
+        x = jnp.asarray(rng.standard_normal(nb * bs).astype(np.float32))
+        y1 = np.asarray(Ab.mult(x))
+        y2 = np.asarray(Ae.mult(x))
+        np.testing.assert_allclose(y1, y2, rtol=2e-5, atol=1e-4)
+        # blocked metadata still served
+        np.testing.assert_allclose(np.asarray(Ab.diagonal()),
+                                   np.asarray(Ae.diagonal()))
+        np.testing.assert_allclose(np.asarray(Ab.multT(x)),
+                                   np.asarray(Ae.multT(x)), rtol=2e-5,
+                                   atol=1e-4)
+
+
+class TestShardedSell:
+    """ShardedAIJ diag blocks through SELL (fmt='sell'): the local
+    SpMV of a distributed solve runs the Pallas kernel
+    (MatMult_MPIAIJ's local MatMult_SeqAIJ, mpiaij.c:1102)."""
+
+    def test_dist_mult_matches_ell(self):
+        import jax
+        from jax.sharding import Mesh, PartitionSpec as P
+        from jax import shard_map
+        from petsctpu.parallel.pmat import sharded_aij_from_scipy
+        if len(jax.devices()) < 4:
+            import pytest
+            pytest.skip("needs 4 devices")
+        n = 4 * 2048                           # each shard SELL-viable
+        A = (sp.diags([np.ones(n - 1), 4 * np.ones(n), np.ones(n - 1)],
+                      [-1, 0, 1])
+             + sp.diags([np.ones(n - 64), np.ones(n - 64)], [-64, 64])) \
+            .tocsr().astype(np.float32)
+        Ms, _ = sharded_aij_from_scipy(A, 4, dtype=np.float32,
+                                       fmt="sell")
+        assert Ms.diag_sell is not None
+        Me, _ = sharded_aij_from_scipy(A, 4, dtype=np.float32)
+        x = np.random.default_rng(3).standard_normal(n) \
+            .astype(np.float32)
+        mesh = Mesh(np.array(jax.devices()[:4]), ("rows",))
+        xd = jnp.asarray(x.reshape(4, -1))
+
+        def run(M, xs):
+            def body(Ml, xl):
+                return Ml.local().mult(xl[0])[None]
+            return shard_map(body, mesh=mesh,
+                             in_specs=(P("rows"), P("rows")),
+                             out_specs=P("rows"),
+                             check_vma=False)(M, xs)
+
+        y1 = np.asarray(run(Ms, xd)).reshape(-1)
+        y2 = np.asarray(run(Me, xd)).reshape(-1)
+        np.testing.assert_allclose(y1, y2, rtol=2e-5, atol=1e-4)
+        np.testing.assert_allclose(y1, A @ x, rtol=2e-4, atol=1e-3)
+
+    def test_dist_gamg_levels_use_sell(self):
+        """make_dist_gamg fmt plumb: pc_gamg_mat_type='sell' puts the
+        sharded level operators on the SELL kernel."""
+        import jax
+        if len(jax.devices()) < 4:
+            import pytest
+            pytest.skip("needs 4 devices")
+        from petsctpu.core.options import Options
+        from petsctpu.models import laplacian_2d
+        from petsctpu.pc.distmg import make_dist_gamg
+        A = laplacian_2d(96, 96, dtype=np.float32).tocsr()
+        pc = make_dist_gamg(A, 4, dtype=np.float32,
+                            options=Options(
+                                {"pc_gamg_mat_type": "sell",
+                                 "pc_mg_repl_size": 3000}))
+        assert pc.levels[0].A.diag_sell is not None
