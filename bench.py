@@ -271,6 +271,37 @@ def main():
     except Exception as ex:                            # pragma: no cover
         cfgs["configs_error"] = repr(ex)[:200]
 
+    # ---- communication-volume audit (weak-scaling proxy): trace the
+    # 8-shard distributed CG / PIPECG programs over an AbstractMesh (no
+    # devices needed) and report per-iteration collective counts/bytes
+    # + the halo plan's static volume — the reference's -log_summary
+    # Mess/MessLen/Reductions columns (plog.c:1264) produced at
+    # compile time instead of runtime.
+    comm = {}
+    try:
+        import scipy.sparse as sp
+
+        from petsctpu.core.commaudit import halo_audit
+        from petsctpu.parallel import sharded_aij_from_scipy
+        from petsctpu.parallel.api import audit_par_ksp
+
+        mi8 = 24
+        e8 = np.ones(mi8)
+        T18 = sp.diags([-e8[:-1], 2 * e8, -e8[:-1]], [-1, 0, 1])
+        I18 = sp.eye(mi8)
+        A8 = (sp.kron(sp.kron(T18, I18), I18)
+              + sp.kron(sp.kron(I18, T18), I18)
+              + sp.kron(sp.kron(I18, I18), T18)).tocsr() \
+            .astype(np.float32)
+        Sh8, part8 = sharded_aij_from_scipy(A8, 8, dtype=np.float32)
+        b8 = jnp.zeros(Sh8.shape[0], jnp.float32)
+        for kt in ("cg", "pipecg", "gmres", "ibcgs"):
+            a = audit_par_ksp(8, Sh8, b8, ksp_type=kt, maxits=10)
+            comm[f"{kt}_collectives_per_it"] = a.per_iteration.summary()
+        comm["halo_plan"] = halo_audit(part8.halo, np.float32)
+    except Exception as ex:                            # pragma: no cover
+        comm["comm_audit_error"] = repr(ex)[:200]
+
     # stencil traffic: K coefficient arrays + x read + y write
     bytes_moved = 4.0 * n * (K + 2)
     gbs = bytes_moved / dt / 1e9
@@ -285,7 +316,7 @@ def main():
                    "stencil_width": K, "peak_gbs": hbm_bandwidth_gbs(),
                    "stream_gbs": round(stream_gbs, 1),
                    "format": "stencil/DIA (2-D 5-point, variable coeff)",
-                   **irr, **cfgs},
+                   **irr, **cfgs, "comm_audit_8shard": comm},
     }))
 
 

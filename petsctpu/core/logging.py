@@ -30,6 +30,8 @@ class EventStats:
     time: float = 0.0
     flops: float = 0.0
     bytes: float = 0.0
+    msgs: float = 0.0        # collective-op count (audited)
+    msg_bytes: float = 0.0   # collective payload bytes per shard
 
 
 @dataclass
@@ -118,6 +120,20 @@ def log_flops(name: str, flops: float, bytes: float = 0.0) -> None:
     ev.bytes += bytes
 
 
+def log_comm(name: str, msgs: float, msg_bytes: float = 0.0) -> None:
+    """Accrue collective counts/volume under an event — the
+    reference's Mess/MessLen/Reductions ledger (petsclog.h:294; the
+    columns PetscLogView prints at plog.c:1264). Sources: the
+    compile-time jaxpr audit (core/commaudit) times the iteration
+    count, or static halo-plan metadata."""
+    if not _state.enabled:
+        return
+    key = (_state.stages[-1], name)
+    ev = _state.events.setdefault(key, EventStats())
+    ev.msgs += msgs
+    ev.msg_bytes += msg_bytes
+
+
 def log_view() -> str:
     """Format a -log_summary-style table (reference: PetscLogView plog.c:1264)."""
     total = time.perf_counter() - _state.t0
@@ -127,7 +143,8 @@ def log_view() -> str:
     lines.append(f"Total wall time: {total:.4e} s")
     lines.append("-" * 94)
     lines.append(f"{'Stage/Event':34s} {'Count':>7s} {'Time (s)':>11s} "
-                 f"{'%T':>5s} {'GFlop':>9s} {'GF/s':>8s} {'GB/s':>8s}")
+                 f"{'%T':>5s} {'GFlop':>9s} {'GF/s':>8s} {'GB/s':>8s} "
+                 f"{'Mess':>7s} {'MessMB':>8s}")
     lines.append("-" * 94)
     by_stage: dict = {}
     for (stage, name), ev in _state.events.items():
@@ -140,7 +157,8 @@ def log_view() -> str:
             gbs = ev.bytes / 1e9 / ev.time if ev.time > 0 else 0.0
             pct = 100.0 * ev.time / total if total > 0 else 0.0
             lines.append(f"{name:34s} {ev.count:7d} {ev.time:11.4e} "
-                         f"{pct:5.1f} {gf:9.3f} {gfs:8.2f} {gbs:8.2f}")
+                         f"{pct:5.1f} {gf:9.3f} {gfs:8.2f} {gbs:8.2f} "
+                         f"{ev.msgs:7.0f} {ev.msg_bytes/1e6:8.3f}")
     lines.append("-" * 94)
     return "\n".join(lines)
 

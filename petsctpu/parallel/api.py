@@ -67,16 +67,41 @@ def _compiled_par(ksp_type: str, cfg: KSPConfig, axis: str, mesh_key,
     mesh = mesh_key.mesh
     fn = KSP_REGISTRY[ksp_type]
 
-    @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), pc_spec),
         out_specs=SolveResult(P(axis), P(), P(), P(), P()),
         check_vma=False)
-    def run(A_st, b_loc, x0_loc, pc_st):
+    def run_inner(A_st, b_loc, x0_loc, pc_st):
         A = A_st.local()
         pc = _local(pc_st)
         return fn(A, b_loc, x0_loc, pc, cfg, axis)
+
+    run_jit = jax.jit(run_inner)
+    pctag = format(abs(hash(str(spec_def))) % 16 ** 4, "04x")
+    akey = (f"ksp:{ksp_type}[{'x'.join(map(str, mesh.devices.shape))}]"
+            f"/pc:{pctag}")
+
+    def run(A_st, b_loc, x0_loc, pc_st):
+        # compile-time collective audit (the -log_summary Mess ledger;
+        # core/commaudit): trace once per program, deposit globally
+        from petsctpu.core.commaudit import COMM_AUDITS, audit_collectives
+        if akey not in COMM_AUDITS:
+            try:
+                COMM_AUDITS[akey] = audit_collectives(
+                    run_inner, A_st, b_loc, x0_loc, pc_st)
+            except Exception:
+                COMM_AUDITS[akey] = None
+        res = run_jit(A_st, b_loc, x0_loc, pc_st)
+        from petsctpu.core import logging as plog
+        if plog.log_enabled() and COMM_AUDITS.get(akey) is not None:
+            a = COMM_AUDITS[akey]
+            its = int(res.its)          # sync is fine: logging is opt-in
+            plog.log_comm(
+                f"KSPSolve_{ksp_type}",
+                a.once.total_count + its * a.per_iteration.total_count,
+                a.once.total_bytes + its * a.per_iteration.total_bytes)
+        return res
 
     _PAR_CACHE[key] = run
     return run
@@ -142,3 +167,34 @@ class ParKSP:
                                   options=self.opts)
         return par_ksp_solve(self.mesh, self.A, b, x0=x0, pc=self.pc,
                              cfg=cfg)
+
+
+def audit_par_ksp(nshards: int, A: ShardedAIJ, b, x0=None, pc=None,
+                  cfg: KSPConfig = None, **kw):
+    """Collective audit of a distributed KSP program WITHOUT devices:
+    traces the shard_map program over an AbstractMesh (no execution),
+    so a 1-chip box can still report the per-iteration collective
+    counts/bytes an n-shard solve would issue (core/commaudit; the
+    reference's -log_summary Mess columns, plog.c:1264)."""
+    from dataclasses import replace
+
+    from petsctpu.core.commaudit import audit_collectives
+
+    cfg = replace(cfg or KSPConfig(), **kw) if (kw or cfg is None) else cfg
+    axis = A.axis
+    mesh = jax.sharding.AbstractMesh((nshards,), (axis,))
+    fn = KSP_REGISTRY[cfg.ksp_type]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), _pc_specs(pc, axis)),
+        out_specs=SolveResult(P(axis), P(), P(), P(), P()),
+        check_vma=False)
+    def run_inner(A_st, b_loc, x0_loc, pc_st):
+        Al = A_st.local()
+        pcl = _local(pc_st)
+        return fn(Al, b_loc, x0_loc, pcl, cfg, axis)
+
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    return audit_collectives(run_inner, A, b, x0, pc)

@@ -1,0 +1,95 @@
+"""Communication-volume observability (core/commaudit): the
+-log_summary Mess/MessLen/Reductions columns produced as a
+compile-time jaxpr audit (reference: plog.c:1264, petsclog.h:294)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from petsctpu.parallel import sharded_aij_from_scipy
+from petsctpu.parallel.api import audit_par_ksp
+
+
+def _poisson3d(m):
+    e = np.ones(m)
+    T1 = sp.diags([-e[:-1], 2 * e, -e[:-1]], [-1, 0, 1])
+    I1 = sp.eye(m)
+    return (sp.kron(sp.kron(T1, I1), I1) + sp.kron(sp.kron(I1, T1), I1)
+            + sp.kron(sp.kron(I1, I1), T1)).tocsr().astype(np.float32)
+
+
+class TestCommAudit:
+    def test_solver_collective_counts(self):
+        """The audited per-iteration reduction counts are the
+        solver-defining ones: CG has 2 psums (dot + norm), PIPECG 1
+        (the fused late reduction — its comm-avoidance claim,
+        pipecg.c:45), IBCGS 1 (single fused reduction)."""
+        A = _poisson3d(16)
+        Sh, _ = sharded_aij_from_scipy(A, 8, dtype=np.float32)
+        b = jnp.zeros(Sh.shape[0], jnp.float32)
+        counts = {}
+        for kt in ("cg", "pipecg", "ibcgs"):
+            a = audit_par_ksp(8, Sh, b, ksp_type=kt, maxits=5)
+            counts[kt] = a.per_iteration.counts.get("psum", 0)
+        assert counts["cg"] == 2
+        assert counts["pipecg"] == 1
+        assert counts["ibcgs"] == 1
+
+    def test_halo_bytes_counted(self):
+        A = _poisson3d(16)
+        Sh, part = sharded_aij_from_scipy(A, 8, dtype=np.float32)
+        b = jnp.zeros(Sh.shape[0], jnp.float32)
+        a = audit_par_ksp(8, Sh, b, ksp_type="cg", maxits=5)
+        from petsctpu.core.commaudit import halo_audit
+        h = halo_audit(part.halo, np.float32)
+        # one halo exchange (all_to_all) per SpMV per iteration, its
+        # payload = the plan's per-shard send buffer
+        assert a.per_iteration.counts.get("all_to_all", 0) == 1
+        assert (a.per_iteration.bytes["all_to_all"]
+                == h["halo_bytes_per_exchange_per_shard"])
+
+    def test_scan_multiplier_and_once(self):
+        """Collectives inside lax.scan multiply by length; outside any
+        loop they land in `once`."""
+        from petsctpu.core.commaudit import audit_collectives
+        mesh = jax.sharding.AbstractMesh((4,), ("r",))
+        from jax.sharding import PartitionSpec as P
+
+        def prog(x):
+            def body(xl):
+                s = jax.lax.psum(xl, "r")
+
+                def sbody(c, _):
+                    return c + jax.lax.psum(c, "r"), ()
+                out, _ = jax.lax.scan(sbody, s, None, length=7)
+                return out
+            return jax.shard_map(body, mesh=mesh, in_specs=P("r"),
+                                 out_specs=P("r"),
+                                 check_vma=False)(x)
+
+        a = audit_collectives(prog, jnp.ones(8, jnp.float32))
+        assert a.once.counts["psum"] == 8        # 1 + 7 (scan unrolls)
+
+    def test_log_view_mess_columns(self):
+        """A logged parallel solve accrues the Mess/MessMB columns."""
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        from jax.sharding import Mesh
+        from petsctpu.core import logging as plog
+        from petsctpu.parallel import par_ksp_solve
+        A = _poisson3d(12)
+        Sh, part = sharded_aij_from_scipy(A, 4, dtype=np.float32)
+        mesh = Mesh(np.array(jax.devices()[:4]), ("rows",))
+        b = np.random.default_rng(0).standard_normal(A.shape[0]) \
+            .astype(np.float32)
+        plog.log_begin()
+        r = par_ksp_solve(mesh, Sh, b, ksp_type="cg", rtol=1e-5,
+                          maxits=50)
+        assert int(r.reason) > 0
+        view = plog.log_view()
+        plog._state.enabled = False
+        assert "Mess" in view
+        row = [ln for ln in view.splitlines() if "KSPSolve_cg" in ln]
+        assert row and float(row[0].split()[-2]) > 0
