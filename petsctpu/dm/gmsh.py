@@ -1,0 +1,181 @@
+"""Gmsh mesh-file ingestion -> Plex (+ physical-group labels).
+
+Reference: DMPlexCreateGmsh / DMPlexCreateFromFile
+(src/dm/impls/plex/plexcreate.c and the Gmsh reader the reference's
+Plex grew for unstructured workflows): parse the MSH 2.2 ASCII
+format ($MeshFormat/$PhysicalNames/$Nodes/$Elements), build the cell
+list of the highest-dimensional element block, and turn physical
+tags into labels — "Cell Sets" for cell regions and "Face Sets" for
+boundary facets (the names the reference's reader uses), plus each
+named physical group as its own label.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# MSH element type -> (nodes, dim)
+_ELEM = {
+    1: (2, 1),    # 2-node line
+    2: (3, 2),    # 3-node triangle
+    3: (4, 2),    # 4-node quad
+    4: (4, 3),    # 4-node tet
+    5: (8, 3),    # 8-node hex
+    15: (1, 0),   # point
+}
+
+
+def read_gmsh(path_or_text):
+    """Parse MSH 2.2 ASCII into a Plex (tri/quad/tet/hex picked from
+    the highest-dimensional block) with labels:
+
+      * "Cell Sets":  physical tag -> cell points
+      * "Face Sets":  physical tag -> facet closures (vertex points)
+      * one label per $PhysicalNames name, same strata
+
+    Returns the plex. Raises on binary files or mixed cell types.
+    """
+    import os
+
+    from petsctpu.dm.label import create_label, vertex_point
+    from petsctpu.dm.plex import Plex, Plex3D, PlexHex, PlexQuad
+
+    if isinstance(path_or_text, str) and os.path.exists(path_or_text):
+        with open(path_or_text) as f:
+            text = f.read()
+    else:
+        text = path_or_text
+    lines = [ln.strip() for ln in text.splitlines()]
+    i = 0
+
+    def section(name):
+        nonlocal i
+        while i < len(lines) and lines[i] != f"${name}":
+            i += 1
+        if i >= len(lines):
+            return None
+        i += 1
+        start = i
+        while lines[i] != f"$End{name}":
+            i += 1
+        body = lines[start:i]
+        i += 1
+        return body
+
+    fmt = section("MeshFormat")
+    if fmt is not None:
+        ver, ftype = fmt[0].split()[:2]
+        if not ver.startswith("2"):
+            raise ValueError(f"gmsh: only MSH 2.x ASCII supported "
+                             f"(got version {ver})")
+        if ftype != "0":
+            raise ValueError("gmsh: binary MSH not supported")
+
+    i = 0
+    names = {}
+    pn = section("PhysicalNames")
+    if pn is not None:
+        for ln in pn[1:]:
+            parts = ln.split(None, 2)
+            names[int(parts[1])] = parts[2].strip().strip('"')
+
+    i = 0
+    nb = section("Nodes")
+    if nb is None:
+        raise ValueError("gmsh: no $Nodes section")
+    nn = int(nb[0])
+    ids = np.empty(nn, np.int64)
+    xyz = np.empty((nn, 3), np.float64)
+    for k, ln in enumerate(nb[1:1 + nn]):
+        p = ln.split()
+        ids[k] = int(p[0])
+        xyz[k] = [float(p[1]), float(p[2]), float(p[3])]
+    remap = {int(v): k for k, v in enumerate(ids)}
+
+    i = 0
+    eb = section("Elements")
+    if eb is None:
+        raise ValueError("gmsh: no $Elements section")
+    ne = int(eb[0])
+    elems = []                      # (dim, etype, phys, node ids)
+    for ln in eb[1:1 + ne]:
+        p = [int(x) for x in ln.split()]
+        etype = p[1]
+        if etype not in _ELEM:
+            raise ValueError(f"gmsh: unsupported element type {etype}")
+        nnod, dim = _ELEM[etype]
+        ntags = p[2]
+        phys = p[3] if ntags >= 1 else 0
+        nodes = [remap[n] for n in p[3 + ntags:3 + ntags + nnod]]
+        elems.append((dim, etype, phys, nodes))
+
+    maxdim = max(e[0] for e in elems)
+    cells_by_type: dict = {}
+    for dim, etype, phys, nodes in elems:
+        if dim == maxdim:
+            cells_by_type.setdefault(etype, []).append((phys, nodes))
+    if len(cells_by_type) != 1:
+        raise ValueError(f"gmsh: mixed cell types "
+                         f"{sorted(cells_by_type)} not supported")
+    (etype, cell_list), = cells_by_type.items()
+    cphys = np.asarray([p for p, _ in cell_list], np.int64)
+    cells = np.asarray([n for _, n in cell_list], np.int64)
+
+    coords = xyz[:, :2] if maxdim == 2 else xyz
+    used = np.unique(cells.reshape(-1))
+    if len(used) != len(remap):
+        # drop orphan nodes (gmsh files often carry embedded points)
+        new_id = np.full(len(remap), -1, np.int64)
+        new_id[used] = np.arange(len(used))
+        cells = new_id[cells]
+        coords = coords[used]
+        node_map = new_id
+    else:
+        node_map = np.arange(len(remap))
+
+    mk = {2: Plex, 3: PlexQuad, 4: Plex3D, 5: PlexHex}[etype]
+    plex = mk(cells=cells, coords=np.ascontiguousarray(coords))
+
+    # labels: cell regions
+    cs = create_label(plex, "Cell Sets")
+    for v in np.unique(cphys):
+        cs.set_value(np.flatnonzero(cphys == v), int(v))
+    # facet groups (dim = maxdim-1): mark their vertex closures
+    fs = create_label(plex, "Face Sets")
+    for dim, et, phys, nodes in elems:
+        if dim == maxdim - 1 and phys:
+            nd = node_map[np.asarray(nodes, np.int64)]
+            nd = nd[nd >= 0]
+            fs.set_value(vertex_point(plex, nd), int(phys))
+    # named physical groups as standalone labels
+    for tag, nm in names.items():
+        lab = create_label(plex, nm)
+        pts = fs.stratum(tag)
+        if len(pts):
+            lab.set_value(pts, tag)
+        cpts = cs.stratum(tag)
+        if len(cpts):
+            lab.set_value(cpts, tag)
+    return plex
+
+
+def write_gmsh(plex, path: str) -> None:
+    """Write a Plex as MSH 2.2 ASCII (round-trip/testing aid)."""
+    coords = np.asarray(plex.coords, float)
+    dim = coords.shape[1]
+    if dim == 2:
+        coords = np.hstack([coords, np.zeros((len(coords), 1))])
+    cells = np.asarray(plex.cells)
+    nnod = cells.shape[1]
+    etype = {(3, 2): 2, (4, 2): 3, (4, 3): 4, (8, 3): 5}[(nnod, dim)]
+    with open(path, "w") as f:
+        f.write("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n")
+        f.write(f"$Nodes\n{len(coords)}\n")
+        for k, (x, y, z) in enumerate(coords):
+            f.write(f"{k + 1} {x:.16g} {y:.16g} {z:.16g}\n")
+        f.write("$EndNodes\n")
+        f.write(f"$Elements\n{len(cells)}\n")
+        for k, c in enumerate(cells):
+            nodes = " ".join(str(v + 1) for v in c)
+            f.write(f"{k + 1} {etype} 2 0 0 {nodes}\n")
+        f.write("$EndElements\n")

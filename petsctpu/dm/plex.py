@@ -491,7 +491,7 @@ def _simplex_measures(coords: np.ndarray, cells: np.ndarray) -> np.ndarray:
 
 
 def fem_assemble_poisson(plex, f: Callable = None, dtype=np.float64,
-                         section=None):
+                         section=None, bc_label=None):
     """Assemble A, b for −Δu = f with homogeneous Dirichlet boundary,
     on any Plex cell type (tri/quad P1/Q1 in 2-D, tet/hex in 3-D).
 
@@ -499,7 +499,12 @@ def fem_assemble_poisson(plex, f: Callable = None, dtype=np.float64,
     loop is vmapped (all cells at once); the dof scatter goes through
     a Section (closure_indices — the vectorized DMPlexMatSetClosure,
     plex.c); assembly is host-side COO→CSR for the frozen sparsity
-    plus identity boundary rows (the ex12-style path)."""
+    plus identity boundary rows (the ex12-style path).
+
+    bc_label: optional (label_name, values) pair or DMLabel —
+    Dirichlet dofs come from the named point sets instead of the
+    whole topological boundary (the DMAddBoundary-over-DMLabel
+    pattern the reference uses for marker-driven BCs)."""
     from petsctpu.dm.section import vertex_section
     from petsctpu.mat.ell import aij_from_scipy
 
@@ -511,7 +516,19 @@ def fem_assemble_poisson(plex, f: Callable = None, dtype=np.float64,
 
     nc = plex.num_cells
     nv = plex.num_vertices
-    bnd = plex.boundary_vertices()
+    if bc_label is not None:
+        from petsctpu.dm.label import (DMLabel, get_label,
+                                       label_vertices)
+        if isinstance(bc_label, DMLabel):
+            lab, vals = bc_label, bc_label.values()
+        else:
+            name, vals = bc_label
+            lab = get_label(plex, name)
+            if lab is None:
+                raise ValueError(f"no label {name!r} on this Plex")
+        bnd = label_vertices(plex, lab, vals)
+    else:
+        bnd = plex.boundary_vertices()
     if section is None:
         section = vertex_section(nv, dof=1, constrained=bnd)
     ndof = section.total_dofs

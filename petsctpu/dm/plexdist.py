@@ -154,12 +154,19 @@ def _renumber_by_owner(plex, nparts: int, cell_part: np.ndarray):
 
 
 def distribute_plex(plex, nparts: int, dtype=np.float64,
-                    axis: str = "rows", f=None) -> DistPlex:
+                    axis: str = "rows", f=None,
+                    bc_label=None) -> DistPlex:
     """Build the DistPlex plan for −Δu = f, Dirichlet boundary.
 
     The serial fem_assemble_poisson on the renumbered mesh provides
     the pattern oracle; the returned plan re-produces its values on
-    device, sharded (verified in tests/test_plexdist.py)."""
+    device, sharded (verified in tests/test_plexdist.py).
+
+    bc_label: optional (name, values) — Dirichlet dofs from the mesh's
+    labels (dm/label, e.g. Gmsh physical groups) instead of the whole
+    topological boundary; DMPlexDistribute carries labels with the
+    mesh (plex.c:3097), here they are remapped through the owner
+    renumbering."""
     from petsctpu.mat.partition import partition_kway
     from petsctpu.parallel.pmat import sharded_aij_from_scipy
 
@@ -182,12 +189,24 @@ def distribute_plex(plex, nparts: int, dtype=np.float64,
                            plex.coords[order])
 
     # 3. pattern + BC oracle (serial assembly on the renumbered mesh)
-    Adev, Ah, b_host = fem_assemble_poisson(plex_perm, f=f, dtype=dtype)
+    section = None
+    if bc_label is not None:
+        from petsctpu.dm.label import get_label, label_vertices
+        from petsctpu.dm.section import vertex_section
+        name, vals = bc_label
+        lab = get_label(plex, name)
+        if lab is None:
+            raise ValueError(f"no label {name!r} on this Plex")
+        bnd = np.sort(vnew[label_vertices(plex, lab, vals)])
+        section = vertex_section(nv, dof=1, constrained=bnd)
+    Adev, Ah, b_host = fem_assemble_poisson(plex_perm, f=f, dtype=dtype,
+                                            section=section)
     mat, part = sharded_aij_from_scipy(Ah, nparts, dtype=dtype)
     lay = part.layout
     s = lay.shard_size
 
-    bnd = plex_perm.boundary_vertices()
+    if bc_label is None:
+        bnd = plex_perm.boundary_vertices()
     con = np.zeros(nv, bool)
     con[bnd] = True
 
