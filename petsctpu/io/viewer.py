@@ -187,3 +187,41 @@ def hdf5_load_mat(path: str, name: str) -> sp.csr_matrix:
                               np.asarray(g["indices"]),
                               np.asarray(g["indptr"])),
                              shape=tuple(g.attrs["shape"]))
+
+
+def pad_to_block_size(A: sp.csr_matrix, bs: int) -> sp.csr_matrix:
+    """Pad a square matrix with unit-diagonal rows until the size is
+    divisible by bs — exactly the reference's blocked-MatLoad padding
+    (MatLoad_SeqBAIJ, src/mat/impls/baij/seq/baij.c:3530-3598:
+    rowlength 1, column M+i, value 1.0)."""
+    A = sp.csr_matrix(A)
+    m, n = A.shape
+    assert m == n, "blocked load: square matrices only (baij.c:3526)"
+    extra = (-m) % bs
+    if extra == 0:
+        return A
+    return sp.block_diag([A, sp.eye(extra)]).tocsr()
+
+
+def petsc_binary_read_mat_baij(path: str, bs: int, dtype=None,
+                               fmt: str = "ell"):
+    """MatLoad for -mat_type baij from a reference binary file
+    (MatLoad_SeqBAIJ baij.c:3497): the on-disk format is the scalar
+    AIJ stream; the reader pads to a bs-divisible size and packs into
+    bs-blocked storage. Returns (device BAIJ [or SellBAIJ for
+    fmt='auto' on TPU], padded scipy CSR)."""
+    from petsctpu.mat.bsr import baij_from_scipy_bsr
+
+    A = pad_to_block_size(petsc_binary_read_mat(path), bs)
+    return baij_from_scipy_bsr(A, bs=bs, dtype=dtype, fmt=fmt), A
+
+
+def petsc_binary_read_mat_sbaij(path: str, bs: int, dtype=None):
+    """MatLoad for -mat_type sbaij (MatLoad_SeqSBAIJ,
+    src/mat/impls/sbaij/seq/sbaij.c — same scalar stream, upper
+    block-triangle kept). Returns (device SBAIJ, padded scipy CSR of
+    the FULL symmetric matrix)."""
+    from petsctpu.mat.sbaij import sbaij_from_scipy
+
+    A = pad_to_block_size(petsc_binary_read_mat(path), bs)
+    return sbaij_from_scipy(A, bs=bs, dtype=dtype), A

@@ -24,7 +24,8 @@ from petsctpu.ksp.gmres import solve_gmres, solve_fgmres
 from petsctpu.ksp.bcgs import solve_bcgs, solve_cgsq, solve_bicg
 from petsctpu.ksp.cheby import solve_chebyshev, solve_richardson, solve_preonly
 from petsctpu.ksp.minres import solve_minres, solve_lsqr
-from petsctpu.ksp.extra import solve_cr, solve_tfqmr, solve_cgne, solve_fbcgs
+from petsctpu.ksp.extra import (solve_cr, solve_tfqmr, solve_cgne,
+                               solve_fbcgs, solve_fbcgsr)
 from petsctpu.ksp.more import (
     solve_symmlq, solve_gcr, solve_bcgsl, solve_stcg, solve_lgmres,
 )
@@ -55,6 +56,7 @@ KSP_REGISTRY = {
     "tfqmr": solve_tfqmr,
     "cgne": solve_cgne,
     "fbcgs": solve_fbcgs,
+    "fbcgsr": solve_fbcgsr,
     "cg": solve_cg,
     "pipecg": solve_pipecg,
     "groppcg": solve_pipecg,    # same single-reduction structure on TPU
@@ -279,7 +281,7 @@ class KSP:
                      f"absolute={c.atol:g}, divergence={c.divtol:g}")
         lines.append("  left preconditioning")
         nt = c.norm_type or ("unpreconditioned" if c.ksp_type in
-                             ("fgmres", "fbcgs", "lsqr") else "preconditioned")
+                             ("fgmres", "fbcgs", "fbcgsr", "lsqr") else "preconditioned")
         lines.append(f"  using {nt.upper()} norm type for convergence test")
         lines.append("PC Object: 1 MPI processes")
         lines.append(f"  type: {type(self.pc).__name__ if self.pc is not None else 'none'}")

@@ -192,3 +192,71 @@ def solve_fbcgs(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
     out = lax.while_loop(cond, body, init)
     return SolveResult(out["x"], out["its"], out["reason"],
                        out["history"][out["its"]], out["history"])
+
+
+def solve_fbcgsr(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
+    """FBiCGStab-R (src/ksp/ksp/impls/bcgs/fbcgsr/fbcgsr.c): the
+    single-rendezvous flexible BiCGStab — mathematically equivalent to
+    fbcgs but with the six inner products packed into TWO fused
+    reductions per iteration ((tau,sigma) then (xi1..xi4)), and the
+    residual norm recovered algebraically from xi1 - omega*xi2 instead
+    of a third reduction (fbcgsr.c:105-167). Right preconditioning
+    only, like the reference. The merged sums use the reference's
+    unconjugated products (its VEC_ReduceArithmetic loops)."""
+    dtype = b.dtype
+    x = x0 if cfg.guess_nonzero else jnp.zeros_like(b)
+    r = b - A.mult(x) if cfg.guess_nonzero else b
+    rp = r
+    dp = ops.norm(r, axis)
+    history = record(init_history(cfg, dtype), 0, dp)
+    monitor_cb(cfg, 0, dp)
+    reason = check_convergence(dp, dp, jnp.int32(0), cfg)
+    rnorm0 = dp
+    zero = jnp.zeros_like(b)
+
+    def cond(c):
+        return c["reason"] == ConvergedReason.ITERATING
+
+    def body(c):
+        its = c["its"]
+        p2 = apply_pc(pc, c["p"])
+        v = A.mult(p2)
+        # fused reduction 1: tau = (r,rp), sigma = (v,rp)
+        tau_l = jnp.sum(c["r"] * rp)
+        sigma_l = jnp.sum(v * rp)
+        tau, sigma = ops.reduce_all((tau_l, sigma_l), axis)
+        tau = jnp.where(its == 0, (rnorm0 * rnorm0).astype(dtype), tau)
+        alpha = tau / sigma
+        s = c["r"] - alpha * v
+        s2 = apply_pc(pc, s)
+        t = A.mult(s2)
+        # fused reduction 2: (s,s), (t,s), (t,t), (t,rp)
+        xi1_l = jnp.sum(s * s)
+        xi2_l = jnp.sum(t * s)
+        xi3_l = jnp.sum(t * t)
+        xi4_l = jnp.sum(t * rp)
+        xi1, xi2, xi3, xi4 = ops.reduce_all(
+            (xi1_l, xi2_l, xi3_l, xi4_l), axis)
+        omega = xi2 / xi3
+        beta = -xi4 / sigma
+        dp = jnp.sqrt(jnp.abs(xi1 - omega * xi2)).real.astype(rnorm0.dtype)
+        x = c["x"] + alpha * p2 + omega * s2
+        its = its + 1
+        history = record(c["history"], its, dp)
+        monitor_cb(cfg, its, dp)
+        reason = check_convergence(dp, rnorm0, its, cfg)
+        breakdown = (xi3 == 0) | (sigma == 0)
+        reason = jnp.where((reason == 0) & breakdown,
+                           jnp.int32(ConvergedReason.DIVERGED_BREAKDOWN),
+                           reason)
+        r = s - omega * t
+        p = r + beta * (c["p"] - omega * v)
+        return dict(x=x, r=r, p=p, its=its, history=history,
+                    reason=reason)
+
+    init = dict(x=x, r=r, p=r, its=jnp.int32(0), history=history,
+                reason=reason)
+    del zero
+    out = lax.while_loop(cond, body, init)
+    return SolveResult(out["x"], out["its"], out["reason"],
+                       out["history"][out["its"]], out["history"])

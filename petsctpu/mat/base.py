@@ -18,6 +18,7 @@ from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @jax.tree_util.register_dataclass
@@ -327,3 +328,102 @@ def mat_axpy(Y, a, X, structure: str = "different"):
         out_data[ps + pos] = S.data[ss:se]
     return sp.csr_matrix((out_data, pat.indices, pat.indptr),
                          shape=Y.shape)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ScatterMat:
+    """MATSCATTER (src/mat/impls/scatter): the matrix whose action IS
+    a VecScatter — y[i] = x[idx[i]] for the stored index map (a 0/1
+    selection matrix applied as a gather; MatMult_Scatter forwards to
+    VecScatterBegin/End). multT is the scatter-reverse (ADD) — a
+    scatter-add into the source layout."""
+
+    idx: jax.Array          # int32 [m] source index of each output row
+    shape: tuple = field(metadata=dict(static=True))
+
+    def mult(self, x):
+        return x[self.idx]
+
+    def multT(self, y):
+        n = self.shape[1]
+        return jnp.zeros((n,), y.dtype).at[self.idx].add(y)
+
+    def diagonal(self):
+        m = min(self.shape)
+        rows = jnp.arange(m)
+        return jnp.where(self.idx[:m] == rows, 1.0, 0.0)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BlockMat:
+    """MATBLOCKMAT (src/mat/impls/blockmat): a sparse block matrix
+    whose nonzero blocks are themselves operators (usually sparse) —
+    a sparse generalization of MATNEST. Stored as a static COO of
+    (block-row, block-col, op); row/col offsets carry the (possibly
+    ragged) block layout."""
+
+    ops: tuple              # per stored block: any operator pytree
+    bi: tuple = field(metadata=dict(static=True))   # block-row ids
+    bj: tuple = field(metadata=dict(static=True))   # block-col ids
+    row_offsets: tuple = field(metadata=dict(static=True))
+    col_offsets: tuple = field(metadata=dict(static=True))
+
+    @property
+    def shape(self):
+        return (self.row_offsets[-1], self.col_offsets[-1])
+
+    def mult(self, x):
+        y = jnp.zeros((self.shape[0],), x.dtype)
+        for op, i, j in zip(self.ops, self.bi, self.bj):
+            xs = x[self.col_offsets[j]:self.col_offsets[j + 1]]
+            y = y.at[self.row_offsets[i]:self.row_offsets[i + 1]].add(
+                op.mult(xs))
+        return y
+
+    def multT(self, x):
+        y = jnp.zeros((self.shape[1],), x.dtype)
+        for op, i, j in zip(self.ops, self.bi, self.bj):
+            xs = x[self.row_offsets[i]:self.row_offsets[i + 1]]
+            y = y.at[self.col_offsets[j]:self.col_offsets[j + 1]].add(
+                op.multT(xs))
+        return y
+
+    def diagonal(self):
+        d = jnp.zeros((self.shape[0],))
+        for op, i, j in zip(self.ops, self.bi, self.bj):
+            if i == j:
+                d = d.at[self.row_offsets[i]:self.row_offsets[i + 1]] \
+                    .set(op.diagonal())
+        return d
+
+
+def block_mat(blocks, row_sizes, col_sizes) -> BlockMat:
+    """Build a BlockMat from {(i, j): op} + block layout sizes."""
+    ro = (0,) + tuple(np.cumsum(row_sizes).tolist())
+    co = (0,) + tuple(np.cumsum(col_sizes).tolist())
+    items = sorted(blocks.items())
+    return BlockMat(tuple(op for _, op in items),
+                    tuple(i for (i, _), _ in items),
+                    tuple(j for (_, j), _ in items), ro, co)
+
+
+class LocalRef:
+    """MATLOCALREF (src/mat/impls/localref): an assembly ALIAS into a
+    parent matrix — values added through the local index maps land in
+    the parent's global COO stream (MatSetValuesLocal forwarding; the
+    reference wraps the parent's ops table, we wrap its builder)."""
+
+    def __init__(self, parent_builder, rmap, cmap=None):
+        self.parent = parent_builder        # has .add(rows, cols, vals)
+        self.rmap = np.asarray(rmap, np.int64)
+        self.cmap = (self.rmap if cmap is None
+                     else np.asarray(cmap, np.int64))
+        self.shape = (len(self.rmap), len(self.cmap))
+
+    def add_values(self, rows, cols, vals) -> None:
+        """MatSetValues on the reference frame → parent global adds."""
+        self.parent.add(self.rmap[np.asarray(rows, np.int64)],
+                        self.cmap[np.asarray(cols, np.int64)],
+                        np.asarray(vals))
