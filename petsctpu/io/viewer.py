@@ -225,3 +225,23 @@ def petsc_binary_read_mat_sbaij(path: str, bs: int, dtype=None):
 
     A = pad_to_block_size(petsc_binary_read_mat(path), bs)
     return sbaij_from_scipy(A, bs=bs, dtype=dtype), A
+
+
+def petsc_binary_read_system(path: str):
+    """Read matrix + rhs from ONE file (the ex10 same-file layout:
+    MatLoad then VecLoad from the same viewer, ex10.c:129). Returns
+    (scipy CSR, rhs ndarray)."""
+    with open(path, "rb") as f:
+        classid, m, n, nnz = np.frombuffer(f.read(16), dtype=">i4")
+        assert classid == MAT_CLASSID, f"not a PETSc Mat file ({classid})"
+        rownnz = np.frombuffer(f.read(4 * m), dtype=">i4")
+        indices = np.frombuffer(f.read(4 * nnz), dtype=">i4")
+        data = np.frombuffer(f.read(8 * nnz), dtype=">f8") \
+            .astype(np.float64)
+        indptr = np.concatenate([[0], np.cumsum(rownnz)]).astype(np.int64)
+        A = sp.csr_matrix((data, indices.astype(np.int64), indptr),
+                          shape=(m, n))
+        vclass, vn = np.frombuffer(f.read(8), dtype=">i4")
+        assert vclass == VEC_CLASSID, "no rhs vector after the matrix"
+        b = np.frombuffer(f.read(8 * vn), dtype=">f8").astype(np.float64)
+    return A, b

@@ -129,14 +129,18 @@ def solve_bicg(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
     """BiCG (src/ksp/ksp/impls/bicg/bicg.c, complex-correct): left
     vectors run through the HERMITIAN adjoint (the reference's
     VecConjugate sandwich around MatMultTranspose/PCApplyTranspose,
-    bicg.c:90-93). Assumes a SYMMETRIC (pattern-symmetric) pc apply,
-    so M⁻ᴴ v = conj(M⁻¹ conj(v)) — true for every built-in PC here."""
+    bicg.c:90-93). PCs exposing `apply_transpose` (ILUPCT via
+    -pc_factor_transpose_solves, the PCApplyTranspose analog) get the
+    TRUE adjoint; symmetric PCs fall back to the conjugate sandwich
+    M⁻ᴴ v = conj(M⁻¹ conj(v))."""
     dtype = b.dtype
     x = x0 if cfg.guess_nonzero else jnp.zeros_like(b)
     rr = b - A.mult(x) if cfg.guess_nonzero else b
     rl = rr
 
     def pc_herm(v):
+        if hasattr(pc, "apply_transpose"):
+            return jnp.conj(pc.apply_transpose(jnp.conj(v)))
         return jnp.conj(apply_pc(pc, jnp.conj(v)))
 
     def mult_herm(v):

@@ -20,15 +20,17 @@ from petsctpu.vec import ops
 def solve_minres(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
     """Preconditioned MINRES (Paige & Saunders Lanczos recurrence).
 
-    Requires an SPD preconditioner; monitors the unpreconditioned-
-    equivalent residual estimate like the reference (minres.c)."""
+    Requires an SPD preconditioner. Monitors the PRECONDITIONED
+    residual 2-norm like the reference: np0 = ||z||_2 (minres.c:98
+    VecNorm(Z)) carried through the rotation recurrence
+    np_k = np_{k-1}*|s_k| (minres.c:175)."""
     dtype = b.dtype
     x = x0 if cfg.guess_nonzero else jnp.zeros_like(b)
     r = b - A.mult(x) if cfg.guess_nonzero else b
     z = apply_pc(pc, r)
     beta1_sq = jnp.real(ops.dot(r, z, axis))
     beta1 = jnp.sqrt(jnp.abs(beta1_sq))
-    dp = beta1
+    dp = ops.norm(z, axis)
     history = record(init_history(cfg, dtype), 0, dp)
     monitor_cb(cfg, 0, dp)
     reason = check_convergence(dp, dp, jnp.int32(0), cfg)
@@ -65,7 +67,7 @@ def solve_minres(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
         w = (v - lam * c["w"] - eps * c["w_old"]) / gamma
         x = c["x"] + c_new * c["eta"] * w
         eta = -s_new * c["eta"]
-        dp = jnp.abs(eta)
+        dp = c["np"] * jnp.abs(s_new)
         its = its + 1
         history = record(c["history"], its, dp)
         monitor_cb(cfg, its, dp)
@@ -76,15 +78,15 @@ def solve_minres(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
         return dict(x=x, r=r_lanczos, r_old=c["r"], z=z_new, z_old=c["z"],
                     w=w, w_old=c["w"], beta=beta_new, beta_old=c["beta"],
                     c=c_new, c_old=c["c"], s=s_new, s_old=c["s"], eta=eta,
-                    its=its, history=history, reason=reason)
+                    np=dp, its=its, history=history, reason=reason)
 
     rt = jnp.zeros((), dtype).real.dtype     # rotation scalars: real
     one = jnp.ones((), rt)
     init = dict(x=x, r=r, r_old=zero, z=z, z_old=zero, w=zero, w_old=zero,
                 beta=beta1.astype(rt), beta_old=one, c=one, c_old=one,
                 s=jnp.zeros((), rt), s_old=jnp.zeros((), rt),
-                eta=beta1.astype(rt), its=jnp.int32(0), history=history,
-                reason=reason)
+                eta=beta1.astype(rt), np=dp.astype(rt),
+                its=jnp.int32(0), history=history, reason=reason)
     out = lax.while_loop(cond, body, init)
     return SolveResult(out["x"], out["its"], out["reason"],
                        out["history"][out["its"]], out["history"])

@@ -69,7 +69,9 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
                         tri=opts.get_str("pc_factor_tri_solve", "auto"),
                         drop_tol=opts.get_real("pc_factor_drop_tolerance",
                                                0.0),
-                        fill_factor=opts.get_real("pc_factor_fill", 10.0))
+                        fill_factor=opts.get_real("pc_factor_fill", 10.0),
+                        transpose_solves=opts.has(
+                            "pc_factor_transpose_solves"))
     if pc_type == "icc":
         _require_host(A_host, "icc")
         from petsctpu.pc.factor import make_icc

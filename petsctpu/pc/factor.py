@@ -46,10 +46,16 @@ class PermutedPC:
         z = self.inner.apply(b[self.perm])
         return jnp.zeros_like(b).at[self.perm].set(z)
 
+    def apply_transpose(self, b):
+        # (Pᵀ M̃⁻¹ P)ᵀ = Pᵀ M̃⁻ᵀ P for a symmetric permutation
+        z = self.inner.apply_transpose(b[self.perm])
+        return jnp.zeros_like(b).at[self.perm].set(z)
+
 
 def make_ilu(A_host, dtype=None, levels: int = 0,
              ordering: str = "natural", tri: str = "auto",
-             drop_tol: float = 0.0, fill_factor: float = 10.0):
+             drop_tol: float = 0.0, fill_factor: float = 10.0,
+             transpose_solves: bool = False):
     """tri: 'level' (level-scheduled SpTRSV) or 'band' (MXU-tiled
     blocked back-substitution — far faster on TPU for banded/RCM-
     ordered factors; see mat/factor.BandTRSVPlan).
@@ -78,9 +84,11 @@ def make_ilu(A_host, dtype=None, levels: int = 0,
         from petsctpu.mat.order import get_ordering, permute_symmetric
         perm = get_ordering(A_host, ordering)
         inner = make_ilu(permute_symmetric(A_host, perm), dtype=dtype,
-                         levels=levels, tri=tri)
+                         levels=levels, tri=tri,
+                         transpose_solves=transpose_solves)
         return PermutedPC(inner, jnp.asarray(perm, jnp.int32))
-    return _make_ilu_natural(A_host, dtype, levels, tri)
+    return _make_ilu_natural(A_host, dtype, levels, tri,
+                             transpose_solves)
 
 
 def _iluk_pattern(A, k: int):
@@ -131,7 +139,8 @@ def _iluk_pattern(A, k: int):
 
 
 def _make_ilu_natural(A_host, dtype=None, levels: int = 0,
-                      tri: str = "auto") -> ILUPC:
+                      tri: str = "auto",
+                      transpose_solves: bool = False) -> ILUPC:
     if levels != 0:
         import scipy.sparse as sp
         # symbolic ILU(k): Saad's level-of-fill rule —
@@ -176,6 +185,16 @@ def _make_ilu_natural(A_host, dtype=None, levels: int = 0,
             make_band_trsv_plan(L, lower=True, unit_diag=True, dtype=dtype),
             make_band_trsv_plan(U, lower=False, unit_diag=False,
                                 dtype=dtype))
+    if transpose_solves:
+        import scipy.sparse as sp
+        return ILUPCT(
+            make_sptrsv_plan(L, lower=True, unit_diag=True, dtype=dtype),
+            make_sptrsv_plan(U, lower=False, unit_diag=False,
+                             dtype=dtype),
+            make_sptrsv_plan(sp.csr_matrix(L.T), lower=False,
+                             unit_diag=True, dtype=dtype),
+            make_sptrsv_plan(sp.csr_matrix(U.T), lower=True,
+                             unit_diag=False, dtype=dtype))
     return ILUPC(make_sptrsv_plan(L, lower=True, unit_diag=True, dtype=dtype),
                  make_sptrsv_plan(U, lower=False, unit_diag=False, dtype=dtype))
 
@@ -437,3 +456,25 @@ def make_iludt(A_host, dt: float = 0.005, dtcount: int = None,
                          dtype=dtype),
         make_sptrsv_plan(sp.csr_matrix(U), lower=False, unit_diag=False,
                          dtype=dtype))
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ILUPCT:
+    """ILU with TRUE transpose application: apply = U⁻¹L⁻¹b,
+    apply_transpose = L⁻ᵀU⁻ᵀb through dedicated plans for Uᵀ (lower)
+    and Lᵀ (upper) — what the reference's PCApplyTranspose →
+    MatSolveTranspose does for the adjoint chains of BiCG
+    (bicg.c KSP_PCApplyTranspose). Built by
+    make_ilu(transpose_solves=True) / -pc_factor_transpose_solves."""
+
+    Lplan: SpTRSVPlan
+    Uplan: SpTRSVPlan
+    LTplan: SpTRSVPlan
+    UTplan: SpTRSVPlan
+
+    def apply(self, b):
+        return self.Uplan.solve(self.Lplan.solve(b))
+
+    def apply_transpose(self, b):
+        return self.LTplan.solve(self.UTplan.solve(b))
