@@ -80,14 +80,20 @@ def solve_lcd(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
         reason = jnp.where((reason == 0) & (den == 0),
                            jnp.int32(ConvergedReason.DIVERGED_BREAKDOWN),
                            reason)
-        # build next direction: p = r, q = BA r, orthogonalized
-        qn = BA(r)
-        mask = jnp.arange(m) <= it
-        nums = jnp.where(mask, ops.mdot(qn, P, axis), 0.0)
-        betas = -nums / jnp.where(dens != 0, dens, 1.0)
-        betas = jnp.where(mask, betas, 0.0)
-        pn = r + betas @ P
-        qn = qn + betas @ Qs
+        # build next direction: p = r, q = BA r, obliquely
+        # orthogonalized SEQUENTIALLY like the reference's j-loop
+        # (lcd.c:106-112 updates Q[it+1] before the next j's dot —
+        # modified Gram-Schmidt; the one-shot classical variant loses
+        # orthogonality near convergence and stalls at ~1e-4)
+        dsafe = jnp.where(dens != 0, dens, 1.0)
+
+        def orth(j, pq):
+            pn, qn = pq
+            num = ops.dot(P[j], qn, axis)
+            beta = -num / dsafe[j]
+            return (pn + beta * P[j], qn + beta * Qs[j])
+
+        pn, qn = lax.fori_loop(0, it + 1, orth, (r, BA(r)))
         P = P.at[it + 1].set(pn)
         Qs = Qs.at[it + 1].set(qn)
         return dict(x=x, r=r, P=P, Q=Qs, dens=dens, its=its, last=it + 1,

@@ -27,105 +27,103 @@ from petsctpu.vec import ops
 # ---------------------------------------------------------------------------
 
 def solve_symmlq(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
-    """SYMMLQ (Paige & Saunders; reference symmlq.c).
-
-    Lanczos tridiagonalization + LQ factorization; iterates stay in the
-    translated Krylov space, with the step along b accumulated in
-    `bstep` and applied at exit (together with the move to the CG point,
-    which is what the residual estimate tracks). Preconditioned with an
-    SPD M; convergence is monitored in the natural (M^{-1}) norm.
-    """
+    """SYMMLQ, transcribed to the reference's exact state machine
+    (src/ksp/ksp/impls/symmlq/symmlq.c): Lanczos on the B-inner
+    product with the deferred w/w_bar rotation (the its>1 update
+    block), ceta three-term recurrence, residual MONITOR
+    np0 = ||z||_2 then np = beta1·Π|s|/|c| (the CGNORM estimate,
+    symmlq.c:91,163-167), and the exit move to the CG point
+    x += (ceta/c)·w_bar. Requires symmetric A and SPD M."""
     dtype = b.dtype
+    rt = jnp.zeros((), dtype).real.dtype
     x_base = x0 if cfg.guess_nonzero else jnp.zeros_like(b)
-    r1 = b - A.mult(x_base) if cfg.guess_nonzero else b
-    y0 = apply_pc(pc, r1)
-    beta1_sq = ops.dot(r1, y0, axis)
-    beta1 = jnp.sqrt(jnp.maximum(beta1_sq, 0.0))
-    safe_b1 = jnp.where(beta1 > 0, beta1, 1.0)
-
-    v = y0 / safe_b1
-    y = A.mult(v)
-    alfa = ops.dot(v, y, axis)
-    y = y - (alfa / safe_b1) * r1
-    r2 = y
-    y = apply_pc(pc, r2)
-    oldb = beta1
-    beta_sq = ops.dot(r2, y, axis)
-    indef_pc = beta_sq < 0
-    beta = jnp.sqrt(jnp.maximum(beta_sq, 0.0))
-
-    history = record(init_history(cfg, dtype), 0, beta1)
-    monitor_cb(cfg, 0, beta1)
-    reason = check_convergence(beta1, beta1, jnp.int32(0), cfg)
+    r = b - A.mult(x_base) if cfg.guess_nonzero else b
+    z = apply_pc(pc, r)
+    dp0 = jnp.real(ops.dot(r, z, axis))
+    indef_pc = dp0 < 0
+    beta1 = jnp.sqrt(jnp.maximum(dp0, 0.0)).astype(rt)
+    sb1 = jnp.where(beta1 > 0, beta1, 1.0)
+    v = r / sb1
+    u = z / sb1
+    wbar = u
+    np0 = ops.norm(z, axis)
+    history = record(init_history(cfg, dtype), 0, np0)
+    monitor_cb(cfg, 0, np0)
+    reason = check_convergence(np0, np0, jnp.int32(0), cfg)
     reason = jnp.where((reason == 0) & indef_pc,
                        jnp.int32(ConvergedReason.DIVERGED_INDEFINITE_PC),
                        reason)
-
-    init = dict(x=jnp.zeros_like(b), w=jnp.zeros_like(b), y=y, v=v,
-                r1=r1, r2=r2, oldb=oldb, beta=beta,
-                gbar=alfa, dbar=beta, rhs1=beta1, rhs2=jnp.zeros((), dtype),
-                bstep=jnp.zeros((), dtype), snprod=jnp.ones((), dtype),
-                its=jnp.int32(0), history=history, reason=reason)
+    zero = jnp.zeros_like(b)
+    one = jnp.ones((), rt)
+    zs = jnp.zeros((), rt)
 
     def cond(c):
         return c["reason"] == ConvergedReason.ITERATING
 
     def body(c):
-        sbeta = jnp.where(c["beta"] > 0, c["beta"], 1.0)
-        v = c["y"] / sbeta
-        y = A.mult(v)
-        y = y - (c["beta"] / jnp.where(c["oldb"] > 0, c["oldb"], 1.0)) * c["r1"]
-        alfa = ops.dot(v, y, axis)
-        y = y - (alfa / sbeta) * c["r2"]
-        r1, r2 = c["r2"], y
-        y = apply_pc(pc, r2)
-        oldb = c["beta"]
-        beta_sq = ops.dot(r2, y, axis)
-        indef = beta_sq < 0
-        beta = jnp.sqrt(jnp.maximum(beta_sq, 0.0))
-
-        # plane rotation of the tridiagonal (LQ factorization)
-        gamma = jnp.sqrt(c["gbar"] ** 2 + oldb ** 2)
-        sgam = jnp.where(gamma > 0, gamma, 1.0)
-        cs = c["gbar"] / sgam
-        sn = oldb / sgam
-        delta = cs * c["dbar"] + sn * alfa
-        gbar = sn * c["dbar"] - cs * alfa
-        epsln = sn * beta
-        dbar = -cs * beta
-
-        # LQ point update
-        z = c["rhs1"] / sgam
-        x = c["x"] + (z * cs) * c["w"] + (z * sn) * v
-        w = sn * c["w"] - cs * v
-        bstep = c["snprod"] * cs * z + c["bstep"]
-        snprod = c["snprod"] * sn
-        rhs1 = c["rhs2"] - delta * z
-        rhs2 = -epsln * z
-
-        # CG-point residual estimate (what the reference monitors)
-        diag = jnp.where(gbar != 0, gbar, jnp.finfo(dtype).eps)
-        cgnorm = jnp.abs(snprod) * beta1 * beta / jnp.abs(diag)
         its = c["its"] + 1
-        history = record(c["history"], its, cgnorm)
-        monitor_cb(cfg, its, cgnorm)
-        reason = check_convergence(cgnorm, beta1, its, cfg)
+        upd = its > 1
+        sbeta = jnp.where(c["beta"] > 0, c["beta"], 1.0)
+        vold = jnp.where(upd, c["v"], c["vold"])
+        uold = jnp.where(upd, c["u"], c["uold"])
+        v = jnp.where(upd, c["r"] / sbeta, c["v"])
+        u = jnp.where(upd, c["z"] / sbeta, c["u"])
+        w = c["c"] * c["wbar"] + c["s"] * u
+        wbar = jnp.where(upd, -c["s"] * c["wbar"] + c["c"] * u,
+                         c["wbar"])
+        x = jnp.where(upd, c["x"] + c["ceta"] * w, c["x"])
+        ceta_oold = jnp.where(upd, c["ceta_old"], c["ceta_oold"])
+        ceta_old = jnp.where(upd, c["ceta"], c["ceta_old"])
+
+        # Lanczos
+        r = A.mult(u)
+        alpha = jnp.real(ops.dot(u, r, axis))
+        z = apply_pc(pc, r)
+        r = r - alpha * v - c["beta"] * vold
+        z = z - alpha * u - c["beta"] * uold
+        betaold = c["beta"]
+        dp = jnp.real(ops.dot(r, z, axis))
+        indef = dp < 0
+        beta = jnp.sqrt(jnp.maximum(dp, 0.0)).astype(rt)
+
+        # QR factorization of the tridiagonal
+        coold, cold = c["cold"], c["c"]
+        soold, sold = c["sold"], c["s"]
+        rho0 = cold * alpha - coold * sold * betaold
+        rho1 = jnp.sqrt(rho0 * rho0 + beta * beta)
+        rho2 = sold * alpha + coold * cold * betaold
+        rho3 = soold * betaold
+        srho1 = jnp.where(rho1 > 0, rho1, 1.0)
+        cs = rho0 / srho1
+        sn = beta / srho1
+        ceta = jnp.where(its == 1, beta1 / srho1,
+                         -(rho2 * ceta_old + rho3 * ceta_oold) / srho1)
+        s_prod = c["s_prod"] * jnp.abs(sn)
+        np_ = jnp.where(cs == 0, s_prod * 1e16, s_prod
+                        / jnp.where(cs == 0, 1.0, jnp.abs(cs)))
+        history = record(c["history"], its, np_)
+        monitor_cb(cfg, its, np_)
+        reason = check_convergence(np_, np0, its, cfg)
         reason = jnp.where((reason == 0) & indef,
                            jnp.int32(ConvergedReason.DIVERGED_INDEFINITE_PC),
                            reason)
-        reason = jnp.where((reason == 0) & (gamma == 0),
-                           jnp.int32(ConvergedReason.DIVERGED_BREAKDOWN),
-                           reason)
-        return dict(x=x, w=w, y=y, v=v, r1=r1, r2=r2, oldb=oldb, beta=beta,
-                    gbar=gbar, dbar=dbar, rhs1=rhs1, rhs2=rhs2, bstep=bstep,
-                    snprod=snprod, its=its, history=history, reason=reason)
+        return dict(x=x, r=r, z=z, u=u, v=v, uold=uold, vold=vold,
+                    wbar=wbar, beta=beta, c=cs, cold=cold, s=sn,
+                    sold=sold, ceta=ceta, ceta_old=ceta_old,
+                    ceta_oold=ceta_oold, s_prod=s_prod, its=its,
+                    history=history, reason=reason)
 
+    init = dict(x=jnp.zeros_like(b), r=r, z=z, u=u, v=v, uold=zero,
+                vold=zero, wbar=wbar, beta=beta1, c=one, cold=one,
+                s=zs, sold=zs, ceta=zs, ceta_old=zs, ceta_oold=zs,
+                s_prod=jnp.abs(beta1), its=jnp.int32(0),
+                history=history, reason=reason)
     out = lax.while_loop(cond, body, init)
-    # move to the CG point, then add the accumulated step along b
-    diag = jnp.where(out["gbar"] != 0, out["gbar"], jnp.finfo(dtype).eps)
-    zbar = out["rhs1"] / diag
-    bstep = (out["snprod"] * zbar + out["bstep"]) / safe_b1
-    x = x_base + out["x"] + zbar * out["w"] + bstep * y0
+    # move to the CG point: x <- x + (ceta/c) w_bar (symmlq.c:180-186)
+    ceta_bar = jnp.where(out["c"] == 0, out["ceta"] * 1e15,
+                         out["ceta"]
+                         / jnp.where(out["c"] == 0, 1.0, out["c"]))
+    x = x_base + out["x"] + ceta_bar * out["wbar"]
     return SolveResult(x, out["its"], out["reason"],
                        out["history"][out["its"]], out["history"])
 
