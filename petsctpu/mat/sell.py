@@ -308,6 +308,35 @@ def sell_from_scipy(A, G: int = 16, interpret: bool = None,
                    (n, A.shape[1]), int(A.nnz), G, S, Lp, interpret)
 
 
+def sell_pack(A, G: int = 16, max_span_rows: int = 8192):
+    """Host-side SELL pack (no device transfers): returns
+    (arrays dict {vals f32, idx i8, qs i32, winstart i32, diag f32},
+    statics dict {shape, nnz, G, S, Lp}) — lets callers batch/pack the
+    transfers themselves (pc/mg.PackedMGPC ships them inside its two
+    flat buffers)."""
+    A = sp.csr_matrix(A).astype(np.float32)
+    A.sum_duplicates()
+    n = A.shape[0]
+    m = _plan(A, G)
+    nt, P, S = m["nt"], m["P"], m["S"]
+    if S > max_span_rows:
+        raise ValueError(f"window span {S} rows exceeds cap "
+                         f"{max_span_rows}")
+    vals = np.zeros((nt, P, G, 128), np.float32)
+    idx = np.zeros((nt, P, G, 128), np.int8)
+    qs = np.zeros((nt, P), np.int64)
+    vals[m["t"], m["pass_of"], m["g"], m["lane"]] = m["data"]
+    idx[m["t"], m["pass_of"], m["g"], m["lane"]] = m["pos"]
+    qs[m["t"], m["pass_of"]] = m["q"]
+    qs = (qs + G).astype(np.int32)
+    winstart = (m["wmin"] // 128).astype(np.int32)
+    Lp = int(max(winstart.max() + S if nt else S, -(-n // 128) + G + 1))
+    return (dict(vals=vals, idx=idx, qs=qs, winstart=winstart,
+                 diag=A.diagonal().astype(np.float32)),
+            dict(shape=(n, A.shape[1]), nnz=int(A.nnz), G=G, S=S,
+                 Lp=Lp))
+
+
 # ---------------------------------------------------------------------------
 # frozen-pattern templates: jit-safe numeric refill
 # ---------------------------------------------------------------------------

@@ -188,12 +188,29 @@ class PackedMGPC:
         return jax.lax.dynamic_slice(self.ibuf, (off,),
                                      (size,)).reshape(shape)
 
+    def _unpack_op(self, amref):
+        from petsctpu.mat.ell import AIJ
+        if amref[0] == "ell":
+            _, ci, vi, sha, nza = amref
+            return AIJ(self._geti(ci), self._getf(vi), sha, nza), sha
+        from petsctpu.mat.sell import SellMat
+        (_, vi, ii, qi, wi, di, sha, nnz, G, S, Lp, vshape) = amref
+        vals = self._getf((vi[0], vshape))
+        idx32 = self._geti((ii[0], (int(np.prod(vshape)) // 4,)))
+        idx = jax.lax.bitcast_convert_type(idx32, jnp.int8) \
+            .reshape(vshape)
+        qs = self._geti((qi[0], vshape[:2]))
+        winstart = self._geti((wi[0], (vshape[0],)))
+        diag = self._getf((di[0], (sha[0],)))
+        return SellMat(vals, idx, qs, winstart, diag, sha, nnz, G, S,
+                       Lp, False), sha
+
     def unpack(self) -> MGPC:
         from petsctpu.mat.ell import AIJ
         from petsctpu.pc.gamg_device import DenseLUPC
         levels = []
-        for (ci, vi, sha, nza, pi, pv, shp, nzp, do, lam) in self.metas:
-            A = AIJ(self._geti(ci), self._getf(vi), sha, nza)
+        for (amref, pi, pv, shp, nzp, do, lam) in self.metas:
+            A, sha = self._unpack_op(amref)
             P = AIJ(self._geti(pi), self._getf(pv), shp, nzp)
             dinv = self._getf((do, (sha[0],)))
             sdt = np.dtype(self.fbuf.dtype).type
@@ -496,14 +513,48 @@ def make_algebraic_mg_from_hierarchy(As, Ps, dtype=None, sm_its: int = 2,
             io += ibuf[-1].size
             return io - ibuf[-1].size, a.shape
 
+        import jax as _jax
+        use_sell = (np.dtype(dtype) == np.float32
+                    and _jax.default_backend() == "tpu")
         for l in range(len(Ps)):
-            ca, va, sha, nza = aij_pack(As[l], dtype=dtype)
+            amref = None
+            if use_sell:
+                from petsctpu.mat.sell import sell_pack
+                Al = sp.csr_matrix(As[l]).astype(np.float32)
+                Al.sum_duplicates()
+                arrs = st = None
+                if Al.shape[0] >= 16 * 128:
+                    try:
+                        arrs, st = sell_pack(Al)
+                        # slop gate (sell_viable's rule, without
+                        # planning twice): padded passes vs avg row
+                        avg = Al.nnz / max(Al.shape[0], 1)
+                        if arrs["vals"].shape[1] > 8 * max(avg, 1e-9):
+                            arrs = None
+                    except ValueError:
+                        arrs = None
+                if arrs is not None:
+                    # level operator through the Pallas SELL kernel:
+                    # int8 idx rides the int32 buffer via bitcast
+                    amref = ("sell",
+                             putf(arrs["vals"]),
+                             puti(arrs["idx"].ravel().view(np.int32)
+                                  .reshape(-1)),
+                             puti(arrs["qs"]),
+                             puti(arrs["winstart"]),
+                             putf(arrs["diag"]),
+                             st["shape"], st["nnz"], st["G"],
+                             st["S"], st["Lp"],
+                             tuple(arrs["vals"].shape))
+            if amref is None:
+                ca, va, sha, nza = aij_pack(As[l], dtype=dtype)
+                amref = ("ell", puti(ca), putf(va), sha, nza)
             cp, vp, shp, nzp = aij_pack(Ps[l], dtype=dtype)
             d = As[l].diagonal()
             d = np.where(d != 0, d, 1.0)
             dinv = (1.0 / d).astype(dtype)
             lam = _power_lambda_max(As[l], dinv)
-            metas.append((puti(ca), putf(va), sha, nza,
+            metas.append((amref,
                           puti(cp), putf(vp), shp, nzp,
                           putf(dinv)[0], float(lam)))
         ca, va, shc, nzc = aij_pack(As[-1], dtype=dtype)
