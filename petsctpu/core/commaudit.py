@@ -136,8 +136,10 @@ def audit_collectives(fn, *args, **kwargs) -> CommAudit:
 
 
 # process-global registry: parallel solvers deposit their audits here
-# at first compile; dryrun/log_view print them
+# at first compile; dryrun/log_view print them. AUDIT_ALWAYS=True
+# (set by the dryrun) makes solvers audit even with logging off.
 COMM_AUDITS: dict = {}
+AUDIT_ALWAYS: bool = False
 
 
 def comm_table(audits: dict = None) -> str:
@@ -153,6 +155,9 @@ def comm_table(audits: dict = None) -> str:
     lines.append("-" * 78)
     for key in sorted(audits, key=str):
         a = audits[key]
+        if a is None:                 # audit trace failed for this one
+            lines.append(f"{str(key):30s} {'(trace failed)':>9s}")
+            continue
         per = a.per_iteration
         brk = ",".join(f"{k}:{per.counts[k]}" for k in sorted(per.counts))
         lines.append(

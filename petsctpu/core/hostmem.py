@@ -69,27 +69,3 @@ def prefault(nbytes: int = 1 << 30) -> None:
     a = np.empty(n, dtype=np.float64)
     a[:: 4096 // 8] = 0.0  # one write per page
     del a
-
-
-def device_put_batch(arrays):
-    """Ship a list of host arrays to device concurrently.
-
-    The axon relay charges ~50-70 ms per novel-shape transfer RPC and
-    serializes same-thread puts, so setup code that builds a whole
-    pytree of arrays (an MG hierarchy: per-level operators, transfers,
-    smoother diagonals) should collect the numpy arrays and ship them
-    through one threaded batch instead of interleaving transfers with
-    host work. Returns device arrays in input order. (On a directly
-    attached TPU this is latency-neutral.)
-
-    Reference analog: VecScatter/MatStash message aggregation — the
-    reference also batches its setup-time communication
-    (src/mat/utils/matstash.c rendezvous) instead of per-entry sends.
-    """
-    import jax
-
-    if len(arrays) <= 2:
-        return [jax.device_put(a) for a in arrays]
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(min(16, max(2, len(arrays)))) as ex:
-        return list(ex.map(jax.device_put, arrays))

@@ -138,8 +138,11 @@ def solve_bicg(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
     rr = b - A.mult(x) if cfg.guess_nonzero else b
     rl = rr
 
+    # a PC "has a true transpose" only when the whole wrapper chain
+    # does (PermutedPC always defines apply_transpose but its inner
+    # may not — has_transpose reports the chain's capability)
     def pc_herm(v):
-        if hasattr(pc, "apply_transpose"):
+        if getattr(pc, "has_transpose", hasattr(pc, "apply_transpose")):
             return jnp.conj(pc.apply_transpose(jnp.conj(v)))
         return jnp.conj(apply_pc(pc, jnp.conj(v)))
 

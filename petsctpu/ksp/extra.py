@@ -212,7 +212,6 @@ def solve_fbcgsr(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
     monitor_cb(cfg, 0, dp)
     reason = check_convergence(dp, dp, jnp.int32(0), cfg)
     rnorm0 = dp
-    zero = jnp.zeros_like(b)
 
     def cond(c):
         return c["reason"] == ConvergedReason.ITERATING
@@ -256,7 +255,6 @@ def solve_fbcgsr(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
 
     init = dict(x=x, r=r, p=r, its=jnp.int32(0), history=history,
                 reason=reason)
-    del zero
     out = lax.while_loop(cond, body, init)
     return SolveResult(out["x"], out["its"], out["reason"],
                        out["history"][out["its"]], out["history"])

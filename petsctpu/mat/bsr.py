@@ -167,9 +167,12 @@ def baij_from_scipy_bsr(A, bs: int = None, dtype=None,
     scal_nnz = int((B.data != 0).sum())
     base = BAIJ(jnp.asarray(cols), jnp.asarray(vals), B.shape, bs,
                 scal_nnz)
-    if (fmt == "sell"
-            or (fmt == "auto" and jax.default_backend() == "tpu")) \
-            and np.dtype(dtype or B.dtype) == np.float32:
+    f32 = np.dtype(dtype or B.dtype) == np.float32
+    if fmt == "sell" and not f32:
+        raise ValueError("fmt='sell' needs float32 (the Pallas "
+                         "kernel's performance dtype)")
+    if f32 and (fmt == "sell"
+                or (fmt == "auto" and jax.default_backend() == "tpu")):
         from petsctpu.mat.sell import sell_from_scipy, sell_viable
         C = sp.csr_matrix(B).astype(np.float32)
         C.sum_duplicates()

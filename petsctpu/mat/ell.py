@@ -110,8 +110,8 @@ class AIJ:
 # ---- host converters ---------------------------------------------------------
 def aij_pack(A, dtype=None, min_width: int = 1):
     """Host-side ELL pack: (cols int32 [m,K], vals [m,K], shape, nnz).
-    Lets callers batch the device transfers (core/hostmem
-    .device_put_batch) instead of paying per-array RPC latency."""
+    Lets callers pack the device transfers into few buffers
+    (pc/mg.PackedMGPC) instead of paying per-array RPC latency."""
     import scipy.sparse as sp
 
     A = sp.csr_matrix(A)

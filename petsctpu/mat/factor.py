@@ -670,13 +670,7 @@ def make_band_trsv_plan(Tmat, lower: bool, unit_diag: bool, dtype=None,
     n = Tmat.shape[0]
     coo = Tmat.tocoo()
     T = tile if tile is not None else (256 if n > 1536 else 128)
-    nt = max(-(-n // T), 1)
-    # bandwidth of the strictly off-tile part
-    toff = coo.col - (coo.row // T) * T          # col offset within tile row
-    outside = (toff < 0) if lower else (toff >= T)
-    B = int(np.abs(toff[outside] - (0 if lower else T - 1)).max()) \
-        if outside.any() else 1
-    W = max(-(-B // T), 1) * T
+    nt, W = band_dims(Tmat, lower, T)      # single source of the sizes
     if pad_to is not None:
         nt = max(nt, pad_to[0])
         W = max(W, pad_to[1])

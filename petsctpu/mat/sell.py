@@ -263,15 +263,16 @@ def sell_viable(A, G: int = 16, max_span_rows: int = 8192,
     return S <= max_span_rows and slop <= max_slop
 
 
-def sell_from_scipy(A, G: int = 16, interpret: bool = None,
-                    max_span_rows: int = 8192,
-                    force: tuple = None) -> SellMat:
-    """Build a SellMat (fp32). Raises ValueError when the window span
-    exceeds the VMEM cap — callers should RCM-order first and fall
-    back to ELL when not viable.
+def sell_pack(A, G: int = 16, max_span_rows: int = 8192,
+              force: tuple = None):
+    """Host-side SELL pack (no device transfers): returns
+    (arrays dict {vals f32, idx i8, qs i32, winstart i32, diag f32},
+    statics dict {shape, nnz, G, S, Lp}) — the single source of the
+    layout; sell_from_scipy wraps it with transfers, and
+    pc/mg.PackedMGPC ships the arrays inside its two flat buffers.
 
     force=(npass, S, Lp) pads the static dimensions to at least these
-    values so SellMats of different local blocks can be stacked and
+    values so packs of different local blocks can be stacked and
     vmapped/shard_mapped (the MPIAIJ diag-block route)."""
     A = sp.csr_matrix(A).astype(np.float32)
     A.sum_duplicates()
@@ -286,7 +287,7 @@ def sell_from_scipy(A, G: int = 16, interpret: bool = None,
         S = -(-max(S, force[1]) // 8) * 8
     vals = np.zeros((nt, P, G, 128), np.float32)
     idx = np.zeros((nt, P, G, 128), np.int8)
-    qs = np.full((nt, P), 0, np.int64)
+    qs = np.zeros((nt, P), np.int64)
     vals[m["t"], m["pass_of"], m["g"], m["lane"]] = m["data"]
     idx[m["t"], m["pass_of"], m["g"], m["lane"]] = m["pos"]
     qs[m["t"], m["pass_of"]] = m["q"]
@@ -295,46 +296,30 @@ def sell_from_scipy(A, G: int = 16, interpret: bool = None,
     # padded row wmin/128; slice rows get the same +G offset
     qs = (qs + G).astype(np.int32)
     winstart = (m["wmin"] // 128).astype(np.int32)
-    Lp = int(max(winstart.max() + S if nt else S,
-                 -(-n // 128) + G + 1))
+    Lp = int(max(winstart.max() + S if nt else S, -(-n // 128) + G + 1))
     if force is not None:
         Lp = max(Lp, force[2])
-
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    return SellMat(jnp.asarray(vals), jnp.asarray(idx), jnp.asarray(qs),
-                   jnp.asarray(winstart),
-                   jnp.asarray(A.diagonal().astype(np.float32)),
-                   (n, A.shape[1]), int(A.nnz), G, S, Lp, interpret)
-
-
-def sell_pack(A, G: int = 16, max_span_rows: int = 8192):
-    """Host-side SELL pack (no device transfers): returns
-    (arrays dict {vals f32, idx i8, qs i32, winstart i32, diag f32},
-    statics dict {shape, nnz, G, S, Lp}) — lets callers batch/pack the
-    transfers themselves (pc/mg.PackedMGPC ships them inside its two
-    flat buffers)."""
-    A = sp.csr_matrix(A).astype(np.float32)
-    A.sum_duplicates()
-    n = A.shape[0]
-    m = _plan(A, G)
-    nt, P, S = m["nt"], m["P"], m["S"]
-    if S > max_span_rows:
-        raise ValueError(f"window span {S} rows exceeds cap "
-                         f"{max_span_rows}")
-    vals = np.zeros((nt, P, G, 128), np.float32)
-    idx = np.zeros((nt, P, G, 128), np.int8)
-    qs = np.zeros((nt, P), np.int64)
-    vals[m["t"], m["pass_of"], m["g"], m["lane"]] = m["data"]
-    idx[m["t"], m["pass_of"], m["g"], m["lane"]] = m["pos"]
-    qs[m["t"], m["pass_of"]] = m["q"]
-    qs = (qs + G).astype(np.int32)
-    winstart = (m["wmin"] // 128).astype(np.int32)
-    Lp = int(max(winstart.max() + S if nt else S, -(-n // 128) + G + 1))
     return (dict(vals=vals, idx=idx, qs=qs, winstart=winstart,
                  diag=A.diagonal().astype(np.float32)),
             dict(shape=(n, A.shape[1]), nnz=int(A.nnz), G=G, S=S,
                  Lp=Lp))
+
+
+def sell_from_scipy(A, G: int = 16, interpret: bool = None,
+                    max_span_rows: int = 8192,
+                    force: tuple = None) -> SellMat:
+    """Build a SellMat (fp32). Raises ValueError when the window span
+    exceeds the VMEM cap — callers should RCM-order first and fall
+    back to ELL when not viable. See sell_pack for `force`."""
+    arrs, st = sell_pack(A, G=G, max_span_rows=max_span_rows,
+                         force=force)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return SellMat(jnp.asarray(arrs["vals"]), jnp.asarray(arrs["idx"]),
+                   jnp.asarray(arrs["qs"]),
+                   jnp.asarray(arrs["winstart"]),
+                   jnp.asarray(arrs["diag"]), st["shape"], st["nnz"],
+                   st["G"], st["S"], st["Lp"], interpret)
 
 
 # ---------------------------------------------------------------------------

@@ -79,23 +79,31 @@ def _compiled_par(ksp_type: str, cfg: KSPConfig, axis: str, mesh_key,
 
     run_jit = jax.jit(run_inner)
     pctag = format(abs(hash(str(spec_def))) % 16 ** 4, "04x")
-    akey = (f"ksp:{ksp_type}[{'x'.join(map(str, mesh.devices.shape))}]"
-            f"/pc:{pctag}")
+    cfgtag = format(abs(hash(cfg)) % 16 ** 4, "04x")
+    akey_base = (f"ksp:{ksp_type}[{'x'.join(map(str, mesh.devices.shape))}]"
+                 f"/pc:{pctag}/cfg:{cfgtag}")
 
     def run(A_st, b_loc, x0_loc, pc_st):
         # compile-time collective audit (the -log_summary Mess ledger;
-        # core/commaudit): trace once per program, deposit globally
-        from petsctpu.core.commaudit import COMM_AUDITS, audit_collectives
-        if akey not in COMM_AUDITS:
+        # core/commaudit): trace once per PROGRAM (the key carries the
+        # problem size and solver config — different programs must not
+        # share Mess numbers). Tracing costs about as much as the jit
+        # trace itself, so it only runs when someone will read it
+        # (logging enabled, or AUDIT_ALWAYS set by the dryrun).
+        from petsctpu.core import commaudit
+        from petsctpu.core import logging as plog
+        akey = f"{akey_base}/n{b_loc.shape[0]}"
+        if (plog.log_enabled() or commaudit.AUDIT_ALWAYS) \
+                and akey not in commaudit.COMM_AUDITS:
             try:
-                COMM_AUDITS[akey] = audit_collectives(
+                commaudit.COMM_AUDITS[akey] = commaudit.audit_collectives(
                     run_inner, A_st, b_loc, x0_loc, pc_st)
             except Exception:
-                COMM_AUDITS[akey] = None
+                commaudit.COMM_AUDITS[akey] = None
         res = run_jit(A_st, b_loc, x0_loc, pc_st)
-        from petsctpu.core import logging as plog
-        if plog.log_enabled() and COMM_AUDITS.get(akey) is not None:
-            a = COMM_AUDITS[akey]
+        if plog.log_enabled() \
+                and commaudit.COMM_AUDITS.get(akey) is not None:
+            a = commaudit.COMM_AUDITS[akey]
             its = int(res.its)          # sync is fine: logging is opt-in
             plog.log_comm(
                 f"KSPSolve_{ksp_type}",

@@ -188,6 +188,9 @@ def sharded_aij_from_scipy(A, nshards: int, dtype=None,
     diag_sell = None
     want_sell = (fmt == "sell"
                  or (fmt == "auto" and jax.default_backend() == "tpu"))
+    if fmt == "sell" and np.dtype(dtype) != np.float32:
+        raise ValueError("fmt='sell' needs dtype=float32 (the Pallas "
+                         "kernel's performance dtype)")
     if want_sell and np.dtype(dtype) == np.float32:
         from petsctpu.mat.sell import (sell_from_scipy, sell_plan_stats,
                                        sell_viable)

@@ -46,6 +46,11 @@ class PermutedPC:
         z = self.inner.apply(b[self.perm])
         return jnp.zeros_like(b).at[self.perm].set(z)
 
+    @property
+    def has_transpose(self):
+        return getattr(self.inner, "has_transpose",
+                       hasattr(self.inner, "apply_transpose"))
+
     def apply_transpose(self, b):
         # (Pᵀ M̃⁻¹ P)ᵀ = Pᵀ M̃⁻ᵀ P for a symmetric permutation
         z = self.inner.apply_transpose(b[self.perm])
@@ -167,6 +172,11 @@ def _make_ilu_natural(A_host, dtype=None, levels: int = 0,
         L, U = ilu0(Awide)
     else:
         L, U = ilu0(A_host)
+    if transpose_solves:
+        # the transpose plans are level-scheduled; keep the forward
+        # solves on the same route so apply/apply_transpose use one
+        # factorization representation (PCApplyTranspose parity)
+        tri = "level"
     if tri == "auto":
         # the reference's default MatSolve is its fast path
         # (aijfact.c:603); auto picks the MXU banded solve when the
@@ -472,6 +482,7 @@ class ILUPCT:
     Uplan: SpTRSVPlan
     LTplan: SpTRSVPlan
     UTplan: SpTRSVPlan
+    has_transpose = True
 
     def apply(self, b):
         return self.Uplan.solve(self.Lplan.solve(b))

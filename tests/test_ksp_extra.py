@@ -298,3 +298,77 @@ class TestFBCGSR:
         a_f = audit_par_ksp(4, Sh, b, ksp_type="fbcgs", maxits=5)
         assert a_r.per_iteration.counts["psum"] == 2
         assert a_f.per_iteration.counts["psum"] == 4
+
+
+class TestTransposeSolves:
+    """PCApplyTranspose plumbing (review findings): transpose_solves
+    must survive the auto band2 route, and PermutedPC must report the
+    chain's capability."""
+
+    def _nonsym(self, n=96, dtype=np.float64):
+        rng = np.random.default_rng(0)
+        A = (sp.diags([2.5 * np.ones(n), -1.2 * np.ones(n - 1),
+                       -0.8 * np.ones(n - 1)], [0, -1, 1])
+             + sp.diags(0.1 * rng.standard_normal(n - 3), 3)).tocsr()
+        return A.astype(dtype)
+
+    def test_fp32_transpose_solves_not_dropped(self):
+        """fp32 factors default to band2; asking for transpose solves
+        must still yield apply_transpose (it forces the level route)."""
+        from petsctpu.core.options import Options
+        from petsctpu.mat import aij_from_scipy
+        from petsctpu.pc import make_pc
+        A = self._nonsym(dtype=np.float32)
+        Ad = aij_from_scipy(A, dtype=np.float32)
+        pc = make_pc("ilu", A=Ad, A_host=A, options=Options(
+            {"pc_factor_transpose_solves": None}))
+        assert hasattr(pc, "apply_transpose")
+        b = jnp.asarray(np.random.default_rng(1)
+                        .standard_normal(96).astype(np.float32))
+        y = np.asarray(pc.apply_transpose(b))
+        # y solves M^T y = b with M = LU from ILU(0)
+        from petsctpu.mat.factor import ilu0
+        L, U = ilu0(A)
+        M = (L + sp.eye(96)) @ U
+        np.testing.assert_allclose(M.T @ y, np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_permuted_ilu_bicg_falls_back(self):
+        """RCM-ordered ILU WITHOUT transpose plans + bicg: PermutedPC
+        defines apply_transpose but has_transpose is False — bicg must
+        take the conjugate-sandwich fallback, not crash."""
+        from petsctpu.core.options import Options
+        from petsctpu.ksp import ksp_solve
+        from petsctpu.mat import aij_from_scipy
+        from petsctpu.pc import make_pc
+        A = self._nonsym()
+        Ad = aij_from_scipy(A)
+        pc = make_pc("ilu", A=Ad, A_host=A, options=Options(
+            {"pc_factor_mat_ordering_type": "rcm"}))
+        assert not pc.has_transpose
+        b = jnp.asarray(np.random.default_rng(2).standard_normal(96))
+        # the sandwich adjoint is approximate for a nonsymmetric ILU,
+        # so convergence is not guaranteed — the regression here is
+        # "no AttributeError at trace time" + finite iterates
+        r = ksp_solve(Ad, b, pc=pc, ksp_type="bicg", rtol=1e-8,
+                      maxits=50)
+        assert np.isfinite(float(r.rnorm)) or int(r.reason) != 0
+
+    def test_permuted_ilu_transpose_chain(self):
+        """RCM ordering + transpose_solves: the whole chain transposes."""
+        from petsctpu.core.options import Options
+        from petsctpu.ksp import ksp_solve
+        from petsctpu.mat import aij_from_scipy
+        from petsctpu.pc import make_pc
+        A = self._nonsym()
+        Ad = aij_from_scipy(A)
+        pc = make_pc("ilu", A=Ad, A_host=A, options=Options(
+            {"pc_factor_mat_ordering_type": "rcm",
+             "pc_factor_transpose_solves": None}))
+        assert pc.has_transpose
+        b = jnp.asarray(np.random.default_rng(3).standard_normal(96))
+        r = ksp_solve(Ad, b, pc=pc, ksp_type="bicg", rtol=1e-8,
+                      maxits=200)
+        assert int(r.reason) > 0
+        np.testing.assert_allclose(A @ np.asarray(r.x), np.asarray(b),
+                                   atol=1e-6)
