@@ -79,7 +79,7 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
             A_host, dtype=dt,
             levels=opts.get_int("pc_factor_levels", 0),
             ordering=opts.get_str("pc_factor_mat_ordering_type", "natural"),
-            tri=opts.get_str("pc_factor_tri_solve", "level"),
+            tri=opts.get_str("pc_factor_tri_solve", "auto"),
             # the PCICC default is the Manteuffel shift (icc.c:198)
             shift_type=opts.get_str("pc_factor_shift_type",
                                     "positive_definite"),

@@ -226,7 +226,7 @@ class ICCPC:
 
 
 def make_icc(A_host, dtype=None, levels: int = 0,
-             ordering: str = "natural", tri: str = "level",
+             ordering: str = "natural", tri: str = "auto",
              shift_type: str = "positive_definite",
              shift_amount: float = None, zeropivot: float = None):
     """True ICC(k): symbolic level pattern (the same Saad/aijfact.c
@@ -253,7 +253,18 @@ def make_icc(A_host, dtype=None, levels: int = 0,
                                   zeropivot=zeropivot,
                                   shift_amount=shift_amount)
     L = sp.csr_matrix(Ustrict.T)
-    mk = (make_band_trsv_plan if tri == "band" else make_sptrsv_plan)
+    if tri == "auto":
+        # same policy as ILU: fp32 band-viable factors take the MXU
+        # two-phase banded solve, else level scheduling
+        from petsctpu.pc.parallel import band_solve_viable
+        tri = "band2" if band_solve_viable([L], [Ustrict], dtype) \
+            else "level"
+    if tri == "band2":
+        from petsctpu.mat.factor import make_band_trsv_hier_plan
+        mk = make_band_trsv_hier_plan
+    else:
+        mk = (make_band_trsv_plan if tri == "band"
+              else make_sptrsv_plan)
     dt = dtype or np.float64
     return ICCPC(mk(L, lower=True, unit_diag=True, dtype=dtype),
                  mk(Ustrict, lower=False, unit_diag=True, dtype=dtype),

@@ -34,7 +34,35 @@ def snes_stream(tag):
 
 KSP_CASES = ["cr_jacobi", "minres_jacobi", "symmlq_jacobi",
              "cgs_jacobi", "tcqmr_jacobi", "gcr_ilu", "lcd_ilu",
-             "fbcgsr_ilu"]
+             "fbcgsr_ilu", "fgmres_jacobi", "lgmres_ilu",
+             "groppcg_jacobi", "pipecr_jacobi", "richardson_sor"]
+
+
+NONSYM_CASES = {
+    # oracle file tag -> (ksp, pc, stream_check)
+    "ksp_ex10n_bcgsl_ilu": ("bcgsl", "ilu", False),
+    "ksp_ex10n_fbcgs_ilu": ("fbcgs", "ilu", False),
+    "ksp_ex10n_cgne_jacobi": ("cgne", "jacobi", False),
+}
+
+
+@pytest.mark.parametrize("tag", sorted(NONSYM_CASES))
+def test_ksp_ex10_nonsym_variant(tag):
+    """ex10 nonsymmetric datafile across bcgsl/fbcgs/cgne (iteration
+    counts exact; the transient-spike family skips stream compare)."""
+    from petsctpu.io.viewer import petsc_binary_read_system
+    ksp_t, pc_t, stream = NONSYM_CASES[tag]
+    monit = ksp_stream(tag)
+    A, b = petsc_binary_read_system(os.path.join(
+        os.path.dirname(__file__), "data", "ex10_nonsym.bin"))
+    Ad = aij_from_scipy(A)
+    pc = make_pc(pc_t, A=Ad, A_host=A)
+    r = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type=ksp_t,
+                  rtol=1e-5, maxits=400)
+    assert int(r.its) == len(monit) - 1, (int(r.its), len(monit) - 1)
+    if stream:
+        np.testing.assert_allclose(np.asarray(r.history[: len(monit)]),
+                                   monit, rtol=3e-5)
 
 
 @pytest.mark.parametrize("tag", KSP_CASES)
@@ -46,7 +74,7 @@ def test_ksp_ex2_variant(tag):
     Ad = aij_from_scipy(A)
     pc = make_pc(pc_t, A=Ad, A_host=A)
     r = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type=ksp_t,
-                  rtol=1e-6, maxits=400)
+                  rtol=1e-6, maxits=300)
     assert int(r.its) == len(monit) - 1, (int(r.its), len(monit) - 1)
     hist = np.asarray(r.history[: len(monit)])
     np.testing.assert_allclose(hist, monit, rtol=3e-5)
