@@ -123,3 +123,68 @@ def test_snes_ex5_variant(tag):
                                monit[:-1], rtol=6e-4)
     final = float(r.history[len(monit) - 1])
     assert final <= 3.5 * monit[-1] + 1e-11, (final, monit[-1])
+
+
+TS_EX4 = {"ts_ex4_euler": "euler", "ts_ex4_ssp": "ssp"}
+
+
+@pytest.mark.parametrize("tag", sorted(TS_EX4))
+def test_ts_ex4_heat_error_stream(tag):
+    """ts ex4: 1-D heat u_t = u_xx on m=60 points, dt = h^2/2,
+    error-vs-analytic stream (Timestep lines: sqrt(h)-scaled 2-norm
+    and max norm). Reference: src/ts/examples/tutorials/ex4.c (RHS
+    matrix with unit boundary rows :498, exact solution :346,
+    monitor :446)."""
+    import re as _re
+    from petsctpu.ts import ts_solve
+    from petsctpu.ts.steppers import TSConfig
+
+    txt = open(os.path.join(ORACLE, tag + ".txt")).read()
+    rows = [(float(m.group(1)), float(m.group(2)), float(m.group(3)))
+            for m in _re.finditer(
+                r"Timestep \d+: time = (\S+) 2-norm error = (\S+) "
+                r"max norm error = (\S+)", txt)]
+    m = 60
+    h = 1.0 / (m - 1)
+    x = np.arange(m) * h
+    u0 = np.sin(6 * np.pi * x) + 3.0 * np.sin(2 * np.pi * x)
+
+    def exact(t):
+        return (np.exp(-36 * np.pi ** 2 * t) * np.sin(6 * np.pi * x)
+                + 3 * np.exp(-4 * np.pi ** 2 * t)
+                * np.sin(2 * np.pi * x))
+
+    # RHS matrix: interior (1,-2,1)/h^2, UNIT boundary rows (ex4.c:516)
+    import scipy.sparse as sp_
+    s1 = 1.0 / h ** 2
+    A = sp_.diags([s1 * np.ones(m - 1), -2 * s1 * np.ones(m),
+                   s1 * np.ones(m - 1)], [-1, 0, 1]).tolil()
+    A[0, :] = 0.0
+    A[0, 0] = 1.0
+    A[m - 1, :] = 0.0
+    A[m - 1, m - 1] = 1.0
+    A = sp_.csr_matrix(A)
+    Ad = jnp.asarray(A.toarray())
+
+    def rhs(t, u):
+        return Ad @ u
+
+    dt = h * h / 2.0
+    for k, (t_ref, e2_ref, emax_ref) in enumerate(rows):
+        if k == 0:
+            u = u0
+        else:
+            kw = ({"ssp_type": "rks2", "ssp_nstages": 5}
+                  if TS_EX4[tag] == "ssp" else {})
+            r = ts_solve(rhs, jnp.asarray(u0),
+                         cfg=TSConfig(ts_type=TS_EX4[tag], dt=dt,
+                                      max_steps=k, max_time=1.0, **kw))
+            u = np.asarray(r.u)
+        err = u - exact(k * dt)
+        e2 = np.sqrt(h) * np.linalg.norm(err)
+        emax = np.abs(err).max()
+        assert abs(k * dt - t_ref) <= 1e-5 * max(t_ref, 1e-9)
+        tol2 = 2e-5 * max(e2_ref, 1e-12) + 1e-12
+        assert abs(e2 - e2_ref) <= tol2, (k, e2, e2_ref)
+        assert abs(emax - emax_ref) <= 2e-5 * max(emax_ref, 1e-12) \
+            + 1e-12, (k, emax, emax_ref)
