@@ -138,14 +138,14 @@ def log_view() -> str:
     """Format a -log_summary-style table (reference: PetscLogView plog.c:1264)."""
     total = time.perf_counter() - _state.t0
     lines = []
-    lines.append("-" * 94)
+    lines.append("-" * 105)
     lines.append("petsctpu performance summary (-log_summary analog)")
     lines.append(f"Total wall time: {total:.4e} s")
-    lines.append("-" * 94)
+    lines.append("-" * 105)
     lines.append(f"{'Stage/Event':34s} {'Count':>7s} {'Time (s)':>11s} "
                  f"{'%T':>5s} {'GFlop':>9s} {'GF/s':>8s} {'GB/s':>8s} "
                  f"{'Mess':>7s} {'MessMB':>8s}")
-    lines.append("-" * 94)
+    lines.append("-" * 105)
     by_stage: dict = {}
     for (stage, name), ev in _state.events.items():
         by_stage.setdefault(stage, []).append((name, ev))
@@ -159,7 +159,7 @@ def log_view() -> str:
             lines.append(f"{name:34s} {ev.count:7d} {ev.time:11.4e} "
                          f"{pct:5.1f} {gf:9.3f} {gfs:8.2f} {gbs:8.2f} "
                          f"{ev.msgs:7.0f} {ev.msg_bytes/1e6:8.3f}")
-    lines.append("-" * 94)
+    lines.append("-" * 105)
     return "\n".join(lines)
 
 

@@ -28,9 +28,8 @@ class DMLabel:
         pts = np.atleast_1d(np.asarray(points, np.int64))
         cur = self._strata.get(int(value))
         self._strata[int(value)] = (
-            pts.copy() if cur is None
+            np.unique(pts) if cur is None
             else np.unique(np.concatenate([cur, pts])))
-        self._strata[int(value)].sort()
 
     def stratum(self, value: int) -> np.ndarray:
         """DMLabelGetStratumIS: the points with this value."""

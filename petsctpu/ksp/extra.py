@@ -225,7 +225,10 @@ def solve_fbcgsr(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
         sigma_l = jnp.sum(v * rp)
         tau, sigma = ops.reduce_all((tau_l, sigma_l), axis)
         tau = jnp.where(its == 0, (rnorm0 * rnorm0).astype(dtype), tau)
-        alpha = tau / sigma
+        # guard the division: the reference errors out on sigma==0
+        # before using alpha (fbcgsr.c breakdown check) — keep the
+        # iterate finite and let the breakdown reason terminate below
+        alpha = tau / jnp.where(sigma == 0, jnp.ones((), dtype), sigma)
         s = c["r"] - alpha * v
         s2 = apply_pc(pc, s)
         t = A.mult(s2)
@@ -236,20 +239,26 @@ def solve_fbcgsr(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
         xi4_l = jnp.sum(t * rp)
         xi1, xi2, xi3, xi4 = ops.reduce_all(
             (xi1_l, xi2_l, xi3_l, xi4_l), axis)
-        omega = xi2 / xi3
-        beta = -xi4 / sigma
+        breakdown = (xi3 == 0) | (sigma == 0)
+        omega = xi2 / jnp.where(xi3 == 0, jnp.ones((), dtype), xi3)
+        beta = -xi4 / jnp.where(sigma == 0, jnp.ones((), dtype), sigma)
         dp = jnp.sqrt(jnp.abs(xi1 - omega * xi2)).real.astype(rnorm0.dtype)
-        x = c["x"] + alpha * p2 + omega * s2
+        # on breakdown keep the previous iterate/residual — the
+        # reference aborts before applying the update
+        x = jnp.where(breakdown, c["x"],
+                      c["x"] + alpha * p2 + omega * s2)
         its = its + 1
+        dp = jnp.where(breakdown, c["history"][its - 1].astype(dp.dtype),
+                       dp)
         history = record(c["history"], its, dp)
         monitor_cb(cfg, its, dp)
         reason = check_convergence(dp, rnorm0, its, cfg)
-        breakdown = (xi3 == 0) | (sigma == 0)
         reason = jnp.where((reason == 0) & breakdown,
                            jnp.int32(ConvergedReason.DIVERGED_BREAKDOWN),
                            reason)
-        r = s - omega * t
-        p = r + beta * (c["p"] - omega * v)
+        r = jnp.where(breakdown, c["r"], s - omega * t)
+        p = jnp.where(breakdown, c["p"],
+                      r + beta * (c["p"] - omega * v))
         return dict(x=x, r=r, p=p, its=its, history=history,
                     reason=reason)
 

@@ -26,17 +26,20 @@ class Dense:
     def dtype(self):
         return self.M.dtype
 
+    # precision="highest": the TPU matmul default is bf16 MXU inputs,
+    # which silently loses ~16 mantissa bits — solver math (residuals,
+    # smoothers, Galerkin products) needs full fp32 (bf16x3 passes)
     def mult(self, x):
-        return self.M @ x
+        return jnp.dot(self.M, x, precision="highest")
 
     def mult_add(self, x, y):
-        return y + self.M @ x
+        return y + self.mult(x)
 
     def multT(self, x):
-        return self.M.T @ x
+        return jnp.dot(self.M.T, x, precision="highest")
 
     def diagonal(self):
         return jnp.diagonal(self.M)
 
     def mult_dense(self, X):
-        return self.M @ X
+        return jnp.dot(self.M, X, precision="highest")

@@ -72,24 +72,87 @@ def mat_from_options(A, opts=None, mat_type: str = None, dtype=None):
 
 
 def _auto_format(A: sp.csr_matrix, ordering: str, dtype):
-    """Hardware-aware default: narrow RCM band -> BandMat (751 GB/s);
+    """Hardware-aware default: narrow band -> BandMat (751 GB/s);
     wide band but SELL-viable (fp32) -> SellMat (2.5e10 nnz/s); else
-    the robust aij/ELL gather path."""
+    the robust aij/ELL gather path.
+
+    Ordering policy (the reference's default kernel is its fast
+    kernel, aij.c:1173, and its Inode/CRL detection upgrades the
+    layout silently): the NATURAL ordering is tried first — when the
+    matrix is already banded or SELL-viable as given, no permutation
+    is applied at all (parity-safe: values, ordering, and iteration
+    counts are untouched). Only when natural fails does the plan
+    evaluate permutations, choosing by the SELL plan's own pass-count
+    cost model (per-row q-chunk dispersion — see mat/sell.py)."""
     import jax
 
     from petsctpu.mat import aij_from_scipy, band_from_scipy
     from petsctpu.mat.order import bandwidth, get_ordering
 
+    n = A.shape[0]
+    band_thresh = max(512, n // 64)
+    f32 = np.dtype(dtype or A.dtype) == np.float32
+    tpu = jax.default_backend() == "tpu"
+
+    # 1) natural band (identity perm — fastest AND parity-exact)
+    if bandwidth(A) <= band_thresh:
+        return band_from_scipy(A, dtype=dtype), None
+
+    # 2) natural SELL — near-ideal slop short-circuits with NO perm
+    from petsctpu.mat.sell import (sell_from_scipy, sell_plan_stats,
+                                   sell_viable)
+    avg = A.nnz / max(n, 1)
+    An = A.copy()
+    An.sum_duplicates()
+    best = None                     # (P, perm|None, matrix)
+    if f32 and tpu and sell_viable(An):
+        Pn = sell_plan_stats(An)[0]
+        if Pn <= 2.0 * avg:
+            return sell_from_scipy(An), None
+        best = (Pn, None, An)
+
+    # 3) permuted candidates: RCM band, then SELL under the ordering
+    #    with the smallest predicted pass count (incl. structured-grid
+    #    recovery for scrambled stencil operators — mat/griddetect)
     perm = get_ordering(A, ordering)
     Ap = A[perm][:, perm].tocsr()
-    bw = bandwidth(Ap)
-    n = A.shape[0]
-    f32 = np.dtype(dtype or A.dtype) == np.float32
-    if bw <= max(512, n // 64):
+    if bandwidth(Ap) <= band_thresh:
         return band_from_scipy(A, dtype=dtype, perm=perm), perm
-    if f32 and jax.default_backend() == "tpu":
-        from petsctpu.mat.sell import sell_from_scipy, sell_viable
+    if f32 and tpu:
         Ap.sum_duplicates()
         if sell_viable(Ap):
-            return sell_from_scipy(Ap), perm
+            Pp = sell_plan_stats(Ap)[0]
+            if best is None or Pp < best[0]:
+                best = (Pp, perm, Ap)
+    if best is None or best[0] > 2.0 * avg:
+        from petsctpu.mat.griddetect import grid_recover_ordering
+        gperm = grid_recover_ordering(A)
+        if gperm is not None:
+            # a recovered grid is a <= 3^d-offset stencil with ~zero
+            # band fill. Kernel choice by regime (measured, v5e):
+            # small n is per-op overhead-bound -> one Pallas SELL call
+            # (P collapses to ~avg_row under the recovered ordering:
+            # 133 -> 36 on the 64^3 27-point probe, 0.30 -> 0.77 of
+            # the ideal-CSR roofline); large n is bandwidth-bound ->
+            # DIA streams with no index arrays (mat/dia.py).
+            Ag = A[gperm][:, gperm].tocsr()
+            Ag.sum_duplicates()
+            if f32 and tpu and n < 2_000_000 and sell_viable(Ag):
+                Pg = sell_plan_stats(Ag)[0]
+                if best is None or Pg < best[0]:
+                    best = (Pg, gperm, Ag)
+            else:
+                inv = np.empty(n, np.int64)
+                inv[gperm] = np.arange(n)
+                cog = A.tocoo()
+                noffs = len(np.unique(inv[cog.col] - inv[cog.row]))
+                if noffs <= 64:
+                    from petsctpu.mat import dia_from_scipy
+                    return (dia_from_scipy(A, dtype=dtype, perm=gperm),
+                            gperm)
+                if bandwidth(Ag) <= band_thresh:
+                    return (band_from_scipy(A, dtype=dtype, perm=gperm),
+                            gperm)
+    if best is not None:
+        return sell_from_scipy(best[2]), best[1]
     return aij_from_scipy(A, dtype=dtype), None

@@ -64,6 +64,13 @@ class SellMat:
     S: int = field(metadata=dict(static=True), default=512)  # window rows
     Lp: int = field(metadata=dict(static=True), default=0)   # padded x rows
     interpret: bool = field(metadata=dict(static=True), default=False)
+    # addressing mode: "diag" buckets nonzeros by q = chunk(col) - g
+    # (translation-aligned square operators — every pass serves G
+    # sub-rows from G consecutive window rows); "chunk" buckets by the
+    # absolute chunk(col) and broadcasts ONE window row to all G
+    # sub-rows — the right shape for rectangular operators (MG
+    # transfers) whose column rate differs from the row rate.
+    mode: str = field(metadata=dict(static=True), default="diag")
 
     @property
     def dtype(self):
@@ -84,7 +91,7 @@ class SellMat:
             xp, x.reshape(-1).astype(self.dtype), (self.G * 128,))
         y = _sell_spmv(self.vals, self.idx, self.qs, self.winstart,
                        xp.reshape(self.Lp, 128), G=self.G, S=self.S,
-                       interpret=self.interpret)
+                       interpret=self.interpret, mode=self.mode)
         return y.reshape(-1)[:n]
 
     def mult_add(self, x, y):
@@ -97,8 +104,10 @@ class SellMat:
         return 2.0 * self.nnz - self.shape[0]
 
 
-@functools.partial(jax.jit, static_argnames=("G", "S", "interpret"))
-def _sell_spmv(vals, idx, qs, winstart, xp, *, G, S, interpret):
+@functools.partial(jax.jit,
+                   static_argnames=("G", "S", "interpret", "mode"))
+def _sell_spmv(vals, idx, qs, winstart, xp, *, G, S, interpret,
+               mode="diag"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -131,7 +140,11 @@ def _sell_spmv(vals, idx, qs, winstart, xp, *, G, S, interpret):
 
         acc = jnp.zeros((G, 128), jnp.float32)
         for p in range(PC):
-            V = win[pl.ds(qs_ref[t, pc * PC + p], G), :]
+            if mode == "diag":
+                V = win[pl.ds(qs_ref[t, pc * PC + p], G), :]
+            else:       # one chunk row broadcast to all G sub-rows
+                V = jnp.broadcast_to(
+                    win[pl.ds(qs_ref[t, pc * PC + p], 1), :], (G, 128))
             picked = jnp.take_along_axis(
                 V, idx_ref[0, p].astype(jnp.int32), axis=1)
             acc = acc + vals_ref[0, p] * picked
@@ -170,8 +183,9 @@ def _sell_spmv(vals, idx, qs, winstart, xp, *, G, S, interpret):
     )(winstart, qs, vals, idx, xp)
 
 
-def _plan(A: sp.csr_matrix, G: int):
-    """Host plan: bucket nonzeros by window-slice row, lay out passes."""
+def _plan(A: sp.csr_matrix, G: int, mode: str = "diag"):
+    """Host plan: bucket nonzeros by window-slice row, lay out passes.
+    mode="chunk" buckets by the absolute chunk (see SellMat.mode)."""
     C = G * 128
     n = A.shape[0]
     nt = -(-n // C)
@@ -192,7 +206,9 @@ def _plan(A: sp.csr_matrix, G: int):
     wmin[wmin == 2**62] = 0
     wmin = (wmin // 1024) * 1024
 
-    q = (cols - wmin[t]) // 128 - g            # in [-(G-1), ...]
+    q = (cols - wmin[t]) // 128                # window-relative chunk
+    if mode == "diag":
+        q = q - g                              # in [-(G-1), ...]
     pos = (cols - wmin[t]) % 128
 
     # order by (tile, bucket q, row) and rank within each row's bucket
@@ -232,9 +248,11 @@ def _plan(A: sp.csr_matrix, G: int):
     P = max(int(P_t.max()) if nt else 1, 1)
     pass_of = (bucket_pass0[b_id] + rank) if nb else np.zeros(0, np.int64)
 
-    # window rows: reads reach q + g; slices need qs_pass + G <= S.
-    # S must be a sublane multiple (8) — odd row counts fault the DMA.
-    qg_max = int((qs_ + g[order]).max()) if len(order) else 0
+    # window rows: diag reads reach q + g, chunk reads reach q;
+    # slices need qs_pass + G <= S. S must be a sublane multiple (8) —
+    # odd row counts fault the DMA.
+    qg_max = int((qs_ + (g[order] if mode == "diag" else 0)).max()) \
+        if len(order) else 0
     q_max = int(qs_.max()) if len(order) else 0
     S = max(qg_max + G + 1, q_max + 2 * G, 2 * G)
     S = -(-S // 8) * 8
@@ -248,9 +266,9 @@ def _plan(A: sp.csr_matrix, G: int):
                 slop=float(slop))
 
 
-def sell_plan_stats(A, G: int = 16):
+def sell_plan_stats(A, G: int = 16, mode: str = "diag"):
     """(npass, ell_width, window_rows, slop = npass/avg_row_nnz)."""
-    m = _plan(sp.csr_matrix(A), G)
+    m = _plan(sp.csr_matrix(A), G, mode)
     return m["P"], m["K"], m["S"], m["slop"]
 
 
@@ -264,7 +282,7 @@ def sell_viable(A, G: int = 16, max_span_rows: int = 8192,
 
 
 def sell_pack(A, G: int = 16, max_span_rows: int = 8192,
-              force: tuple = None):
+              force: tuple = None, mode: str = "diag"):
     """Host-side SELL pack (no device transfers): returns
     (arrays dict {vals f32, idx i8, qs i32, winstart i32, diag f32},
     statics dict {shape, nnz, G, S, Lp}) — the single source of the
@@ -277,7 +295,7 @@ def sell_pack(A, G: int = 16, max_span_rows: int = 8192,
     A = sp.csr_matrix(A).astype(np.float32)
     A.sum_duplicates()
     n = A.shape[0]
-    m = _plan(A, G)
+    m = _plan(A, G, mode)
     nt, P, S = m["nt"], m["P"], m["S"]
     if S > max_span_rows:
         raise ValueError(f"window span {S} rows exceeds cap "
@@ -296,30 +314,36 @@ def sell_pack(A, G: int = 16, max_span_rows: int = 8192,
     # padded row wmin/128; slice rows get the same +G offset
     qs = (qs + G).astype(np.int32)
     winstart = (m["wmin"] // 128).astype(np.int32)
-    Lp = int(max(winstart.max() + S if nt else S, -(-n // 128) + G + 1))
+    # Lp must cover the padded OPERAND x (shape[1] entries at offset
+    # G*128) — rectangular operators (MG transfers) have ncols != n
+    Lp = int(max(winstart.max() + S if nt else S,
+                 -(-A.shape[1] // 128) + G + 1))
     if force is not None:
         Lp = max(Lp, force[2])
+    dg = A.diagonal().astype(np.float32)
+    if dg.shape[0] < n:                       # rectangular operator
+        dg = np.pad(dg, (0, n - dg.shape[0]))
     return (dict(vals=vals, idx=idx, qs=qs, winstart=winstart,
-                 diag=A.diagonal().astype(np.float32)),
+                 diag=dg),
             dict(shape=(n, A.shape[1]), nnz=int(A.nnz), G=G, S=S,
-                 Lp=Lp))
+                 Lp=Lp, mode=mode))
 
 
 def sell_from_scipy(A, G: int = 16, interpret: bool = None,
                     max_span_rows: int = 8192,
-                    force: tuple = None) -> SellMat:
+                    force: tuple = None, mode: str = "diag") -> SellMat:
     """Build a SellMat (fp32). Raises ValueError when the window span
     exceeds the VMEM cap — callers should RCM-order first and fall
     back to ELL when not viable. See sell_pack for `force`."""
     arrs, st = sell_pack(A, G=G, max_span_rows=max_span_rows,
-                         force=force)
+                         force=force, mode=mode)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return SellMat(jnp.asarray(arrs["vals"]), jnp.asarray(arrs["idx"]),
                    jnp.asarray(arrs["qs"]),
                    jnp.asarray(arrs["winstart"]),
                    jnp.asarray(arrs["diag"]), st["shape"], st["nnz"],
-                   st["G"], st["S"], st["Lp"], interpret)
+                   st["G"], st["S"], st["Lp"], interpret, mode)
 
 
 # ---------------------------------------------------------------------------

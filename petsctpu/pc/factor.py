@@ -76,11 +76,26 @@ def make_ilu(A_host, dtype=None, levels: int = 0,
                          drop_tol=drop_tol, fill_factor=fill_factor)
         L = sp.csr_matrix(ilu.L)         # unit lower with stored diag 1
         U = sp.csr_matrix(ilu.U)
-        mk = (make_band_trsv_plan if tri == "band" else make_sptrsv_plan)
-        inner = ILUPC(
-            mk(sp.tril(L, k=-1, format="csr"), lower=True, unit_diag=True,
-               dtype=dtype),
-            mk(U, lower=False, unit_diag=False, dtype=dtype))
+        Lstrict = sp.tril(L, k=-1, format="csr")
+        if tri == "auto":
+            # same auto policy as the ILU(k) path: band-viable fp32
+            # factors take the MXU route, else level scheduling
+            from petsctpu.pc.parallel import band_solve_viable
+            tri = ("band2" if band_solve_viable([Lstrict], [U], dtype)
+                   else "level")
+        if tri == "band2":
+            from petsctpu.mat.factor import make_band_trsv_hier_plan
+            inner = ILUPC(
+                make_band_trsv_hier_plan(Lstrict, lower=True,
+                                         unit_diag=True, dtype=dtype),
+                make_band_trsv_hier_plan(U, lower=False, unit_diag=False,
+                                         dtype=dtype))
+        else:
+            mk = (make_band_trsv_plan if tri == "band"
+                  else make_sptrsv_plan)
+            inner = ILUPC(
+                mk(Lstrict, lower=True, unit_diag=True, dtype=dtype),
+                mk(U, lower=False, unit_diag=False, dtype=dtype))
         # spilu permutes rows/cols: x = Pc U⁻¹ L⁻¹ Pr b (LUPC convention)
         return LUPC(inner.Lplan, inner.Uplan,
                     jnp.asarray(ilu.perm_r, jnp.int32),

@@ -153,6 +153,19 @@ def gamg_hierarchy(A, theta: float = 0.0, coarse_n: int = 64,
         na = int(agg.max()) + 1
         if na >= Ac.shape[0]:        # no coarsening progress
             break
+        # relabel aggregates by first fine-row occurrence: a pure
+        # column permutation of P (hierarchy is mathematically
+        # identical) that preserves the fine level's locality in the
+        # coarse numbering — this is what keeps every level AND both
+        # transfer directions SELL/band-viable (without it the MIS
+        # visit order scrambles q-chunk dispersion; slop 17 -> ~2).
+        # The reference's analog is GAMG's coarse-grid repartitioning
+        # for locality (createLevel gamg.c:174-198).
+        first = np.full(na, len(agg), np.int64)
+        np.minimum.at(first, agg, np.arange(len(agg)))
+        relabel = np.empty(na, np.int64)
+        relabel[np.argsort(first, kind="stable")] = np.arange(na)
+        agg = relabel[agg]
         P0 = tentative_prolongator(agg, nsp)
         P = smooth_prolongator(Ac, P0) if smooth else P0
         As.append((P.T @ Ac @ P).tocsr())
@@ -222,6 +235,6 @@ def make_gamg(A_host, dtype=None, options: Options = None):
                                                      "mis"))
     return make_algebraic_mg_from_hierarchy(
         As, Ps, dtype=dtype, sm_its=sm_its,
-        fmt=opts.get_str("pc_gamg_mat_type", "ell"),
+        fmt=opts.get_str("pc_gamg_mat_type", "auto"),
         cycles=2 if opts.get_str("pc_mg_cycle_type", "v") == "w" else 1,
         mg_type=opts.get_str("pc_mg_type", "multiplicative"))

@@ -81,6 +81,12 @@ class MGLevel:
     A: Any                      # operator on this level
     P: Any                      # prolongation coarser→this level
     smoother: ChebySmoother
+    # explicit restriction operator (= Pᵀ as its own fast-format
+    # matrix); None falls back to P.multT scatter-add
+    R: Any = None
+
+    def restrict(self, r):
+        return self.R.mult(r) if self.R is not None else self.P.multT(r)
 
 
 @jax.tree_util.register_dataclass
@@ -111,7 +117,7 @@ class MGPC:
         x = lev.smoother.smooth(lev.A, b, jnp.zeros_like(b))
         for _ in range(self.cycles):
             r = b - lev.A.mult(x)
-            rc = lev.P.multT(r)
+            rc = lev.restrict(r)
             xc = self._cycle(l + 1, rc)
             x = x + lev.P.mult(xc)
         x = lev.smoother.smooth(lev.A, b, x)
@@ -123,11 +129,11 @@ class MGPC:
         if l == len(self.levels):
             return self.coarse.apply(b)
         lev = self.levels[l]
-        x = lev.P.mult(self._full(l + 1, lev.P.multT(b)))
+        x = lev.P.mult(self._full(l + 1, lev.restrict(b)))
         # V-cycle with nonzero initial guess
         x = lev.smoother.smooth(lev.A, b, x)
         r = b - lev.A.mult(x)
-        x = x + lev.P.mult(self._cycle(l + 1, lev.P.multT(r)))
+        x = x + lev.P.mult(self._cycle(l + 1, lev.restrict(r)))
         x = lev.smoother.smooth(lev.A, b, x)
         return x
 
@@ -137,7 +143,7 @@ class MGPC:
         if l == len(self.levels):
             return self.coarse.apply(b)
         lev = self.levels[l]
-        x = lev.P.mult(self._kaskade(l + 1, lev.P.multT(b)))
+        x = lev.P.mult(self._kaskade(l + 1, lev.restrict(b)))
         return lev.smoother.smooth(lev.A, b, x)
 
     def _additive(self, b):
@@ -145,7 +151,7 @@ class MGPC:
         smooths the restricted RHS independently; corrections sum."""
         rs = [b]
         for lev in self.levels:
-            rs.append(lev.P.multT(rs[-1]))
+            rs.append(lev.restrict(rs[-1]))
         x = self.coarse.apply(rs[-1])
         for l in range(len(self.levels) - 1, -1, -1):
             lev = self.levels[l]
@@ -193,8 +199,18 @@ class PackedMGPC:
         if amref[0] == "ell":
             _, ci, vi, sha, nza = amref
             return AIJ(self._geti(ci), self._getf(vi), sha, nza), sha
+        if amref[0] == "rectband":
+            from petsctpu.mat.rectband import RectBandMat
+            _, bref, s_, off_, sha, nnz, bshape = amref
+            return RectBandMat(self._getf((bref[0], bshape)), s_, off_,
+                               sha, nnz), sha
+        if amref[0] == "dense":
+            from petsctpu.mat.dense import Dense
+            _, dref, sha, nnz = amref
+            return Dense(self._getf((dref[0], sha))), sha
         from petsctpu.mat.sell import SellMat
-        (_, vi, ii, qi, wi, di, sha, nnz, G, S, Lp, vshape) = amref
+        (_, vi, ii, qi, wi, di, sha, nnz, G, S, Lp, vshape,
+         mode) = amref
         vals = self._getf((vi[0], vshape))
         idx32 = self._geti((ii[0], (int(np.prod(vshape)) // 4,)))
         idx = jax.lax.bitcast_convert_type(idx32, jnp.int8) \
@@ -203,19 +219,20 @@ class PackedMGPC:
         winstart = self._geti((wi[0], (vshape[0],)))
         diag = self._getf((di[0], (sha[0],)))
         return SellMat(vals, idx, qs, winstart, diag, sha, nnz, G, S,
-                       Lp, False), sha
+                       Lp, False, mode), sha
 
     def unpack(self) -> MGPC:
         from petsctpu.mat.ell import AIJ
         from petsctpu.pc.gamg_device import DenseLUPC
         levels = []
-        for (amref, pi, pv, shp, nzp, do, lam) in self.metas:
+        for (amref, pref, rref, do, lam) in self.metas:
             A, sha = self._unpack_op(amref)
-            P = AIJ(self._geti(pi), self._getf(pv), shp, nzp)
+            P, _ = self._unpack_op(pref)
+            R = self._unpack_op(rref)[0] if rref is not None else None
             dinv = self._getf((do, (sha[0],)))
             sdt = np.dtype(self.fbuf.dtype).type
             levels.append(MGLevel(A, P, ChebySmoother(
-                dinv, sdt(0.1 * lam), sdt(1.1 * lam), self.sm_its)))
+                dinv, sdt(0.1 * lam), sdt(1.1 * lam), self.sm_its), R))
         ci, vi, shc, nzc, lum, pivo = self.coarse_meta
         coarse_A = AIJ(self._geti(ci), self._getf(vi), shc, nzc)
         coarse = DenseLUPC(self._getf(lum),
@@ -446,7 +463,7 @@ def make_algebraic_mg_from_hierarchy(As, Ps, dtype=None, sm_its: int = 2,
                                      cycles: int = 1,
                                      mg_type: str = "multiplicative",
                                      sm_pc: str = "jacobi",
-                                     fmt: str = "ell"):
+                                     fmt: str = "auto"):
     """Assemble an MGPC from explicit (A_l, P_l) scipy hierarchies —
     used by GAMG (pc/gamg.py) after aggregation builds the transfers,
     and directly for rediscretized (non-Galerkin) grid hierarchies
@@ -462,7 +479,12 @@ def make_algebraic_mg_from_hierarchy(As, Ps, dtype=None, sm_its: int = 2,
     fmt="sell": same RCM conjugation, but SELL-viable levels use the
     Pallas SellMat kernel (2.5e10 nnz/s on wide-band irregular
     operators where BandMat is infeasible, fp32); non-viable levels
-    fall back to ELL."""
+    fall back to ELL.
+
+    fmt="auto" (default — the reference's default kernel IS its fast
+    kernel, aij.c:1173): SELL-viable fp32 levels on TPU take the
+    Pallas kernel, others ELL, no reordering; an explicit fmt="ell"
+    forces plain ELL everywhere."""
     from petsctpu.mat.ell import aij_from_scipy
 
     dtype = np.dtype(dtype or As[0].dtype).type
@@ -479,7 +501,7 @@ def make_algebraic_mg_from_hierarchy(As, Ps, dtype=None, sm_its: int = 2,
     def _level_op(Ah):
         if fmt == "band":
             return band_from_scipy(Ah, dtype=dtype)
-        if fmt == "sell" and np.dtype(dtype) == np.float32:
+        if fmt in ("sell", "auto") and np.dtype(dtype) == np.float32:
             from petsctpu.mat.sell import sell_from_scipy, sell_viable
             Ah2 = sp.csr_matrix(Ah).astype(np.float32)
             Ah2.sum_duplicates()
@@ -487,7 +509,8 @@ def make_algebraic_mg_from_hierarchy(As, Ps, dtype=None, sm_its: int = 2,
                 return sell_from_scipy(Ah2)
         return aij_from_scipy(Ah, dtype=dtype)
 
-    if fmt == "ell" and sm_pc == "jacobi" and As[-1].shape[0] <= 192:
+    if fmt in ("ell", "auto") and sm_pc == "jacobi" \
+            and As[-1].shape[0] <= 192:
         # packed-transfer fast setup: every host array is concatenated
         # into ONE fp32 + ONE int32 flat buffer (2 transfer RPCs — the
         # axon relay charges ~50-70 ms per novel-shape transfer, so an
@@ -514,48 +537,114 @@ def make_algebraic_mg_from_hierarchy(As, Ps, dtype=None, sm_its: int = 2,
             return io - ibuf[-1].size, a.shape
 
         import jax as _jax
-        use_sell = (np.dtype(dtype) == np.float32
+        # SELL operators only under "auto": an explicit fmt="ell"
+        # request keeps honest ELL kernels
+        use_sell = (fmt == "auto" and np.dtype(dtype) == np.float32
                     and _jax.default_backend() == "tpu")
-        for l in range(len(Ps)):
-            amref = None
+
+        DENSE_MAX_BYTES = 64 * 1024 * 1024
+
+        def pack_dense_or_none(M):
+            """Small operators run densified on the MXU: a 1237-row
+            ELL level op cost 0.36 ms/smooth in gathers vs ~10 us as a
+            dense matvec (measured v5e); also serves mid-size
+            transfers (R1/P1). Gated by footprint."""
+            m_, n_ = M.shape
+            if (m_ * n_ * np.dtype(dtype).itemsize <= DENSE_MAX_BYTES
+                    and min(m_, n_) <= 4096):
+                D = np.asarray(sp.csr_matrix(M).toarray(), dtype)
+                return ("dense", putf(D), (m_, n_),
+                        int(sp.csr_matrix(M).nnz))
+            return None
+
+        def pack_op(M):
+            """op meta: Pallas SELL when viable, else ELL gather.
+            Applied to level operators AND transfers — the MG cycle's
+            P.mult/P.multT were the dominant cost once smoothing went
+            SELL (ELL gather ~2e8 picks/s vs 9e10 for the SELL
+            dynamic-gather), so restriction is packed as an explicit
+            R = Pᵀ SELL operator rather than a scatter-add."""
             if use_sell:
-                from petsctpu.mat.sell import sell_pack
-                Al = sp.csr_matrix(As[l]).astype(np.float32)
-                Al.sum_duplicates()
-                arrs = st = None
-                if Al.shape[0] >= 16 * 128:
+                from petsctpu.mat.sell import sell_pack, sell_plan_stats
+                Ml = sp.csr_matrix(M).astype(np.float32)
+                Ml.sum_duplicates()
+                # G chosen by predicted padded-slot cost: square level
+                # operators align at G=16; rectangular transfers have
+                # a fine/coarse chunk-rate mismatch that breaks the
+                # q = chunk(col) - g alignment, and G=1 (no cross-g
+                # sharing) collapses their slop (17.7 -> 2.4 measured
+                # on the 256² GAMG level-0 prolongator)
+                bestG = None
+                for G, md in ((16, "diag"), (16, "chunk"), (8, "chunk")):
+                    if Ml.shape[0] < G * 128:
+                        continue
                     try:
-                        arrs, st = sell_pack(Al)
-                        # slop gate (sell_viable's rule, without
-                        # planning twice): padded passes vs avg row
-                        avg = Al.nnz / max(Al.shape[0], 1)
-                        if arrs["vals"].shape[1] > 8 * max(avg, 1e-9):
-                            arrs = None
+                        P_, K_, S_, _ = sell_plan_stats(Ml, G=G, mode=md)
+                    except Exception:
+                        continue
+                    nt_ = -(-Ml.shape[0] // (G * 128))
+                    cost = nt_ * P_ * G * 128
+                    if S_ <= 8192 and (bestG is None or cost < bestG[1]):
+                        bestG = ((G, md), cost)
+                avg = Ml.nnz / max(Ml.shape[0], 1)
+                if bestG is not None \
+                        and bestG[1] <= 8 * max(avg, 1e-9) * Ml.shape[0]:
+                    try:
+                        arrs, st = sell_pack(Ml, G=bestG[0][0],
+                                             mode=bestG[0][1])
+                        # int8 idx rides the int32 buffer (bitcast)
+                        return ("sell",
+                                putf(arrs["vals"]),
+                                puti(arrs["idx"].ravel()
+                                     .view(np.int32).reshape(-1)),
+                                puti(arrs["qs"]),
+                                puti(arrs["winstart"]),
+                                putf(arrs["diag"]),
+                                st["shape"], st["nnz"], st["G"],
+                                st["S"], st["Lp"],
+                                tuple(arrs["vals"].shape), st["mode"])
                     except ValueError:
-                        arrs = None
-                if arrs is not None:
-                    # level operator through the Pallas SELL kernel:
-                    # int8 idx rides the int32 buffer via bitcast
-                    amref = ("sell",
-                             putf(arrs["vals"]),
-                             puti(arrs["idx"].ravel().view(np.int32)
-                                  .reshape(-1)),
-                             puti(arrs["qs"]),
-                             puti(arrs["winstart"]),
-                             putf(arrs["diag"]),
-                             st["shape"], st["nnz"], st["G"],
-                             st["S"], st["Lp"],
-                             tuple(arrs["vals"].shape))
-            if amref is None:
-                ca, va, sha, nza = aij_pack(As[l], dtype=dtype)
-                amref = ("ell", puti(ca), putf(va), sha, nza)
-            cp, vp, shp, nzp = aij_pack(Ps[l], dtype=dtype)
+                        pass
+            dref = pack_dense_or_none(M)
+            if dref is not None:
+                return dref
+            ca, va, sha, nza = aij_pack(M, dtype=dtype)
+            return ("ell", puti(ca), putf(va), sha, nza)
+
+        def pack_restrict(RT):
+            """R = Pᵀ: slant-band when the aggregate numbering keeps
+            columns advancing at ~constant rate (mat/rectband.py — no
+            gathers at all), else the generic op packer."""
+            from petsctpu.mat.rectband import rectband_from_scipy, \
+                rectband_plan
+            dref = pack_dense_or_none(RT)
+            if dref is not None:
+                return dref
+            pl_ = rectband_plan(RT)
+            if pl_ is not None:
+                s_, off_, W_ = pl_
+                if RT.shape[0] * W_ <= 8.0 * max(RT.nnz, 1):
+                    B = np.zeros((RT.shape[0], W_), dtype)
+                    coo = RT.tocoo()
+                    d_ = (coo.col.astype(np.int64)
+                          - s_ * coo.row.astype(np.int64) - off_)
+                    B[coo.row, d_] = coo.data.astype(dtype)
+                    return ("rectband", putf(B), s_, off_,
+                            RT.shape, int(RT.nnz), B.shape)
+            return pack_op(RT)
+
+        for l in range(len(Ps)):
+            amref = pack_op(As[l])
+            Pl = sp.csr_matrix(Ps[l])
+            Pl.sum_duplicates()
+            Pl.sort_indices()
+            pref = pack_op(Pl)
+            rref = pack_restrict(Pl.T.tocsr())
             d = As[l].diagonal()
             d = np.where(d != 0, d, 1.0)
             dinv = (1.0 / d).astype(dtype)
             lam = _power_lambda_max(As[l], dinv)
-            metas.append((amref,
-                          puti(cp), putf(vp), shp, nzp,
+            metas.append((amref, pref, rref,
                           putf(dinv)[0], float(lam)))
         ca, va, shc, nzc = aij_pack(As[-1], dtype=dtype)
         lu, piv = sla.lu_factor(As[-1].toarray().astype(dtype))

@@ -1,0 +1,97 @@
+"""Structured-grid recovery (mat/griddetect.py) + -mat_type auto
+routing (mat/factory.py).
+
+The reference upgrade this mirrors: silent AIJ layout detection
+(Inode aij.c, AIJPERM/CRL src/mat/impls/aij/seq/{csrperm,crl}) — a
+generic CSR matrix is analyzed at plan time and the fast kernel runs
+with identical values."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from petsctpu.mat.griddetect import grid_recover_ordering
+
+
+def _scramble(A, seed=7):
+    rng = np.random.default_rng(seed)
+    p = rng.permutation(A.shape[0])
+    return A[p][:, p].tocsr()
+
+
+def _grid(dims, kind):
+    mats = []
+    for m in dims:
+        e = np.ones(m)
+        if kind == "box":
+            mats.append(sp.diags([e[:-1], e, e[:-1]], [-1, 0, 1]))
+        else:
+            mats.append(sp.diags([-e[:-1], 2 * e, -e[:-1]], [-1, 0, 1]))
+    if kind == "box":
+        A = mats[0]
+        for T in mats[1:]:
+            A = sp.kron(A, T)
+        return A.tocsr()
+    A = None
+    for k, T in enumerate(mats):
+        term = None
+        for j in range(len(mats)):
+            f = T if j == k else sp.eye(dims[j])
+            term = f if term is None else sp.kron(term, f)
+        A = term if A is None else A + term
+    return A.tocsr()
+
+
+@pytest.mark.parametrize("dims,kind,maxoffs", [
+    ((18, 19, 20), "box", 27),
+    ((17, 18, 23), "star", 7),
+    ((80, 90), "box", 9),
+    ((96, 70), "star", 5),
+])
+def test_recovers_scrambled_grids(dims, kind, maxoffs):
+    A = _scramble(_grid(dims, kind))
+    perm = grid_recover_ordering(A)
+    assert perm is not None
+    n = A.shape[0]
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    co = A.tocoo()
+    offs = np.unique(inv[co.col] - inv[co.row])
+    assert len(offs) <= maxoffs
+    # the permuted matrix is a true fixed-offset stencil: every offset
+    # is +-1 in each axis of SOME dims assignment; weaker check: the
+    # bandwidth equals the largest offset and is < n
+    assert np.abs(offs).max() < n
+
+
+def test_rejects_non_grids():
+    R = sp.random(8192, 8192, density=0.002, format="csr", random_state=3)
+    R = ((R + R.T) != 0).astype(np.float64).tocsr()
+    assert grid_recover_ordering(R) is None
+    # unsymmetric pattern
+    A = _grid((20, 20, 20), "star").tolil()
+    A[5, 17] = 1.0
+    assert grid_recover_ordering(A.tocsr()) is None
+
+
+def test_small_matrices_skipped():
+    A = _grid((10, 10), "star")
+    assert grid_recover_ordering(A) is None      # n < 4096 fast-path out
+
+
+def test_factory_auto_routes_scrambled_grid_to_dia():
+    import jax.numpy as jnp
+
+    from petsctpu.mat.factory import mat_from_options
+
+    A = _scramble(_grid((18, 18, 18), "box"))
+    rng = np.random.default_rng(0)
+    A.sum_duplicates()
+    A.data = rng.standard_normal(A.nnz)
+    M, perm = mat_from_options(A, mat_type="auto", dtype=np.float32)
+    assert type(M).__name__ == "DiaMat"
+    assert perm is not None
+    x = rng.standard_normal(A.shape[0]).astype(np.float32)
+    y = np.asarray(M.mult(jnp.asarray(x[perm])))
+    ref = (A @ x)[perm]
+    assert np.abs(y - ref).max() <= 1e-4 * np.abs(ref).max()
