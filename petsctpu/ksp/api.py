@@ -128,12 +128,18 @@ def config_from_options(opts: Options, defaults: KSPConfig = None) -> KSPConfig:
         radius=opts.get_real("ksp_cg_radius", cfg.radius),
         aug_dim=opts.get_int("ksp_lgmres_augment", cfg.aug_dim),
         bcgsl_ell=opts.get_int("ksp_bcgsl_ell", cfg.bcgsl_ell),
+        lag_norm=opts.get_bool("ksp_lag_norm", cfg.lag_norm),
     )
     # -ksp_pc_side right on gmres: right preconditioning with a fixed
     # (linear) PC is exactly FGMRES's iteration — map to it (the
     # reference's KSPSetPCSide; monitors then show true residuals)
     if (opts.get_str("ksp_pc_side", "left") == "right"
             and cfg.ksp_type == "gmres"):
+        cfg = replace(cfg, ksp_type="fgmres")
+    # GMRES only supports the unpreconditioned norm RIGHT-preconditioned
+    # (KSPSetSupportedNorm gmres.c:910) — the reference silently flips
+    # the side; right preconditioning with a fixed PC is FGMRES
+    if (cfg.norm_type == "unpreconditioned" and cfg.ksp_type == "gmres"):
         cfg = replace(cfg, ksp_type="fgmres")
     return cfg
 

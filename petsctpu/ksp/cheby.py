@@ -134,17 +134,13 @@ def solve_chebyshev(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
 
     r = b - A.mult(x)
     z = apply_pc(pc, r)
-    if want_norm:
-        dp = ops.norm(z if norm_type == NORM_PRECONDITIONED else r, axis)
-    else:
-        dp = jnp.zeros((), dtype)
-    history = record(init_history(cfg, dtype), 0, dp)
-    monitor_cb(cfg, 0, dp)
-    if want_norm:
-        reason = check_convergence(dp, dp, jnp.int32(0), cfg)
-    else:
-        reason = jnp.int32(ConvergedReason.ITERATING)
-    rnorm0 = dp
+    # NO initial monitor: the reference applies the first correction
+    # p[k] = x + scale·B⁻¹r BEFORE the counted loop, and the first
+    # monitor (labelled 0, at ksp->its == 1) shows the residual AFTER
+    # it; KSPDefaultConverged's rnorm0 snapshot is therefore that
+    # after-one-correction norm (cheby.c:429-488).
+    history = init_history(cfg, dtype)
+    reason = jnp.int32(ConvergedReason.ITERATING)
 
     d0 = z / theta
 
@@ -161,18 +157,22 @@ def solve_chebyshev(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
         its = its + 1
         if want_norm:
             dp = ops.norm(z if norm_type == NORM_PRECONDITIONED else r, axis)
-            history = record(c["history"], its, dp)
-            monitor_cb(cfg, its, dp)
+            rnorm0 = jnp.where(its == 1, dp, c["rnorm0"])
+            # history index = reference monitor label = its - 1
+            history = record(c["history"], its - 1, dp)
+            monitor_cb(cfg, its - 1, dp)
             reason = check_convergence(dp, rnorm0, its, cfg)
         else:
             history = c["history"]
+            rnorm0 = c["rnorm0"]
             reason = jnp.where(its >= cfg.maxits,
                                jnp.int32(ConvergedReason.CONVERGED_ITS),
                                jnp.int32(ConvergedReason.ITERATING))
         return dict(x=x, r=r, d=d, rho_old=rho, its=its, history=history,
-                    reason=reason)
+                    rnorm0=rnorm0, reason=reason)
 
     init = dict(x=x, r=r, d=d0, rho_old=1.0 / sigma, its=jnp.int32(0),
+                rnorm0=jnp.zeros((), jnp.zeros((), dtype).real.dtype),
                 history=history, reason=reason)
     out = lax.while_loop(cond, body, init)
     # KSPSolve_Chebyshev applies the initial scale·B⁻¹r step BEFORE its
@@ -185,7 +185,8 @@ def solve_chebyshev(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
         | (out["reason"] == ConvergedReason.DIVERGED_ITS)
     xf = jnp.where(capped, out["x"] + out["d"], out["x"])
     return SolveResult(xf, out["its"], out["reason"],
-                       out["history"][out["its"]], out["history"])
+                       out["history"][jnp.maximum(out["its"] - 1, 0)],
+                       out["history"])
 
 
 def solve_richardson(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:

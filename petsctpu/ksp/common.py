@@ -49,6 +49,11 @@ class KSPConfig:
     radius: float = 0.0                 # trust-region radius (stcg/nash/gltr; 0 -> unconstrained)
     aug_dim: int = 2                    # LGMRES augmentation dimension
     bcgsl_ell: int = 2                  # BiCGStab(l) polynomial degree
+    # -ksp_lag_norm (KSPSetLagNorm itfunc.c): convergence tests use the
+    # PREVIOUS iteration's residual norm, letting IBCGS fuse the norm
+    # into its single recurrence reduction. Default off like the
+    # reference (default IBCGS pays a second reduction per iteration).
+    lag_norm: bool = False
 
 
 class SolveResult(NamedTuple):

@@ -5,6 +5,9 @@ Reference: src/ksp/ksp/impls/{cr,tfqmr,cgne,bcgs/fbcgs}.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -17,17 +20,25 @@ from petsctpu.vec import ops
 
 
 def solve_cr(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
-    """Preconditioned conjugate residuals (cr.c) for symmetric systems."""
+    """Preconditioned conjugate residuals, reference-exact recurrence
+    (KSPSolve_CR cr.c): RT is the preconditioned residual, the step is
+    ai = (RT, A·RT)/(AP, M⁻¹AP), P/AP update with bi = btop/bbot, and
+    the default norm is ‖RT‖. (Note: NOT CR on the symmetrically
+    preconditioned operator — the two only coincide for M = cI.)"""
     dtype = b.dtype
     x = x0 if cfg.guess_nonzero else jnp.zeros_like(b)
-    r = apply_pc(pc, b - A.mult(x)) if cfg.guess_nonzero else apply_pc(pc, b)
-
-    def B(v):
-        return apply_pc(pc, A.mult(v))
-
-    Br = B(r)
-    rho = ops.dot(r, Br, axis)
-    dp = ops.norm(r, axis)
+    r0 = b - A.mult(x) if cfg.guess_nonzero else b
+    rt = apply_pc(pc, r0)
+    p = rt
+    ap = A.mult(p)
+    art = ap
+    # VecDot(RT,ART) = sum RT conj(ART); the reference's indefinite-
+    # matrix test (|btop| < 0, cr.c) is dead code — reproduced by NOT
+    # checking, so indefinite systems iterate exactly like cr.c does
+    btop_l = jnp.vdot(art, rt)
+    nrm_l = jnp.vdot(rt, rt).real
+    btop, nrm2 = ops.reduce_all((btop_l, nrm_l), axis)
+    dp = jnp.sqrt(nrm2)
     history = record(init_history(cfg, dtype), 0, dp)
     monitor_cb(cfg, 0, dp)
     reason = check_convergence(dp, dp, jnp.int32(0), cfg)
@@ -37,30 +48,32 @@ def solve_cr(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
         return c["reason"] == ConvergedReason.ITERATING
 
     def body(c):
-        Bp = c["Bp"]
-        alpha_den = ops.dot(Bp, Bp, axis)
-        alpha = c["rho"] / alpha_den
-        x = c["x"] + alpha * c["p"]
-        r = c["r"] - alpha * Bp
-        Br = B(r)
-        rho_l = jnp.vdot(r, Br)
-        rr_l = jnp.vdot(r, r).real
-        rho_new, rr = ops.reduce_all((rho_l, rr_l), axis)
-        dp = jnp.sqrt(rr)
+        q = apply_pc(pc, c["ap"])
+        apq = ops.dot(q, c["ap"], axis)        # VecDot(AP,Q)
+        bad_pc = apq.real <= 0
+        ai = c["btop"] / jnp.where(bad_pc, jnp.ones((), dtype), apq)
+        x = c["x"] + ai * c["p"]
+        rt = c["rt"] - ai * q
+        art = A.mult(rt)
+        btop_l = jnp.vdot(art, rt)
+        nrm_l = jnp.vdot(rt, rt).real
+        btop, nrm2 = ops.reduce_all((btop_l, nrm_l), axis)
+        dp = jnp.sqrt(nrm2)
         its = c["its"] + 1
         history = record(c["history"], its, dp)
         monitor_cb(cfg, its, dp)
         reason = check_convergence(dp, rnorm0, its, cfg)
-        reason = jnp.where((reason == 0) & (alpha_den == 0),
-                           jnp.int32(ConvergedReason.DIVERGED_BREAKDOWN),
-                           reason)
-        beta = rho_new / c["rho"]
-        p = r + beta * c["p"]
-        Bp = Br + beta * Bp
-        return dict(x=x, r=r, p=p, Bp=Bp, rho=rho_new, its=its,
+        reason = jnp.where(
+            (reason == 0) & bad_pc,
+            jnp.int32(ConvergedReason.DIVERGED_INDEFINITE_PC), reason)
+        bi = btop / jnp.where(c["btop"] == 0, jnp.ones((), dtype),
+                              c["btop"])
+        p = rt + bi * c["p"]
+        ap = art + bi * c["ap"]
+        return dict(x=x, rt=rt, p=p, ap=ap, btop=btop, its=its,
                     history=history, reason=reason)
 
-    init = dict(x=x, r=r, p=r, Bp=Br, rho=rho, its=jnp.int32(0),
+    init = dict(x=x, rt=rt, p=p, ap=ap, btop=btop, its=jnp.int32(0),
                 history=history, reason=reason)
     out = lax.while_loop(cond, body, init)
     return SolveResult(out["x"], out["its"], out["reason"],
@@ -68,7 +81,12 @@ def solve_cr(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
 
 
 def solve_tfqmr(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
-    """Transpose-free QMR (Freund; tfqmr.c)."""
+    """Transpose-free QMR, reference-exact (KSPSolve_TFQMR tfqmr.c):
+    each outer iteration performs TWO QMR half-step updates with
+    w = sqrt(dp·dpold) then w = dp, monitors dpest = sqrt(m+1)·tau at
+    BOTH half-steps (labelled i+1 — the stream carries two entries per
+    iteration), and tests convergence on each. `its` counts outer
+    iterations; `history` holds the monitor stream (2 per iteration)."""
     dtype = b.dtype
     x = x0 if cfg.guess_nonzero else jnp.zeros_like(b)
     r0 = apply_pc(pc, b - A.mult(x)) if cfg.guess_nonzero else apply_pc(pc, b)
@@ -77,64 +95,104 @@ def solve_tfqmr(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
         return apply_pc(pc, A.mult(v))
 
     dp0 = ops.norm(r0, axis)
-    history = record(init_history(cfg, dtype), 0, dp0)
+    rdtype = dp0.dtype
+    history = jnp.full((2 * cfg.maxits + 3,), jnp.nan, dtype=rdtype)
+    history = record(history, 0, dp0)
     monitor_cb(cfg, 0, dp0)
     reason = check_convergence(dp0, dp0, jnp.int32(0), cfg)
     rnorm0 = dp0
+    rp = r0
+    rhoold = ops.dot(rp, r0, axis)             # VecDot(R,RP)
+    v0 = B(r0)
     zero = jnp.zeros_like(b)
 
     def cond(c):
         return c["reason"] == ConvergedReason.ITERATING
 
     def body(c):
-        its = c["its"]
-        first = its == 0
-        rho = ops.dot(c["rt"], c["r"], axis)
-        beta = jnp.where(first, 0.0, rho / c["rho_old"])
-        u = c["r"] + beta * c["q"]
-        p = u + beta * (c["q"] + beta * c["p"])
-        v = B(p)
-        sigma = ops.dot(c["rt"], v, axis)
-        alpha = rho / sigma
-        q = u - alpha * v
-        r = c["r"] - alpha * B(u + q)
-        # QMR smoothing over the two half-steps
+        its = c["its"] + 1
+        s = ops.dot(rp, c["v"], axis)          # VecDot(V,RP)
+        a = c["rhoold"] / jnp.where(s == 0, jnp.ones((), dtype), s)
+        q = c["u"] - a * c["v"]
+        t = c["u"] + q
+        auq = B(t)
+        r = c["r"] - a * auq
         dp = ops.norm(r, axis)
-        theta = dp / c["tau"]
-        cfac = 1.0 / jnp.sqrt(1.0 + theta * theta)
-        tau = c["tau"] * theta * cfac
-        eta = cfac * cfac * alpha
-        d = (u + q) + (c["theta"] ** 2 * c["eta"] / alpha) * c["d"]
-        x = c["x"] + eta * d
-        its = its + 1
-        history = record(c["history"], its, dp)
-        monitor_cb(cfg, its, dp)
-        reason = check_convergence(dp, rnorm0, its, cfg)
-        reason = jnp.where((reason == 0) & ((rho == 0) | (sigma == 0)),
-                           jnp.int32(ConvergedReason.DIVERGED_BREAKDOWN),
-                           reason)
-        return dict(x=x, r=r, rt=c["rt"], p=p, q=q, d=d, rho_old=rho,
-                    tau=tau, theta=theta, eta=eta, its=its, history=history,
-                    reason=reason)
+
+        tau, etaold, psiold = c["tau"], c["etaold"], c["psiold"]
+        d, x = c["d"], c["x"]
+        history, reason, hidx = c["history"], c["reason"], c["hidx"]
+        for m in (0, 1):
+            w = jnp.sqrt(dp * c["dpold"]) if m == 0 else dp
+            psi = w / tau
+            cm = 1.0 / jnp.sqrt(1.0 + psi * psi)
+            tau = tau * psi * cm
+            eta = (cm * cm) * a
+            cfac = psiold * psiold * etaold \
+                / jnp.where(a == 0, jnp.ones((), dtype), a)
+            d = (c["u"] if m == 0 else q) + cfac * d
+            live = reason == ConvergedReason.ITERATING
+            x = jnp.where(live, x + eta * d, x)
+            dpest = ((m + 1.0) ** 0.5) * tau
+            hidx = jnp.where(live, hidx + 1, hidx)
+            history = jnp.where(
+                live, history.at[hidx].set(dpest), history)
+            monitor_cb(cfg, its, dpest)
+            new_reason = check_convergence(dpest, rnorm0, its, cfg)
+            reason = jnp.where(live, new_reason, reason)
+            etaold = jnp.where(live, eta, etaold)
+            psiold = jnp.where(live, psi, psiold)
+
+        rho = ops.dot(rp, r, axis)             # VecDot(R,RP)
+        bb = rho / jnp.where(c["rhoold"] == 0, jnp.ones((), dtype),
+                             c["rhoold"])
+        u = r + bb * q
+        q2 = q + bb * c["p"]
+        p = u + bb * q2
+        v = B(p)
+        reason = jnp.where(
+            (reason == 0) & ((rho == 0) | (s == 0)),
+            jnp.int32(ConvergedReason.DIVERGED_BREAKDOWN), reason)
+        return dict(x=x, r=r, u=u, p=p, q=q, d=d, v=v, rhoold=rho,
+                    tau=tau, etaold=etaold, psiold=psiold, dpold=dp,
+                    its=its, hidx=hidx, history=history, reason=reason)
 
     one = jnp.ones((), dtype)
-    # theta/tau are norm ratios — REAL even for complex scalars
-    init = dict(x=x, r=r0, rt=r0, p=zero, q=zero, d=zero, rho_old=one,
-                tau=dp0, theta=jnp.zeros((), dp0.dtype),
-                eta=jnp.zeros((), dtype),
-                its=jnp.int32(0), history=history, reason=reason)
+    init = dict(x=x, r=r0, u=r0, p=r0, q=zero, d=zero, v=v0,
+                rhoold=rhoold, tau=dp0,
+                etaold=jnp.zeros((), dtype), psiold=jnp.zeros((), rdtype),
+                dpold=dp0, its=jnp.int32(0), hidx=jnp.int32(0),
+                history=history, reason=reason)
     out = lax.while_loop(cond, body, init)
     return SolveResult(out["x"], out["its"], out["reason"],
-                       out["history"][out["its"]], out["history"])
+                       out["history"][out["hidx"]], out["history"])
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class _SquaredPC:
+    """CGNE's preconditioner: Z = M⁻ᵀ(M⁻¹ r) (cgne.c:96-100 — the PC
+    for AᵀA is applied twice, transposed second when available)."""
+
+    pc: object
+
+    def apply(self, r):
+        t = self.pc.apply(r)
+        if hasattr(self.pc, "apply_transpose"):
+            return self.pc.apply_transpose(t)
+        return self.pc.apply(t)
 
 
 def solve_cgne(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
-    """CG on the normal equations AᵀA x = Aᵀ b (cgne.c)."""
+    """CG on the normal equations AᵀA x = Aᵀ b (cgne.c): the residual
+    is r = Aᵀ(b − Ax), the PC is applied twice (M⁻ᵀM⁻¹), and the
+    default monitored norm is ‖M⁻ᵀM⁻¹r‖."""
     from petsctpu.ksp.cg import solve_cg
     from petsctpu.mat.base import Normal
 
     bt = A.multT(b)
-    return solve_cg(Normal(A), bt, x0, pc, cfg, axis)
+    return solve_cg(Normal(A), bt, x0,
+                    None if pc is None else _SquaredPC(pc), cfg, axis)
 
 
 def solve_fbcgs(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:

@@ -6,10 +6,10 @@ computable from the same two vectors sn/tn, merged with the LAGGED
 residual norm into a single 7-term MPI_Allreduce, ibcgs.c:185-217).
 
 TPU mapping: the 7 local contractions fuse into one `ops.reduce_all`
-psum — a single collective per iteration against pipelined CG's one,
-with BiCGStab's nonsymmetric coverage. The residual norm used for
-convergence lags one iteration, exactly like the reference's default
-KSPSetLagNorm behavior for this method.
+psum. Like the reference, the DEFAULT convergence norm is the current
+iteration's ‖rn‖ (a second reduction, ibcgs.c:238-243); with
+cfg.lag_norm (-ksp_lag_norm) the lagged norm rides the single fused
+reduction — one collective per iteration total.
 
 Requires a symmetric preconditioner (or none): f0 = Aᵀ Bᵀ r0 is formed
 with B applied as itself (the reference calls PCApplyTranspose; every
@@ -105,6 +105,14 @@ def solve_ibcgs(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
         rn = sn - omegan * tn
         rnormin_l = jnp.vdot(rn, rn)            # reduced NEXT iteration
         xn = c["x"] + zn + omegan * sn
+
+        if not cfg.lag_norm:
+            # reference DEFAULT (!ksp->lagnorm, ibcgs.c:238-243): the
+            # convergence norm is ‖rn‖ of THIS iteration, paid as a
+            # second reduction; -ksp_lag_norm restores the fused
+            # single-reduction variant above
+            rnorm = jnp.sqrt(jnp.maximum(
+                ops.reduce_all((rnormin_l,), axis)[0].real, 0.0))
 
         history = record(c["history"], its, rnorm)
         monitor_cb(cfg, its, rnorm)

@@ -95,8 +95,10 @@ def solve_minres(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
 def solve_lsqr(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
     """LSQR on min ‖Ax−b‖ (Golub-Kahan bidiagonalization; lsqr.c).
 
-    pc is ignored (the reference applies it to the normal equations;
-    unpreconditioned LSQR is what its default path does)."""
+    With a PC the reference preconditions the normal equations
+    (lsqr.c:133-144,160-184): Z = M⁻¹V, α = sqrt(V·Z), the matmul
+    runs on Z and the update basis W tracks Z — reproduced here. The
+    monitored norm is the recursive estimate φ̄ (lsqr.c:209)."""
     dtype = b.dtype
     m, n = A.shape
     x = x0 if cfg.guess_nonzero else jnp.zeros(n, dtype)
@@ -104,8 +106,18 @@ def solve_lsqr(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
     beta = ops.norm(u, axis)
     u = u / jnp.where(beta > 0, beta, 1.0)
     v = A.multT(u)
-    alpha = ops.norm(v, axis)
-    v = v / jnp.where(alpha > 0, alpha, 1.0)
+    if pc is None:
+        alpha = ops.norm(v, axis)
+        z = v
+        salpha = alpha
+    else:
+        z = apply_pc(pc, v)
+        alpha2 = ops.dot(v, z, axis).real
+        salpha = jnp.sqrt(jnp.maximum(alpha2, 0.0))
+        alpha = salpha
+        z = z / jnp.where(salpha > 0, salpha, 1.0)
+    v = v / jnp.where(salpha > 0, salpha, 1.0)
+    w0 = v if pc is None else z
     dp = beta
     history = record(init_history(cfg, dtype), 0, dp)
     monitor_cb(cfg, 0, dp)
@@ -117,11 +129,18 @@ def solve_lsqr(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
 
     def body(c):
         its = c["its"]
-        u = A.mult(c["v"]) - c["alpha"] * c["u"]
+        src = c["v"] if pc is None else c["z"]
+        u = A.mult(src) - c["alpha"] * c["u"]
         beta = ops.norm(u, axis)
         u = u / jnp.where(beta > 0, beta, 1.0)
         v = A.multT(u) - beta * c["v"]
-        alpha = ops.norm(v, axis)
+        if pc is None:
+            alpha = ops.norm(v, axis)
+            z = v
+        else:
+            z = apply_pc(pc, v)
+            alpha = jnp.sqrt(jnp.maximum(ops.dot(v, z, axis).real, 0.0))
+            z = z / jnp.where(alpha > 0, alpha, 1.0)
         v = v / jnp.where(alpha > 0, alpha, 1.0)
         rho = jnp.sqrt(c["rhobar"] ** 2 + beta ** 2)
         cs = c["rhobar"] / rho
@@ -131,17 +150,18 @@ def solve_lsqr(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
         phi = cs * c["phibar"]
         phibar = sn * c["phibar"]
         x = c["x"] + (phi / rho) * c["w"]
-        w = v - (theta / rho) * c["w"]
+        w = (v if pc is None else z) - (theta / rho) * c["w"]
         dp = phibar                 # ‖r‖ estimate
         its = its + 1
         history = record(c["history"], its, dp)
         monitor_cb(cfg, its, dp)
         reason = check_convergence(dp, rnorm0, its, cfg)
-        return dict(x=x, u=u, v=v, w=w, alpha=alpha, rhobar=rhobar,
+        return dict(x=x, u=u, v=v, z=z, w=w, alpha=alpha, rhobar=rhobar,
                     phibar=phibar, its=its, history=history, reason=reason)
 
-    init = dict(x=x, u=u, v=v, w=v, alpha=alpha, rhobar=alpha, phibar=beta,
-                its=jnp.int32(0), history=history, reason=reason)
+    init = dict(x=x, u=u, v=v, z=z, w=w0, alpha=alpha, rhobar=alpha,
+                phibar=beta, its=jnp.int32(0), history=history,
+                reason=reason)
     out = lax.while_loop(cond, body, init)
     return SolveResult(out["x"], out["its"], out["reason"],
                        out["history"][out["its"]], out["history"])

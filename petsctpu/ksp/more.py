@@ -390,7 +390,13 @@ def solve_lgmres(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
                            c["reason"])
 
         k_act = jnp.minimum(c["n_aug"], k_aug)      # active augmentations
-        s_split = m - k_act                          # Krylov directions
+        # lgmres.c:448 (approx_constant default false): every cycle
+        # runs max_k - aug_dim Arnoldi steps, so the FIRST cycle uses
+        # only (restart - aug_dim) directions even though no error
+        # approximations exist yet; later cycles total restart - aug_dim
+        # + aug_ct directions.
+        s_split = m - k_aug                          # Krylov directions
+        j_tot = s_split + k_act                      # directions this cycle
         V = jnp.zeros((m + 1, n), dtype).at[0].set(
             r / jnp.where(beta > 0, beta, 1.0))
         Z = jnp.zeros((m, n), dtype)                # update basis (sources)
@@ -400,7 +406,8 @@ def solve_lgmres(A, b, x0, pc, cfg: KSPConfig, axis=None) -> SolveResult:
         g = jnp.zeros(m + 1, dtype).at[0].set(beta)
 
         def inner_cond(ic):
-            return (ic["j"] < m) & (ic["reason"] == ConvergedReason.ITERATING)
+            return (ic["j"] < j_tot) \
+                & (ic["reason"] == ConvergedReason.ITERATING)
 
         def inner_body(ic):
             j = ic["j"]

@@ -25,7 +25,9 @@ class TestCommAudit:
         """The audited per-iteration reduction counts are the
         solver-defining ones: CG has 2 psums (dot + norm), PIPECG 1
         (the fused late reduction — its comm-avoidance claim,
-        pipecg.c:45), IBCGS 1 (single fused reduction)."""
+        pipecg.c:45), IBCGS 2 by default (fused recurrence reduction
+        + fresh norm, the reference's !lagnorm path ibcgs.c:238) and
+        1 with -ksp_lag_norm (the famous single-reduction variant)."""
         A = _poisson3d(16)
         Sh, _ = sharded_aij_from_scipy(A, 8, dtype=np.float32)
         b = jnp.zeros(Sh.shape[0], jnp.float32)
@@ -35,7 +37,10 @@ class TestCommAudit:
             counts[kt] = a.per_iteration.counts.get("psum", 0)
         assert counts["cg"] == 2
         assert counts["pipecg"] == 1
-        assert counts["ibcgs"] == 1
+        assert counts["ibcgs"] == 2
+        a = audit_par_ksp(8, Sh, b, ksp_type="ibcgs", maxits=5,
+                          lag_norm=True)
+        assert a.per_iteration.counts.get("psum", 0) == 1
 
     def test_halo_bytes_counted(self):
         A = _poisson3d(16)
