@@ -110,10 +110,22 @@ def _walk(jaxpr, audit: CommAudit, in_loop: bool, mult: int) -> None:
                 _walk(inner.jaxpr, audit, in_loop, mult * length)
             continue
         if name == "cond":
+            # only ONE branch executes: audit each separately and merge
+            # the max-cost one (summing every branch double-counted and
+            # made the ledger unusable as a weak-scaling model input)
+            best = None
             for br in eqn.params.get("branches", ()):
-                # count the max-cost branch once would be fancier; we
-                # count each branch (conservative upper bound)
-                _walk(br.jaxpr, audit, in_loop, mult)
+                trial = CommAudit()
+                _walk(br.jaxpr, trial, in_loop, mult)
+                cost = (trial.once.total_bytes
+                        + trial.per_iteration.total_bytes,
+                        trial.once.total_count
+                        + trial.per_iteration.total_count)
+                if best is None or cost > best[0]:
+                    best = (cost, trial)
+            if best is not None:
+                audit.once.merge(best[1].once)
+                audit.per_iteration.merge(best[1].per_iteration)
             continue
         # generic containers: pjit, shard_map, custom_* etc.
         for key in ("jaxpr", "call_jaxpr", "fun_jaxpr"):

@@ -37,6 +37,11 @@ class HaloPlan:
     n_ghost: np.ndarray     # int64 [P] true ghost counts
     smax: int
     gmax: int
+    # distinct sender->receiver ring offsets with traffic ((p-d) mod P):
+    # a banded row partition has only {1, P-1}; the "ppermute" halo
+    # style unrolls one shift per offset, making the per-shard payload
+    # O(neighbors), not O(P) like the dense all_to_all layout
+    offsets: tuple = ()
 
 
 @dataclass
@@ -131,7 +136,11 @@ def _build_halo(lay: Layout, garrays, P: int) -> HaloPlan:
         if len(sl):
             ghost_src[p, :len(sl)] = sl[:, 0] * smax + sl[:, 1]
             ghost_gidx[p, :len(garrays[p])] = garrays[p]
-    return HaloPlan(send_idx, ghost_src, ghost_gidx, n_ghost, smax, gmax)
+    offsets = tuple(sorted({(dst - src) % P
+                            for src in range(P) for dst in range(P)
+                            if src != dst and send_lists[src][dst]}))
+    return HaloPlan(send_idx, ghost_src, ghost_gidx, n_ghost, smax, gmax,
+                    offsets)
 
 
 def ell_pack(M: sp.csr_matrix, K: int, pad_col: int = 0):

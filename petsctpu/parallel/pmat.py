@@ -51,6 +51,9 @@ class ShardedAIJ:
     axis: str = field(metadata=dict(static=True), default="rows")
     style: str = field(metadata=dict(static=True), default="alltoall")
     nnz: int = field(metadata=dict(static=True), default=0)
+    # ring offsets with traffic (plan.HaloPlan.offsets) — drives the
+    # "ppermute" style's unrolled neighbor shifts
+    offsets: tuple = field(metadata=dict(static=True), default=())
     # optional stacked SellMat over the diag blocks (fmt="sell"): the
     # local SpMV of every distributed solve then runs the Pallas
     # lane-gather kernel instead of the ELL gather fallback — the
@@ -75,6 +78,24 @@ class ShardedAIJ:
         if self.style == "allgather":
             xg = lax.all_gather(x_local, self.axis, tiled=True)   # [n_padded]
             return xg[self.ghost_gidx]
+        if self.style == "ppermute":
+            # one lax.ppermute ring-shift per plan offset: payload is
+            # O(neighbors)*smax per shard, independent of P (the
+            # weak-scalable route; the reference's neighbor Isend/Irecv
+            # vpscat.c engine rather than MPI_Alltoallv)
+            P, smax = self.send_idx.shape
+            i = lax.axis_index(self.axis)
+            rbuf = jnp.zeros((P, smax), x_local.dtype)
+            for d in self.offsets:
+                dst = (i + d) % P
+                send = x_local[jnp.take(self.send_idx, dst, axis=0)]
+                recv = lax.ppermute(
+                    send, self.axis,
+                    [(p, (p + d) % P) for p in range(self.nshards)])
+                src = ((i - d) % P).astype(jnp.int32)
+                rbuf = jax.lax.dynamic_update_slice(
+                    rbuf, recv[None], (src, jnp.int32(0)))
+            return rbuf.reshape(-1)[self.ghost_src]
         send = x_local[self.send_idx]                # [P, smax]
         recv = lax.all_to_all(send, self.axis, split_axis=0, concat_axis=0)
         return recv.reshape(-1)[self.ghost_src]      # [gmax]
@@ -120,6 +141,19 @@ class ShardedAIJ:
             return y + lax.dynamic_slice(tot, (i * self.nloc,), (self.nloc,))
         P, smax = self.send_idx.shape
         rbuf = jnp.zeros(P * smax, dt).at[self.ghost_src].add(gbuf)
+        if self.style == "ppermute":
+            # scatter-reverse: return each owner's contributions along
+            # the inverse ring shifts
+            rb = rbuf.reshape(P, smax)
+            i = lax.axis_index(self.axis)
+            for d in self.offsets:
+                src = (i - d) % P
+                back = lax.ppermute(
+                    jnp.take(rb, src, axis=0), self.axis,
+                    [(p, (p - d) % P) for p in range(self.nshards)])
+                dst = (i + d) % P
+                y = y.at[jnp.take(self.send_idx, dst, axis=0)].add(back)
+            return y
         back = lax.all_to_all(rbuf.reshape(P, smax), self.axis,
                               split_axis=0, concat_axis=0)
         return y.at[self.send_idx.reshape(-1)].add(back.reshape(-1))
@@ -134,7 +168,7 @@ class ShardedAIJ:
 
 
 def sharded_aij_from_scipy(A, nshards: int, dtype=None,
-                           style: str = "alltoall",
+                           style: str = "auto",
                            axis: str = "rows", perm=None,
                            fmt: str = "ell") -> tuple:
     """Build a ShardedAIJ (stacked host arrays → device) + PartitionedCSR.
@@ -220,6 +254,11 @@ def sharded_aij_from_scipy(A, nshards: int, dtype=None,
             raise ValueError("fmt='sell': a diag block is not "
                              "SELL-viable; use fmt='auto' or 'ell'")
 
+    if style == "auto":
+        # few ring offsets (banded/partitioned-with-locality rows) ->
+        # neighbor ppermute shifts; dense coupling -> one all_to_all
+        noff = len(part.halo.offsets)
+        style = "ppermute" if 0 < noff <= 4 else "alltoall"
     # ghost buffer gets one sentinel slot (gmax) that always reads 0
     mat = ShardedAIJ(
         diag_cols=jnp.asarray(dc), diag_vals=jnp.asarray(dv),
@@ -228,7 +267,8 @@ def sharded_aij_from_scipy(A, nshards: int, dtype=None,
         ghost_src=jnp.asarray(part.halo.ghost_src),
         ghost_gidx=jnp.asarray(part.halo.ghost_gidx),
         shape=(lay.n_padded, lay.n_padded), nshards=P, axis=axis,
-        style=style, nnz=int(sp_nnz(A)), diag_sell=diag_sell)
+        style=style, nnz=int(sp_nnz(A)),
+        offsets=part.halo.offsets, diag_sell=diag_sell)
     return mat, part
 
 

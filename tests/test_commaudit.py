@@ -49,10 +49,21 @@ class TestCommAudit:
         a = audit_par_ksp(8, Sh, b, ksp_type="cg", maxits=5)
         from petsctpu.core.commaudit import halo_audit
         h = halo_audit(part.halo, np.float32)
-        # one halo exchange (all_to_all) per SpMV per iteration, its
-        # payload = the plan's per-shard send buffer
-        assert a.per_iteration.counts.get("all_to_all", 0) == 1
-        assert (a.per_iteration.bytes["all_to_all"]
+        # style auto picks the neighbor-ppermute route for this banded
+        # partition (2 ring offsets): one ppermute per offset per SpMV
+        # per iteration, payload = smax per shift — the weak-scalable
+        # O(neighbors) halo, vs the dense all_to_all P*smax layout
+        assert Sh.style == "ppermute"
+        assert a.per_iteration.counts.get("ppermute", 0) == 2
+        item = np.dtype(np.float32).itemsize
+        assert (a.per_iteration.bytes["ppermute"]
+                == 2 * part.halo.smax * item)
+        # the dense all_to_all route still audits to the plan's ledger
+        Sh2, part2 = sharded_aij_from_scipy(A, 8, dtype=np.float32,
+                                            style="alltoall")
+        a2 = audit_par_ksp(8, Sh2, b, ksp_type="cg", maxits=5)
+        assert a2.per_iteration.counts.get("all_to_all", 0) == 1
+        assert (a2.per_iteration.bytes["all_to_all"]
                 == h["halo_bytes_per_exchange_per_shard"])
 
     def test_scan_multiplier_and_once(self):
@@ -98,3 +109,24 @@ class TestCommAudit:
         assert "Mess" in view
         row = [ln for ln in view.splitlines() if "KSPSolve_cg" in ln]
         assert row and float(row[0].split()[-2]) > 0
+
+    def test_distmg_agglomeration_reduces_collectives(self):
+        """GAMG's coarse-grid agglomeration (createLevel proc
+        reduction, gamg.c:174-198): replicating the small tail of the
+        hierarchy must REDUCE the per-cycle collective count vs
+        keeping every level sharded — the audit is the regression
+        guard for pod-scale MG cycle latency (VERDICT r4 weak #5)."""
+        from petsctpu.core.options import Options
+        from petsctpu.pc.distmg import make_dist_gamg
+
+        A = _poisson3d(20).astype(np.float32)
+        b = None
+        counts = {}
+        for tag, repl in (("agglomerated", 2048), ("all_sharded", 8)):
+            pc = make_dist_gamg(A, 8, dtype=np.float32,
+                                options=Options({"pc_mg_repl_size": repl}))
+            Sh, _ = sharded_aij_from_scipy(A, 8, dtype=np.float32)
+            bv = jnp.zeros(Sh.shape[0], jnp.float32)
+            a = audit_par_ksp(8, Sh, bv, pc=pc, ksp_type="cg", maxits=5)
+            counts[tag] = a.per_iteration.total_count
+        assert counts["agglomerated"] < counts["all_sharded"], counts
