@@ -74,28 +74,52 @@ class ColoredJacobian:
     template: object               # AIJ or StencilMat (structure donor)
     color: np.ndarray              # int32 [n] column colors
     ncolors: int
+    # differencing parameter rule: "const" (one h = sqrt(eps) for all
+    # columns — the round-1 scheme) or "ds" (the reference's
+    # MatFDColoringApply default, fdmatrix.c:583-593: per-column
+    # dx_j = eps*x_j clamped to +-eps*umin, entries scaled by 1/dx_j)
+    htype: str = "const"
+    umin: float = 0.0              # 0 -> 100*sqrt(machine eps)
 
     @classmethod
-    def from_sparsity(cls, A_host, template) -> "ColoredJacobian":
+    def from_sparsity(cls, A_host, template,
+                      htype: str = "const") -> "ColoredJacobian":
         color = greedy_color(A_host)
-        return cls(template, color, int(color.max()) + 1)
+        return cls(template, color, int(color.max()) + 1, htype)
 
     @classmethod
-    def from_stencil(cls, template: StencilMat) -> "ColoredJacobian":
+    def from_stencil(cls, template: StencilMat,
+                     htype: str = "const") -> "ColoredJacobian":
         color = stencil_coloring(template.grid, template.offsets)
-        return cls(template, color, int(color.max()) + 1)
+        return cls(template, color, int(color.max()) + 1, htype)
 
     def assemble(self, F: Callable, x: jax.Array, Fx: jax.Array,
                  h: float = None):
         dtype = x.dtype
         n = x.shape[0]
-        hval = jnp.asarray(h if h is not None
-                           else np.sqrt(np.finfo(np.dtype(dtype)).eps),
-                           dtype)
+        eps_m = float(np.finfo(np.dtype(dtype)).eps)
+        hval = jnp.asarray(h if h is not None else np.sqrt(eps_m), dtype)
         colors = jnp.asarray(self.color)
         # perturbation directions: D[c] = 1 where color == c
         D = (colors[None, :] == jnp.arange(self.ncolors)[:, None]).astype(dtype)
+        if self.htype == "ds":
+            umin = jnp.asarray(self.umin or 100.0 * np.sqrt(eps_m), dtype)
+            eps = jnp.asarray(np.sqrt(eps_m), dtype)
+            dx = x
+            dx = jnp.where(dx == 0, jnp.ones((), dtype), dx)
+            dx = jnp.where((jnp.abs(dx) < umin) & (dx.real >= 0),
+                           umin, dx)
+            dx = jnp.where((dx.real < 0) & (jnp.abs(dx) < umin),
+                           -umin, dx)
+            dx = dx * eps                        # per-column parameter
+            vscale = 1.0 / dx
+            Fb = jax.vmap(lambda d: F(x + dx * d))(D)      # [C, n]
+            return self._fill(Fb, Fx, colors, vscale, n)
         Fb = jax.vmap(lambda d: F(x + hval * d))(D)        # [C, n]
+        return self._fill(Fb, Fx, colors,
+                          jnp.full((n,), 1.0 / hval, dtype), n)
+
+    def _fill(self, Fb, Fx, colors, vscale, n):
         t = self.template
         if isinstance(t, StencilMat):
             grid = t.grid
@@ -109,15 +133,15 @@ class ColoredJacobian:
                 strides = np.array([int(np.prod(grid[k + 1:]))
                                     for k in range(len(grid))])
                 col = np.where(ok, tgt @ strides, 0)
-                colj = jnp.asarray(colors[col])
-                v = (Fb[colj, rows] - Fx) / hval
+                colj = colors[jnp.asarray(col)]
+                v = (Fb[colj, rows] - Fx) * vscale[jnp.asarray(col)]
                 v = jnp.where(jnp.asarray(ok), v, 0.0)
                 coeffs.append(v.reshape(grid))
             return StencilMat(jnp.stack(coeffs), t.offsets, t.grid)
         # AIJ/ELL: vals[i,k] = (Fb[color[cols[i,k]], i] − Fx[i]) / h
         rows = jnp.arange(t.shape[0])[:, None]
         vj = (Fb[colors[t.cols], jnp.broadcast_to(rows, t.cols.shape)]
-              - Fx[:, None]) / hval
+              - Fx[:, None]) * vscale[t.cols]
         # keep only true pattern entries (padding has vals==0 in template)
         pattern = t.vals != 0
         return AIJ(t.cols, jnp.where(pattern, vj, 0.0), t.shape, t.nnz)

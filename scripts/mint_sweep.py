@@ -29,6 +29,7 @@ EX_SRC = {
     "ex23": f"{REF}/src/ksp/ksp/examples/tutorials/ex23.c",
     "ex10": f"{REF}/src/ksp/ksp/examples/tutorials/ex10.c",
     "snes_ex5": f"{REF}/src/snes/examples/tutorials/ex5.c",
+    "snes_ex14": f"{REF}/src/snes/examples/tutorials/ex14.c",
     "ts_ex4": f"{REF}/src/ts/examples/tutorials/ex4.c",
 }
 
@@ -60,6 +61,9 @@ def sys_argv(spec):
             k, v = kv.split("=")
             if ex == "snes_ex5" and k == "m":
                 argv += ["-da_grid_x", v, "-da_grid_y", v]
+            elif ex == "snes_ex14" and k == "m":
+                argv += ["-da_grid_x", v, "-da_grid_y", v,
+                         "-da_grid_z", v]
             else:
                 argv += [f"-{k}", v]
     return ex, argv

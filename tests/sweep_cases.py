@@ -285,6 +285,15 @@ CASES = [
          "-ksp_rtol 1e-12", check="ts"),
     Case("sw_ts4_euler_m80", "ts_ex4:m=80",
          "-ts_type euler -ts_max_steps 40", check="ts"),
+
+    # ---- snes ex14: 3-D Bratu with -fdcoloring — the FD-coloring
+    # Jacobian pipeline end-to-end (DMDA stencil colors = fdda.c's
+    # (i%3)+3(j%3)+9(k%3), ds differencing fdmatrix.c:583, inner
+    # GMRES(30)+ILU(0) rtol 1e-5 reproduced exactly) -----------------------
+    Case("sw_snes14_fdcolor_l5", "snes_ex14:m=8,par=5.0",
+         "-fdcoloring -snes_rtol 1e-8", check="snes14"),
+    Case("sw_snes14_fdcolor_l3", "snes_ex14:m=10,par=3.0",
+         "-fdcoloring -snes_rtol 1e-8", check="snes14"),
 ]
 
 

@@ -224,11 +224,101 @@ def run_ts_ex4(case, flags):
             + 1e-12, (k, emax, emax_ref)
 
 
+def run_snes_ex14(case, flags):
+    """snes ex14 3-D Bratu with -fdcoloring, reproduced DIGIT-EXACTLY:
+    the FD-coloring Jacobian uses the DMDA stencil colors (fdda.c
+    (i%3)+3(j%3)+9(k%3) == mat/coloring.stencil_coloring) and the 'ds'
+    differencing parameters (fdmatrix.c:583-593), the Newton steps use
+    the reference default GMRES(30)+ILU(0) rtol 1e-5, and the bt line
+    search takes full steps on these subcritical lambdas — so the
+    -snes_monitor_short stream depends on (and validates) the coloring
+    itself."""
+    import scipy.sparse as spp
+
+    from petsctpu.mat import aij_from_scipy
+    from petsctpu.mat.coloring import stencil_coloring
+    from petsctpu.mat.ell import aij_to_scipy
+    from petsctpu.pc.factor import make_ilu
+    from petsctpu.snes.fdjac import ColoredJacobian
+
+    p = dict(kv.split("=") for kv in case.sys.split(":")[1].split(","))
+    m, lam = int(p["m"]), float(p["par"])
+    txt = open(os.path.join(ORACLE, case.tag + ".txt")).read()
+    monit = [float(mm.group(1)) for mm in re.finditer(
+        r"SNES Function norm (\S+)", txt) if "<" not in mm.group(1)]
+    h = 1.0 / (m - 1)
+    sc = h * h * h * lam
+    w = h            # hx = hy = hz
+    fac = w * w / w  # hyhzdhx etc = h
+
+    idx = np.arange(m)
+    bmask3 = ((idx[:, None, None] == 0) | (idx[:, None, None] == m - 1)
+              | (idx[None, :, None] == 0) | (idx[None, :, None] == m - 1)
+              | (idx[None, None, :] == 0) | (idx[None, None, :] == m - 1))
+    bmask = jnp.asarray(bmask3)
+
+    def F(u):
+        U = u.reshape(m, m, m)
+        up = jnp.pad(U, 1)
+        u_xx = (-up[1:-1, 1:-1, 2:] + 2 * U - up[1:-1, 1:-1, :-2]) * fac
+        u_yy = (-up[1:-1, 2:, 1:-1] + 2 * U - up[1:-1, :-2, 1:-1]) * fac
+        u_zz = (-up[2:, 1:-1, 1:-1] + 2 * U - up[:-2, 1:-1, 1:-1]) * fac
+        interior = u_xx + u_yy + u_zz - sc * jnp.exp(U)
+        return jnp.where(bmask, U, interior).reshape(-1)
+
+    # FormInitialGuess (ex14.c): temp1*sqrt(min over axes of dist*h)
+    temp1 = lam / (lam + 1.0)
+    dk = np.minimum(idx, m - 1 - idx) * h
+    t3 = np.minimum(np.minimum(dk[:, None, None], dk[None, :, None]),
+                    dk[None, None, :])
+    x0g = temp1 * np.sqrt(t3)
+    x0g[bmask3] = 0.0
+    x = jnp.asarray(x0g.reshape(-1))
+
+    # 7-point star pattern (the DMDA-preallocated matrix incl. the
+    # boundary rows' neighbor slots, which assemble to zero)
+    e = np.ones(m)
+    T = spp.diags([e[:-1], e, e[:-1]], [-1, 0, 1])
+    I = spp.eye(m)
+    pat = (spp.kron(spp.kron(T, I), I) + spp.kron(spp.kron(I, T), I)
+           + spp.kron(spp.kron(I, I), T)).tocsr()
+    pat.data[:] = 1.0
+    tmpl = aij_from_scipy(pat)
+    offsets = ((0, 0, 0), (0, 0, -1), (0, 0, 1), (0, -1, 0), (0, 1, 0),
+               (-1, 0, 0), (1, 0, 0))
+    colors = stencil_coloring((m, m, m), offsets)
+    cj = ColoredJacobian(tmpl, colors, int(colors.max()) + 1,
+                         htype="ds")
+
+    rtol = float(flags.get("snes_rtol", 1e-8))
+    hist = []
+    for _ in range(50):
+        Fx = F(x)
+        nrm = float(jnp.linalg.norm(Fx))
+        hist.append(nrm)
+        if nrm <= rtol * hist[0] or nrm < 1e-50:
+            break
+        J = cj.assemble(F, x, Fx)
+        Jh = aij_to_scipy(J)
+        pc = make_ilu(Jh, levels=0)
+        r = ksp_solve(J, Fx, pc=pc, ksp_type="gmres", rtol=1e-5,
+                      maxits=10000)
+        x = x - r.x
+    assert len(hist) == len(monit), (len(hist), len(monit))
+    # final entry sits at the quadratic limit (~1e-10 relative to
+    # rnorm0) where the FD Jacobian's own O(sqrt(eps)) error dominates
+    np.testing.assert_allclose(hist[:-1], monit[:-1], rtol=3e-5)
+    np.testing.assert_allclose(hist[-1:], monit[-1:], rtol=5e-3)
+
+
 @pytest.mark.parametrize("case", CASES, ids=lambda c: c.tag)
 def test_sweep(case):
     flags = parse_args(case.args)
     if case.check == "snes":
         run_snes_ex5(case, flags)
+        return
+    if case.check == "snes14":
+        run_snes_ex14(case, flags)
         return
     if case.check == "ts":
         run_ts_ex4(case, flags)
