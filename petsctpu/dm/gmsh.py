@@ -140,13 +140,23 @@ def read_gmsh(path_or_text):
     cs = create_label(plex, "Cell Sets")
     for v in np.unique(cphys):
         cs.set_value(np.flatnonzero(cphys == v), int(v))
-    # facet groups (dim = maxdim-1): mark their vertex closures
+    # facet groups (dim = maxdim-1): FIRST-CLASS facet points via the
+    # interpolated strata (DMPlexInterpolate, plex.c:3893/:4031) —
+    # two adjacent groups sharing vertices stay distinct, and
+    # facet-integral (Neumann/Robin) BCs can consume the label;
+    # unmatched facet elements fall back to vertex closures
+    from petsctpu.dm.interp import face_point, match_faces
     fs = create_label(plex, "Face Sets")
     for dim, et, phys, nodes in elems:
         if dim == maxdim - 1 and phys:
             nd = node_map[np.asarray(nodes, np.int64)]
             nd = nd[nd >= 0]
-            fs.set_value(vertex_point(plex, nd), int(phys))
+            fid = match_faces(plex, nd[None, :])[0] \
+                if len(nd) else -1
+            if fid >= 0:
+                fs.set_value(face_point(plex, [fid]), int(phys))
+            else:
+                fs.set_value(vertex_point(plex, nd), int(phys))
     # named physical groups as standalone labels
     for tag, nm in names.items():
         lab = create_label(plex, nm)

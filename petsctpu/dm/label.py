@@ -90,18 +90,33 @@ def point_vertex(plex, p) -> np.ndarray:
 
 
 def label_vertices(plex, label: DMLabel, values) -> np.ndarray:
-    """Vertex ids carried by the given label values (cell points in
-    the strata are expanded to their vertex closures — how Plex-lite
-    consumes face/edge markers)."""
+    """Vertex ids carried by the given label values: cell and FACE
+    points in the strata are expanded to their vertex closures
+    (DMPlexGetTransitiveClosure semantics for the consumers that need
+    vertex dofs, e.g. P1 Dirichlet rows)."""
     nc = plex.num_cells
+    nv = plex.num_vertices
     out = []
     for val in np.atleast_1d(values):
         pts = label.stratum(int(val))
-        vpts = pts[pts >= nc] - nc
         cpts = pts[pts < nc]
+        vpts = pts[(pts >= nc) & (pts < nc + nv)] - nc
+        hpts = pts[pts >= nc + nv]              # faces (and 3-D edges)
         out.append(vpts)
         if len(cpts):
             out.append(np.unique(plex.cells[cpts].reshape(-1)))
+        if len(hpts):
+            from petsctpu.dm.interp import interpolate
+            it = interpolate(plex)
+            fids = hpts - nc - nv
+            fmask = fids < it.num_faces
+            if fmask.any():
+                out.append(np.unique(
+                    it.faces[fids[fmask]].reshape(-1)))
+            emask = ~fmask
+            if emask.any():
+                out.append(np.unique(
+                    it.edges[fids[emask] - it.num_faces].reshape(-1)))
     return (np.unique(np.concatenate(out)) if out
             else np.zeros(0, np.int64))
 

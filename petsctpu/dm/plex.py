@@ -491,7 +491,8 @@ def _simplex_measures(coords: np.ndarray, cells: np.ndarray) -> np.ndarray:
 
 
 def fem_assemble_poisson(plex, f: Callable = None, dtype=np.float64,
-                         section=None, bc_label=None):
+                         section=None, bc_label=None, neumann=None,
+                         robin=None):
     """Assemble A, b for −Δu = f with homogeneous Dirichlet boundary,
     on any Plex cell type (tri/quad P1/Q1 in 2-D, tet/hex in 3-D).
 
@@ -504,7 +505,16 @@ def fem_assemble_poisson(plex, f: Callable = None, dtype=np.float64,
     bc_label: optional (label_name, values) pair or DMLabel —
     Dirichlet dofs come from the named point sets instead of the
     whole topological boundary (the DMAddBoundary-over-DMLabel
-    pattern the reference uses for marker-driven BCs)."""
+    pattern the reference uses for marker-driven BCs).
+
+    neumann: optional (label|name, values, g) — facet-integral
+    natural BC over FIRST-CLASS facet points (dm/interp): adds
+    int_Gamma g v ds to the load (one-point facet rule), the
+    DMAddBoundary NATURAL analog. g: callable(centroid)->value or a
+    constant.
+
+    robin: optional (label|name, values, alpha) — adds the lumped
+    facet mass alpha int_Gamma u v ds to the operator."""
     from petsctpu.dm.section import vertex_section
     from petsctpu.mat.ell import aij_from_scipy
 
@@ -556,6 +566,55 @@ def fem_assemble_poisson(plex, f: Callable = None, dtype=np.float64,
           else np.asarray([f(c) for c in centroids], float))
     b = np.zeros(ndof)
     np.add.at(b, ci.reshape(-1), np.repeat(measures * fc / npc, npc))
+
+    def _resolve(spec):
+        from petsctpu.dm.label import DMLabel, get_label
+        lab_or_name, vals, gfun = spec
+        if isinstance(lab_or_name, DMLabel):
+            lab2 = lab_or_name
+        else:
+            lab2 = get_label(plex, lab_or_name)
+            if lab2 is None:
+                raise ValueError(f"no label {lab_or_name!r}")
+        return lab2, vals, gfun
+
+    if neumann is not None:
+        from petsctpu.dm.interp import (face_centroids, face_measures,
+                                        interpolate, label_faces)
+        lab2, vals2, g = _resolve(neumann)
+        fids = label_faces(plex, lab2, vals2)
+        if len(fids):
+            it = interpolate(plex)
+            meas = face_measures(plex, fids)
+            cen = face_centroids(plex, fids)
+            gv = (np.asarray([g(c) for c in cen], float)
+                  if callable(g) else float(g) * np.ones(len(fids)))
+            fverts = it.faces[fids]                  # [nf, fnodes]
+            fnodes = fverts.shape[1]
+            contrib = np.repeat(meas * gv / fnodes, fnodes)
+            np.add.at(b, section.closure_indices(fverts).reshape(-1),
+                      contrib)
+
+    if robin is not None:
+        from petsctpu.dm.interp import (face_centroids, face_measures,
+                                        interpolate, label_faces)
+        lab2, vals2, alpha = _resolve(robin)
+        fids = label_faces(plex, lab2, vals2)
+        if len(fids):
+            it = interpolate(plex)
+            meas = face_measures(plex, fids)
+            cen = face_centroids(plex, fids)
+            av = (np.asarray([alpha(c) for c in cen], float)
+                  if callable(alpha) else float(alpha)
+                  * np.ones(len(fids)))
+            fverts = it.faces[fids]
+            fnodes = fverts.shape[1]
+            dd = np.repeat(av * meas / fnodes, fnodes)
+            di = section.closure_indices(fverts).reshape(-1)
+            # lumped facet mass onto the diagonal (pattern has it)
+            Ad_ = A.diagonal()
+            np.add.at(Ad_, di, dd)
+            A.setdiag(Ad_)
 
     # Dirichlet boundary (the Section's constrained dofs): zero
     # rows/cols IN the pattern (MatZeroRows keeps the pattern), unit

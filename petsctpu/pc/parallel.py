@@ -212,3 +212,107 @@ def make_bjacobi_ksp(A_host, blocks, cfgs, sub_pcs, dtype=None):
         pcs.append(None if pct == "none"
                    else make_pc(pct, A=Dd, A_host=D))
     return BJacobiKSPPC(ops, pcs, cfgs, blocks)
+
+
+# ---------------------------------------------------------------------------
+# Distributed overlapping ASM (VERDICT r5: overlap distribution)
+# ---------------------------------------------------------------------------
+class DistASMPC:
+    """Restricted additive Schwarz over DISTRIBUTED overlapping
+    subdomains: per-shard overlap-k row sets grown by matrix
+    connectivity (MatIncreaseOverlap, mpiov.c:17), ghost residual
+    values fetched with a dedicated halo plan (the DMPlexDistribute
+    overlap ghost layer, plex.c:3085-3126), a stacked sparse LU on
+    each padded overlapped submatrix, and RESTRICTED prolongation
+    (owned rows only — asm.c PC_ASM_RESTRICT default)."""
+
+    def __init__(self, Lup, send_idx, ghost_src, s, nshards, axis):
+        object.__setattr__(self, "Lup", Lup)
+        object.__setattr__(self, "send_idx", send_idx)
+        object.__setattr__(self, "ghost_src", ghost_src)
+        object.__setattr__(self, "s", s)
+        object.__setattr__(self, "nshards", nshards)
+        object.__setattr__(self, "axis", axis)
+
+    def apply(self, r):
+        from jax import lax
+        send = r[self.send_idx]                    # [P, smax]
+        recv = lax.all_to_all(send, self.axis, split_axis=0,
+                              concat_axis=0)
+        g = recv.reshape(-1)[self.ghost_src]       # [gmax]
+        v = jnp.concatenate([r, g])
+        z = self.Lup.apply(v)
+        return z[: self.s]
+
+
+def _distasm_flatten(p):
+    return ((p.Lup, p.send_idx, p.ghost_src),
+            (p.s, p.nshards, p.axis))
+
+
+def _distasm_unflatten(aux, children):
+    return DistASMPC(children[0], children[1], children[2], *aux)
+
+
+jax.tree_util.register_pytree_node(DistASMPC, _distasm_flatten,
+                                   _distasm_unflatten)
+
+
+def make_dist_asm(A_host, part: PartitionedCSR, overlap: int = 1,
+                  dtype=None, axis: str = "rows") -> DistASMPC:
+    """Distributed restricted ASM with overlap-k subdomains.
+
+    Matches the serial pc/asm.make_asm with the same explicit
+    (blocks, outer) subdomains — iteration-count parity between the
+    1-process and distributed solves (tests/test_dist_asm.py)."""
+    import scipy.sparse as sp
+
+    lay = part.layout
+    P, s = lay.nshards, lay.shard_size
+    n = sp.csr_matrix(A_host).shape[0]
+    npad = lay.n_padded
+    A = sp.csr_matrix(A_host)
+    # identity-pad to the layout size
+    if npad > n:
+        A = sp.bmat([[A, None],
+                     [None, sp.eye(npad - n, format="csr")]],
+                    format="csr")
+    A.sort_indices()
+
+    garrays, locals_, subs = [], [], []
+    for p in range(P):
+        own = np.arange(p * s, (p + 1) * s)
+        idx = own
+        for _ in range(overlap):
+            cols = A[idx].indices
+            idx = np.union1d(idx, cols)
+        remote = np.setdiff1d(idx, own)
+        garrays.append(remote.astype(np.int64))
+        locals_.append((own, remote))
+
+    from petsctpu.parallel.plan import _build_halo
+    halo = _build_halo(lay, garrays, P)
+    gmax = halo.gmax
+    nsub = s + gmax
+
+    Ls, Us, prs, pcs = [], [], [], []
+    for p in range(P):
+        own, remote = locals_[p]
+        rows = np.concatenate([own, remote])
+        Sub = A[rows][:, rows].tocsr()
+        k = Sub.shape[0]
+        if k < nsub:                       # pad ghost slots -> identity
+            Sub = sp.bmat([[Sub, None],
+                           [None, sp.eye(nsub - k, format="csr")]],
+                          format="csr")
+        L, U, pr, pcm = lu_factor(Sub)
+        Ls.append(L)
+        Us.append(U)
+        prs.append(pr)
+        pcs.append(pcm)
+    lup = LUPC(_stacked_tri_plans(Ls, True, False, dtype),
+               _stacked_tri_plans(Us, False, False, dtype),
+               jnp.asarray(np.stack(prs), jnp.int32),
+               jnp.asarray(np.stack(pcs), jnp.int32))
+    return DistASMPC(lup, jnp.asarray(halo.send_idx),
+                     jnp.asarray(halo.ghost_src), s, P, axis)

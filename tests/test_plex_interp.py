@@ -1,0 +1,173 @@
+"""Interpolated Plex strata (dm/interp.py): first-class facets,
+facet labels, and facet-integral (Neumann/Robin) BCs.
+
+Reference: DMPlexInterpolate_2D/3D (plex.c:3893/:4031),
+DMPlexMarkBoundaryFaces, and the DMAddBoundary natural-BC pattern."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from petsctpu.dm.interp import (boundary_faces, cone_of_point,
+                                face_centroids, face_measures,
+                                face_point, interpolate, label_faces,
+                                match_faces, support_of_point)
+from petsctpu.dm.label import create_label, label_vertices
+from petsctpu.dm.plex import (Plex, Plex3D, PlexHex, PlexQuad,
+                              fem_assemble_poisson)
+
+
+@pytest.mark.parametrize("mk,n,euler", [
+    (Plex.create_box_mesh, (4, 3), 1),
+    (PlexQuad.create_box_mesh, (4, 3), 1),
+    (Plex3D.create_box_mesh, (3, 2, 2), 1),
+    (PlexHex.create_box_mesh, (3, 2, 2), 1),
+])
+def test_interpolate_invariants(mk, n, euler):
+    plex = mk(*n)
+    it = interpolate(plex)
+    nc, nv = plex.num_cells, plex.num_vertices
+    nf, ne = it.num_faces, it.num_edges
+    dim = plex.coords.shape[1]
+    if dim == 2:
+        # Euler: V - E + F(cells) = 1 for a disc (faces here = edges)
+        assert nv - nf + nc == euler
+    else:
+        assert nv - ne + nf - nc == euler
+    # every face supports 1 or 2 cells; interior exactly 2
+    assert set(np.unique((it.face_support >= 0).sum(axis=1))) <= {1, 2}
+    # cone/support duality on a few faces
+    for f in [0, nf // 2, nf - 1]:
+        p = int(face_point(plex, f))
+        cverts = cone_of_point(plex, p)
+        assert len(cverts) == it.faces.shape[1]
+        for c in support_of_point(plex, p):
+            assert f in it.cell_faces[c]
+    # boundary faces' vertex closure == boundary_vertices
+    bf = boundary_faces(plex)
+    bv = np.unique(it.faces[bf].reshape(-1))
+    np.testing.assert_array_equal(bv, plex.boundary_vertices())
+
+
+def test_adjacent_facet_groups_stay_distinct():
+    """The r4 weakness: two boundary groups SHARING a corner vertex
+    were ambiguous as vertex sets; as facet points they are disjoint."""
+    plex = Plex.create_box_mesh(3, 3)
+    it = interpolate(plex)
+    bf = boundary_faces(plex)
+    cen = face_centroids(plex, bf)
+    left = bf[cen[:, 0] < 1e-12]
+    bottom = bf[cen[:, 1] < 1e-12]
+    lab = create_label(plex, "bnd")
+    lab.set_value(face_point(plex, left), 1)
+    lab.set_value(face_point(plex, bottom), 2)
+    f1 = label_faces(plex, lab, [1])
+    f2 = label_faces(plex, lab, [2])
+    assert len(np.intersect1d(f1, f2)) == 0          # disjoint facets
+    v1 = label_vertices(plex, lab, [1])
+    v2 = label_vertices(plex, lab, [2])
+    assert 0 in np.intersect1d(v1, v2)               # share the corner
+
+
+def test_match_faces_gmsh_roundtrip():
+    from petsctpu.dm.gmsh import read_gmsh, write_gmsh
+    import tempfile, os
+    plex = Plex.create_box_mesh(3, 2)
+    it = interpolate(plex)
+    fid = match_faces(plex, it.faces[[2, 5]])
+    np.testing.assert_array_equal(fid, [2, 5])
+    assert match_faces(plex, np.array([[0, plex.num_vertices - 1]]))[0] \
+        in (-1, *range(it.num_faces))
+
+
+def test_neumann_patch_test_exact():
+    """u* = x on the unit square: f = 0, Dirichlet u=0 on x=0,
+    Neumann g = 1 on x=1, natural elsewhere. P1 reproduces u* to
+    machine precision — the facet-integral load must be exact."""
+    import jax.numpy as jnp
+
+    from petsctpu.ksp import ksp_solve
+    plex = Plex.create_box_mesh(5, 4)
+    it = interpolate(plex)
+    bf = boundary_faces(plex)
+    cen = face_centroids(plex, bf)
+    right = bf[np.abs(cen[:, 0] - 1.0) < 1e-12]
+    lab = create_label(plex, "bc")
+    lab.set_value(face_point(plex, right), 7)
+    diri = np.flatnonzero(np.abs(plex.coords[:, 0]) < 1e-12)
+    from petsctpu.dm.label import vertex_point
+    lab.set_value(vertex_point(plex, diri), 1)
+    Ad, Ah, b = fem_assemble_poisson(
+        plex, f=lambda c: 0.0, bc_label=(("bc"), [1]),
+        neumann=("bc", [7], 1.0))
+    r = ksp_solve(Ad, b, ksp_type="cg", rtol=1e-13, maxits=500)
+    u = np.asarray(r.x)
+    np.testing.assert_allclose(u, plex.coords[:, 0], atol=1e-9)
+
+
+def test_neumann_load_entry_exact():
+    """The Neumann load equals the hand-computed edge integrals."""
+    plex = Plex.create_box_mesh(3, 3)
+    it = interpolate(plex)
+    bf = boundary_faces(plex)
+    cen = face_centroids(plex, bf)
+    top = bf[np.abs(cen[:, 1] - 1.0) < 1e-12]
+    lab = create_label(plex, "nm")
+    lab.set_value(face_point(plex, top), 4)
+    g = 2.5
+    _, _, b0 = fem_assemble_poisson(plex, f=lambda c: 0.0,
+                                    bc_label=("nm", []))
+    _, _, b1 = fem_assemble_poisson(plex, f=lambda c: 0.0,
+                                    bc_label=("nm", []),
+                                    neumann=("nm", [4], g))
+    db = np.asarray(b1) - np.asarray(b0)
+    expect = np.zeros(plex.num_vertices)
+    for f in top:
+        verts = it.faces[f]
+        ln = np.linalg.norm(plex.coords[verts[1]]
+                            - plex.coords[verts[0]])
+        expect[verts] += g * ln / 2.0
+    np.testing.assert_allclose(db, expect, atol=1e-14)
+
+
+def test_mixed_dirichlet_neumann_convergence():
+    """u* = x^2: f = -2, du/dn = 2 on x=1, 0 on y-edges, u=0 on x=0.
+    P1 L2 error contracts ~4x per refinement."""
+    import jax.numpy as jnp
+
+    from petsctpu.dm.label import vertex_point
+    from petsctpu.ksp import ksp_solve
+    errs = []
+    for n in (4, 8, 16):
+        plex = Plex.create_box_mesh(n, n)
+        bf = boundary_faces(plex)
+        cen = face_centroids(plex, bf)
+        right = bf[np.abs(cen[:, 0] - 1.0) < 1e-12]
+        lab = create_label(plex, "bc")
+        lab.set_value(face_point(plex, right), 7)
+        diri = np.flatnonzero(np.abs(plex.coords[:, 0]) < 1e-12)
+        lab.set_value(vertex_point(plex, diri), 1)
+        Ad, Ah, b = fem_assemble_poisson(
+            plex, f=lambda c: -2.0, bc_label=("bc", [1]),
+            neumann=("bc", [7], 2.0))
+        r = ksp_solve(Ad, b, ksp_type="cg", rtol=1e-12, maxits=2000)
+        u = np.asarray(r.x)
+        ue = plex.coords[:, 0] ** 2
+        errs.append(np.sqrt(np.mean((u - ue) ** 2)))
+    assert errs[0] / errs[1] > 3.0, errs
+    assert errs[1] / errs[2] > 3.0, errs
+
+
+def test_robin_diagonal_bump():
+    plex = Plex.create_box_mesh(3, 3)
+    bf = boundary_faces(plex)
+    lab = create_label(plex, "rb")
+    lab.set_value(face_point(plex, bf), 9)
+    _, A0, _ = fem_assemble_poisson(plex, bc_label=("rb", []))
+    _, A1, _ = fem_assemble_poisson(plex, bc_label=("rb", []),
+                                    robin=("rb", [9], 10.0))
+    d = A1.diagonal() - A0.diagonal()
+    bv = plex.boundary_vertices()
+    assert np.all(d[bv] > 0)
+    inner = np.setdiff1d(np.arange(plex.num_vertices), bv)
+    np.testing.assert_allclose(d[inner], 0.0, atol=1e-14)
