@@ -25,6 +25,76 @@ _ELEM = {
 }
 
 
+def _is_binary_msh(raw: bytes) -> bool:
+    head = raw[:200].split(b"\n")
+    return (len(head) > 1 and head[0].strip() == b"$MeshFormat"
+            and head[1].split()[1:2] == [b"1"])
+
+
+def _binary_msh_to_ascii(raw: bytes) -> str:
+    """Convert MSH 2.2 BINARY to the equivalent ASCII text (then the
+    ordinary parser runs). Format: ASCII section markers; $Nodes =
+    nn records of (int32 id, 3 float64); $Elements = blocks of
+    (int32 etype, int32 nelems, int32 ntags) + nelems records of
+    (int32 id, ntags int32 tags, nnodes int32 nodes); endianness from
+    the int32(1) probe in $MeshFormat."""
+    import struct
+
+    def line_end(pos):
+        e = raw.index(b"\n", pos)
+        return raw[pos:e].decode(), e + 1
+
+    p = raw.index(b"$MeshFormat")
+    _, p = line_end(p)
+    fmt, p = line_end(p)
+    ver, ftype, dsize = fmt.split()
+    probe = struct.unpack("<i", raw[p:p + 4])[0]
+    endian = "<" if probe == 1 else ">"
+    out = ["$MeshFormat", f"{ver} 0 {dsize}", "$EndMeshFormat"]
+
+    q = raw.find(b"$PhysicalNames")
+    if q >= 0:
+        e = raw.index(b"$EndPhysicalNames")
+        out.append(raw[q:e + len(b"$EndPhysicalNames")].decode())
+
+    q = raw.index(b"$Nodes")
+    _, q = line_end(q)
+    nnline, q = line_end(q)
+    nn = int(nnline)
+    out += ["$Nodes", str(nn)]
+    rec = struct.Struct(endian + "i3d")
+    for k in range(nn):
+        nid, x, y, z = rec.unpack_from(raw, q + k * rec.size)
+        out.append(f"{nid} {x:.17g} {y:.17g} {z:.17g}")
+    q += nn * rec.size
+    out.append("$EndNodes")
+
+    q = raw.index(b"$Elements", q)
+    _, q = line_end(q)
+    neline, q = line_end(q)
+    ne = int(neline)
+    out += ["$Elements", str(ne)]
+    ii = struct.Struct(endian + "i")
+    done = 0
+    while done < ne:
+        etype, nel, ntags = struct.unpack_from(endian + "3i", raw, q)
+        q += 12
+        if etype not in _ELEM:
+            raise ValueError(f"gmsh: unsupported element type {etype}")
+        nnod = _ELEM[etype][0]
+        per = 1 + ntags + nnod
+        for k in range(nel):
+            vals = struct.unpack_from(endian + f"{per}i", raw, q)
+            q += 4 * per
+            eid, tags, nodes = vals[0], vals[1:1 + ntags], \
+                vals[1 + ntags:]
+            out.append(" ".join(str(v) for v in
+                                (eid, etype, ntags, *tags, *nodes)))
+        done += nel
+    out.append("$EndElements")
+    return "\n".join(out) + "\n"
+
+
 def read_gmsh(path_or_text):
     """Parse MSH 2.2 ASCII into a Plex (tri/quad/tet/hex picked from
     the highest-dimensional block) with labels:
@@ -40,9 +110,15 @@ def read_gmsh(path_or_text):
     from petsctpu.dm.label import create_label, vertex_point
     from petsctpu.dm.plex import Plex, Plex3D, PlexHex, PlexQuad
 
-    if isinstance(path_or_text, str) and os.path.exists(path_or_text):
-        with open(path_or_text) as f:
-            text = f.read()
+    if isinstance(path_or_text, (bytes, bytearray)):
+        raw = bytes(path_or_text)
+        text = (_binary_msh_to_ascii(raw) if _is_binary_msh(raw)
+                else raw.decode())
+    elif isinstance(path_or_text, str) and os.path.exists(path_or_text):
+        with open(path_or_text, "rb") as f:
+            raw = f.read()
+        text = (_binary_msh_to_ascii(raw) if _is_binary_msh(raw)
+                else raw.decode())
     else:
         text = path_or_text
     lines = [ln.strip() for ln in text.splitlines()]
@@ -69,7 +145,8 @@ def read_gmsh(path_or_text):
             raise ValueError(f"gmsh: only MSH 2.x ASCII supported "
                              f"(got version {ver})")
         if ftype != "0":
-            raise ValueError("gmsh: binary MSH not supported")
+            raise ValueError("gmsh: binary MSH reaches the text parser"
+                             " unconverted (internal error)")
 
     i = 0
     names = {}

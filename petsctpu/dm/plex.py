@@ -518,6 +518,12 @@ def fem_assemble_poisson(plex, f: Callable = None, dtype=np.float64,
     from petsctpu.dm.section import vertex_section
     from petsctpu.mat.ell import aij_from_scipy
 
+    # canonicalize: fp64 requests under a non-x64 runtime become fp32
+    # explicitly (otherwise every jnp.asarray emits a truncation
+    # warning — the dryrun/bench environment runs fp32)
+    if (np.dtype(dtype) == np.float64
+            and not jax.config.jax_enable_x64):
+        dtype = np.float32
     npc = plex.cells.shape[1]                          # nodes per cell
     cells = jnp.asarray(plex.cells)
     coords = jnp.asarray(plex.coords, dtype)

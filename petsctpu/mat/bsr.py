@@ -142,11 +142,12 @@ class SellBAIJ:
 
 
 def baij_from_scipy_bsr(A, bs: int = None, dtype=None,
-                        fmt: str = "ell"):
+                        fmt: str = "auto"):
     """Build from scipy (any format); converts to BSR with block size
-    bs. fmt="auto" wraps the forward SpMV in the scalar SELL kernel
-    when viable on TPU (fp32) — see SellBAIJ; "ell" keeps the batched
-    block-gather einsum route."""
+    bs. fmt="auto" (default — the reference's default MatMult_SeqBAIJ
+    is its unrolled fast kernel, baij2.c:387) wraps the forward SpMV
+    in the scalar SELL kernel when viable on TPU (fp32); "ell" keeps
+    the batched block-gather einsum route."""
     import scipy.sparse as sp
 
     if not sp.issparse(A):
