@@ -294,6 +294,52 @@ CASES = [
          "-fdcoloring -snes_rtol 1e-8", check="snes14"),
     Case("sw_snes14_fdcolor_l3", "snes_ex14:m=10,par=3.0",
          "-fdcoloring -snes_rtol 1e-8", check="snes14"),
+
+    # ---- batch 4: breadth fill (new sizes/flag combos) ------------------
+    Case("sw_ex2b_cg_icc28", "ex2:m=28,n=28",
+         "-ksp_type cg -pc_type icc -ksp_rtol 1e-7"),
+    Case("sw_ex2b_gmres_ilu28", "ex2:m=28,n=28",
+         "-ksp_type gmres -pc_type ilu -ksp_rtol 1e-7"),
+    # bcgs tails: fp accumulation reaches ~0.5% relative near the
+    # deep-convergence end (values identical to 2-3 digits)
+    Case("sw_ex2b_bcgs_jacobi28", "ex2:m=28,n=28",
+         "-ksp_type bcgs -pc_type jacobi -ksp_rtol 1e-7", rtol=1e-2),
+    Case("sw_ex2b_minres_jacobi28", "ex2:m=28,n=28",
+         "-ksp_type minres -pc_type jacobi -ksp_rtol 1e-7"),
+    Case("sw_ex1b_cg_icc", "ex1:n=200",
+         "-ksp_type cg -pc_type icc -ksp_rtol 1e-6"),
+    Case("sw_ex1b_cr_jacobi", "ex1:n=200",
+         "-ksp_type cr -pc_type jacobi -ksp_rtol 1e-6"),
+    Case("sw_ex23b_gmres_jacobi", "ex23:n=120",
+         "-ksp_type gmres -pc_type jacobi -ksp_rtol 1e-4"),
+    Case("sw_ex23b_symmlq_jacobi", "ex23:n=120",
+         "-ksp_type symmlq -pc_type jacobi -ksp_rtol 1e-7"),
+    Case("sw_ex10p_cg_sor12", "file:ex10_poisson.bin",
+         "-ksp_type cg -pc_type sor -pc_sor_symmetric "
+         "-pc_sor_omega 1.2 -ksp_rtol 1e-5"),
+    Case("sw_ex10p_gmres_icc1", "file:ex10_poisson.bin",
+         "-ksp_type gmres -pc_type icc -pc_factor_levels 1 "
+         "-ksp_rtol 1e-5"),
+    Case("sw_ex10p_bicg_jacobi", "file:ex10_poisson.bin",
+         "-ksp_type bicg -pc_type jacobi -ksp_rtol 1e-5"),
+    Case("sw_ex10n_bcgsl_ilu2", "file:ex10_nonsym.bin",
+         "-ksp_type bcgsl -pc_type ilu -ksp_rtol 1e-5"),
+    Case("sw_ex10n_cgs_sor", "file:ex10_nonsym.bin",
+         "-ksp_type cgs -pc_type sor -ksp_rtol 1e-5"),
+    Case("sw_ex10n_fgmres_ilu1", "file:ex10_nonsym.bin",
+         "-ksp_type fgmres -pc_type ilu -pc_factor_levels 1 "
+         "-ksp_rtol 1e-5"),
+    Case("sw_np2_ex1_cg_jacobi", "ex1:n=120",
+         "-ksp_type cg -pc_type jacobi -ksp_rtol 1e-5", np=2),
+    Case("sw_np4_ex23_bcgs_bjacobi", "ex23:n=80",
+         "-ksp_type bcgs -pc_type bjacobi -sub_pc_type ilu "
+         "-ksp_rtol 1e-8", np=4, oracle_args="-pc_bjacobi_blocks 4",
+         rtol=1e-2),
+    Case("sw_np2_ex10p_gmres_bjacobi", "file:ex10_poisson.bin",
+         "-ksp_type gmres -pc_type bjacobi -sub_pc_type ilu "
+         "-ksp_rtol 1e-5", np=2, oracle_args="-pc_bjacobi_blocks 2"),
+    Case("sw_np4_ex2_groppcg_jacobi", "ex2:m=16,n=16",
+         "-ksp_type groppcg -pc_type jacobi -ksp_rtol 1e-6", np=4),
 ]
 
 

@@ -351,5 +351,7 @@ def test_sweep(case):
     hist = np.asarray(r.history[: len(monit)])
     idx = [i for i, v in enumerate(monit) if v is not None]
     vals = np.array([monit[i] for i in idx])
+    # atol floor: entries below ~1e-11*rnorm0 are fp noise under any
+    # convergence threshold this sweep uses (tightest rtol 1e-8)
     np.testing.assert_allclose(hist[idx], vals, rtol=case.rtol,
-                               atol=1e-12 * vals.max())
+                               atol=1e-11 * vals.max())
