@@ -198,9 +198,14 @@ def main():
                           rtol=rtol, atol=1e-30, maxits=hi_its)
             its, reason = int(r.its), int(r.reason)
 
+            salt_i = iter(range(1, 1000))
+
             def run(mx):
+                # fresh rhs each call — the relay memoizes identical
+                # (executable, args) dispatches
+                bs = bj * np.float32(1.0 + next(salt_i) * 1e-6)
                 t0 = time.perf_counter()
-                rr = ksp_solve(Ad, bj, pc=pc, ksp_type=ksp_type,
+                rr = ksp_solve(Ad, bs, pc=pc, ksp_type=ksp_type,
                                rtol=1e-30, atol=1e-38, maxits=mx)
                 _ = float(rr.rnorm)
                 return time.perf_counter() - t0
@@ -208,7 +213,7 @@ def main():
             run(hi_its)
             tl = min(run(lo_its) for _ in range(2))
             th = min(run(hi_its) for _ in range(2))
-            return (th - tl) / (hi_its - lo_its), its, reason
+            return max(th - tl, 1e-9) / (hi_its - lo_its), its, reason
 
         # config 2: ex45-style 3-D 7-point Poisson, CG + BJacobi(ILU0).
         # Default-fast paths: SELL Pallas SpMV on the natural-order
@@ -253,20 +258,29 @@ def main():
                          .standard_normal(A56.shape[0]).astype(np.float32))
 
         @jax.jit
-        def chain_b(M, v, iters):
+        def chain_b(M, v, iters, salt):
             def body(_, v):
                 return M.mult(v) * np.float32(0.05)
-            return jnp.sum(lax.fori_loop(0, iters, body, v))
+            return jnp.sum(lax.fori_loop(0, iters, body, v + salt))
+
+        salt_i = iter(range(1, 1000))
 
         def tb(it):
+            # fresh salt each call: the relay memoizes identical
+            # (executable, args) dispatches, which collapses repeated
+            # timing runs to ~0 and can make the delta negative
             t0 = time.perf_counter()
-            s = float(chain_b(Ab, xb, jnp.int32(it)))
+            s = float(chain_b(Ab, xb, jnp.int32(it),
+                              jnp.float32(next(salt_i) * 1e-6)))
             assert np.isfinite(s)
             return time.perf_counter() - t0
         tb(1)
+        # delta must dwarf the ~±5 ms relay dispatch jitter: 2000
+        # extra SpMVs (~60 ms) rather than 100 (~3 ms, which went
+        # NEGATIVE under jitter in round 5)
         bl = min(tb(5) for _ in range(3))
-        bh = min(tb(105) for _ in range(3))
-        dtb = (bh - bl) / 100
+        bh = min(tb(2005) for _ in range(3))
+        dtb = max((bh - bl) / 2000, 1e-9)
         cfgs["baij_bs3_spmv_nnz_per_s"] = f"{A56.nnz / dtb:.3e}"
 
         # config 4: GAMG on 2-D Poisson — setup + per-iteration
@@ -287,7 +301,35 @@ def main():
         cfgs["gamg_outer_format"] = type(Aop4).__name__
         b4 = jnp.asarray(np.random.default_rng(3)
                          .standard_normal(m4 * m4).astype(np.float32))
-        per4, its4, _ = timed_solve(Aop4, b4, pc4, "cg", 2, 12)
+        # per-iteration cost via K whole solves scanned inside ONE
+        # dispatch (12 fixed its each at an unreachable rtol; fp32
+        # GAMG-CG hits nan ~it 20 so longer single solves exit early,
+        # and a 10-iteration host-level delta sits inside the relay's
+        # ±5 ms dispatch jitter — both bit round 5)
+        from petsctpu.ksp.cg import solve_cg
+        from petsctpu.ksp.common import KSPConfig as _KC
+        cfg4 = _KC(rtol=1e-30, atol=1e-38, maxits=12)
+        x04 = jnp.zeros_like(b4)
+
+        @jax.jit
+        def chain4(b, salts):
+            def step(acc, s):
+                res = solve_cg(Aop4, b * (1 + s), x04, pc4, cfg4)
+                return acc + res.x[0], None
+            return lax.scan(step, jnp.float32(0), salts)[0]
+
+        def t4(K):
+            salts = jnp.asarray(np.arange(1, K + 1, dtype=np.float32)
+                                * np.float32(1e-6))
+            t0 = time.perf_counter()
+            float(chain4(b4, salts))
+            return time.perf_counter() - t0
+        t4(2), t4(18)
+        d4 = (min(t4(18) for _ in range(2))
+              - min(t4(2) for _ in range(2))) / (16 * cfg4.maxits)
+        r4s = ksp_solve(Aop4, b4, pc=pc4, ksp_type="cg", rtol=1e-5,
+                        maxits=100)
+        per4, its4 = max(d4, 1e-9), int(r4s.its)
         cfgs["gamg_cg_ms_per_it"] = round(per4 * 1e3, 3)
         cfgs["gamg_its_to_rtol1e-5"] = its4
     except Exception as ex:                            # pragma: no cover

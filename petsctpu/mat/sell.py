@@ -97,6 +97,33 @@ class SellMat:
     def mult_add(self, x, y):
         return y + self.mult(x)
 
+    def multT(self, r: jax.Array) -> jax.Array:
+        """y = Aᵀ r for chunk-mode operators (the MG restriction
+        R = Pᵀ run through P's OWN layout — MatMultTranspose on the
+        stored prolongator, mg.c): per tile/pass, a weighted one-hot
+        reduction scatters each row's contribution into its window
+        chunk; per-tile partial windows are combined with static adds.
+        No scatter instructions anywhere (Mosaic has none) — the
+        indirection is an idx==iota compare on the VPU."""
+        if self.mode != "chunk":
+            raise NotImplementedError("SellMat.multT: chunk mode only")
+        n, m = self.shape
+        C = self.G * 128
+        rp = jnp.zeros((self.nt * C,), self.dtype)
+        rp = jax.lax.dynamic_update_slice(
+            rp, r.reshape(-1).astype(self.dtype), (0,))
+        wins = _sell_spmvT_chunk(self.vals, self.idx, self.qs,
+                                 rp.reshape(self.nt, self.G, 128),
+                                 S=self.S, interpret=self.interpret)
+        y = jnp.zeros((self.Lp, 128), self.dtype)
+        for t in range(self.nt):
+            ws = self.winstart[t]
+            cur = jax.lax.dynamic_slice(y, (ws, jnp.int32(0)),
+                                        (self.S, 128))
+            y = jax.lax.dynamic_update_slice(y, cur + wins[t],
+                                             (ws, jnp.int32(0)))
+        return y.reshape(-1)[self.G * 128: self.G * 128 + m]
+
     def diagonal(self) -> jax.Array:
         return self.diag
 
@@ -181,6 +208,50 @@ def _sell_spmv(vals, idx, qs, winstart, xp, *, G, S, interpret,
         grid_spec=grid_spec,
         interpret=interpret,
     )(winstart, qs, vals, idx, xp)
+
+
+@functools.partial(jax.jit, static_argnames=("S", "interpret"))
+def _sell_spmvT_chunk(vals, idx, qs, rt, *, S, interpret):
+    """Per-tile transpose windows [nt, S, 128] of a chunk-mode SELL."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nt, P, G, _ = vals.shape
+
+    def kernel(qs_ref, vals_ref, idx_ref, r_ref, o_ref):
+        t = pl.program_id(0)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (G, 128, 128), 2)
+        o_ref[0] = jnp.zeros((S, 128), jnp.float32)
+        for p in range(P):
+            contrib = vals_ref[0, p] * r_ref[0]          # [G, 128]
+            oh = (idx_ref[0, p].astype(jnp.int32)[:, :, None]
+                  == iota).astype(jnp.float32)           # [G,128,128]
+            row = jnp.sum(contrib[:, :, None] * oh,
+                          axis=(0, 1))[None, :]           # [1, 128]
+            q = qs_ref[t, p]
+            cur = o_ref[0, pl.ds(q, 1), :]
+            o_ref[0, pl.ds(q, 1), :] = cur + row
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, P, G, 128), lambda t, q: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, G, 128), lambda t, q: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, 128), lambda t, q: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S, 128), lambda t, q: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nt, S, 128), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(qs, vals, idx, rt)
 
 
 def _plan(A: sp.csr_matrix, G: int, mode: str = "diag"):

@@ -218,8 +218,9 @@ class PackedMGPC:
         qs = self._geti((qi[0], vshape[:2]))
         winstart = self._geti((wi[0], (vshape[0],)))
         diag = self._getf((di[0], (sha[0],)))
+        interp = jax.devices()[0].platform != "tpu"
         return SellMat(vals, idx, qs, winstart, diag, sha, nnz, G, S,
-                       Lp, False, mode), sha
+                       Lp, interp, mode), sha
 
     def unpack(self) -> MGPC:
         from petsctpu.mat.ell import AIJ
@@ -509,7 +510,7 @@ def make_algebraic_mg_from_hierarchy(As, Ps, dtype=None, sm_its: int = 2,
                 return sell_from_scipy(Ah2)
         return aij_from_scipy(Ah, dtype=dtype)
 
-    if fmt in ("ell", "auto") and sm_pc == "jacobi" \
+    if fmt in ("ell", "auto", "sell") and sm_pc == "jacobi" \
             and As[-1].shape[0] <= 192:
         # packed-transfer fast setup: every host array is concatenated
         # into ONE fp32 + ONE int32 flat buffer (2 transfer RPCs — the
@@ -537,10 +538,13 @@ def make_algebraic_mg_from_hierarchy(As, Ps, dtype=None, sm_its: int = 2,
             return io - ibuf[-1].size, a.shape
 
         import jax as _jax
-        # SELL operators only under "auto": an explicit fmt="ell"
-        # request keeps honest ELL kernels
-        use_sell = (fmt == "auto" and np.dtype(dtype) == np.float32
-                    and _jax.default_backend() == "tpu")
+        # SELL operators under "auto" (TPU only — CPU falls back to
+        # ELL) or under an explicit fmt="sell" request (interpret-mode
+        # Pallas off-TPU); an explicit fmt="ell" keeps honest ELL
+        use_sell = (np.dtype(dtype) == np.float32
+                    and (fmt == "sell"
+                         or (fmt == "auto"
+                             and _jax.default_backend() == "tpu")))
 
         DENSE_MAX_BYTES = 64 * 1024 * 1024
 
@@ -611,10 +615,14 @@ def make_algebraic_mg_from_hierarchy(As, Ps, dtype=None, sm_its: int = 2,
             ca, va, sha, nza = aij_pack(M, dtype=dtype)
             return ("ell", puti(ca), putf(va), sha, nza)
 
-        def pack_restrict(RT):
+        def pack_restrict(RT, pref):
             """R = Pᵀ: slant-band when the aggregate numbering keeps
             columns advancing at ~constant rate (mat/rectband.py — no
-            gathers at all), else the generic op packer."""
+            gathers at all); when neither dense nor slant-band apply
+            and P itself packed as chunk-SELL, return None so the
+            cycle restricts through P.multT (the one-hot transpose
+            Pallas kernel — 1.58 -> 1.13 ms/apply on the 256² GAMG
+            level-0 vs the ELL Rᵀ gather); else the generic packer."""
             from petsctpu.mat.rectband import rectband_from_scipy, \
                 rectband_plan
             dref = pack_dense_or_none(RT)
@@ -631,6 +639,8 @@ def make_algebraic_mg_from_hierarchy(As, Ps, dtype=None, sm_its: int = 2,
                     B[coo.row, d_] = coo.data.astype(dtype)
                     return ("rectband", putf(B), s_, off_,
                             RT.shape, int(RT.nnz), B.shape)
+            if pref[0] == "sell" and pref[-1] == "chunk":
+                return None
             return pack_op(RT)
 
         for l in range(len(Ps)):
@@ -639,7 +649,7 @@ def make_algebraic_mg_from_hierarchy(As, Ps, dtype=None, sm_its: int = 2,
             Pl.sum_duplicates()
             Pl.sort_indices()
             pref = pack_op(Pl)
-            rref = pack_restrict(Pl.T.tocsr())
+            rref = pack_restrict(Pl.T.tocsr(), pref)
             d = As[l].diagonal()
             d = np.where(d != 0, d, 1.0)
             dinv = (1.0 / d).astype(dtype)
@@ -650,10 +660,16 @@ def make_algebraic_mg_from_hierarchy(As, Ps, dtype=None, sm_its: int = 2,
         lu, piv = sla.lu_factor(As[-1].toarray().astype(dtype))
         coarse_meta = (puti(ca), putf(va), shc, nzc,
                        putf(lu), puti(piv)[0])
-        return PackedMGPC(jnp.asarray(np.concatenate(fbuf)),
-                          jnp.asarray(np.concatenate(ibuf)),
-                          tuple(metas), coarse_meta, sm_its, cycles,
-                          mg_type)
+        pmg = PackedMGPC(jnp.asarray(np.concatenate(fbuf)),
+                         jnp.asarray(np.concatenate(ibuf)),
+                         tuple(metas), coarse_meta, sm_its, cycles,
+                         mg_type)
+        if fmt == "sell":
+            # the hierarchy was RCM-conjugated above — apply in the
+            # caller's original ordering
+            from petsctpu.pc.factor import PermutedPC
+            return PermutedPC(pmg, jnp.asarray(perms[0], jnp.int32))
+        return pmg
 
     levels = []
     for l in range(len(Ps)):

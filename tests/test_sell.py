@@ -222,3 +222,71 @@ class TestShardedSell:
                                 {"pc_gamg_mat_type": "sell",
                                  "pc_mg_repl_size": 3000}))
         assert pc.levels[0].A.diag_sell is not None
+
+
+class TestSellMultT:
+    """Chunk-mode transpose product (y = Aᵀr) — the one-hot transpose
+    Pallas kernel used by packed MG restriction (MatMultTranspose_SeqAIJ
+    analog, aij.c:1307; pc/mg.py pack_restrict returns None so the
+    cycle rides P.multT when no dense/slant-band R applies)."""
+
+    @pytest.mark.parametrize("G", [8, 16])
+    def test_multT_matches_scipy(self, G):
+        rng = np.random.default_rng(5)
+        m, n = G * 128 * 3 + 77, 1400
+        # prolongator-like: few nnz/row, columns clustered by row blocks
+        rows = np.repeat(np.arange(m), 3)
+        cols = np.clip((rows // (m // n + 1))
+                       + rng.integers(-40, 40, rows.size), 0, n - 1)
+        A = sp.coo_matrix((rng.standard_normal(rows.size)
+                           .astype(np.float32), (rows, cols)),
+                          shape=(m, n)).tocsr()
+        A.sum_duplicates()
+        M = sell_from_scipy(A, G=G, mode="chunk", interpret=True)
+        r = rng.standard_normal(m).astype(np.float32)
+        y = np.asarray(M.multT(jnp.asarray(r)))
+        ref = A.T @ r
+        np.testing.assert_allclose(y, ref, rtol=2e-5, atol=2e-4)
+
+    def test_multT_diag_mode_raises(self):
+        A = banded_random(8 * 128 * 2, 60, 5)
+        M = sell_from_scipy(A, G=8, mode="diag", interpret=True)
+        with pytest.raises(NotImplementedError):
+            M.multT(jnp.zeros(A.shape[0], jnp.float32))
+
+    def test_packed_mg_restrict_via_multT(self, monkeypatch):
+        """GAMG packed metas: when P packs as chunk-SELL and R has no
+        dense/slant-band route, rref is None and the cycle restricts
+        through P.multT — result must match the explicit-ELL apply.
+        default_backend is patched to "tpu" so the fmt="auto" pack
+        decisions match production; execution stays interpret-mode
+        Pallas on the CPU devices (mg._unpack_op keys interpret off
+        the real device platform)."""
+        import jax
+
+        from petsctpu.core.options import Options
+        from petsctpu.models import laplacian_2d
+        from petsctpu.pc import make_pc
+        from petsctpu.mat import aij_from_scipy
+
+        A = laplacian_2d(128, 128, dtype=np.float32).tocsr()
+        Ad = aij_from_scipy(A, dtype=np.float32)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        pc = make_pc("gamg", A=Ad, A_host=A,
+                     options=Options({"pc_gamg_coarse_eq_limit": 64}))
+        monkeypatch.undo()
+        kinds = [m[2][0] if m[2] is not None else None
+                 for m in pc.metas]
+        prefs = [(m[1][0], m[1][-1]) for m in pc.metas]
+        assert kinds[0] is None, (kinds, prefs)
+        assert prefs[0] == ("sell", "chunk"), prefs
+        b = jnp.asarray(np.random.default_rng(0)
+                        .standard_normal(A.shape[0]).astype(np.float32))
+        y = np.asarray(pc.apply(b))
+        pc_ell = make_pc("gamg", A=Ad, A_host=A,
+                         options=Options({"pc_gamg_coarse_eq_limit": 64,
+                                          "pc_gamg_mat_type": "ell"}))
+        y2 = np.asarray(pc_ell.apply(b))
+        scale = np.abs(y2).max()
+        np.testing.assert_allclose(y / scale, y2 / scale,
+                                   rtol=2e-4, atol=2e-5)
