@@ -111,19 +111,11 @@ def _auto_format(A: sp.csr_matrix, ordering: str, dtype):
             return sell_from_scipy(An), None
         best = (Pn, None, An)
 
-    # 3) permuted candidates: RCM band, then SELL under the ordering
-    #    with the smallest predicted pass count (incl. structured-grid
-    #    recovery for scrambled stencil operators — mat/griddetect)
-    perm = get_ordering(A, ordering)
-    Ap = A[perm][:, perm].tocsr()
-    if bandwidth(Ap) <= band_thresh:
-        return band_from_scipy(A, dtype=dtype, perm=perm), perm
-    if f32 and tpu:
-        Ap.sum_duplicates()
-        if sell_viable(Ap):
-            Pp = sell_plan_stats(Ap)[0]
-            if best is None or Pp < best[0]:
-                best = (Pp, perm, Ap)
+    # 3) structured-grid recovery FIRST (mat/griddetect): when it
+    #    succeeds the stencil's pass count collapses to ~avg_row and
+    #    beats any profile ordering, so the RCM candidate evaluation
+    #    below is skipped entirely (it was ~half the 64³ plan time)
+    grid_won = False
     if best is None or best[0] > 2.0 * avg:
         from petsctpu.mat.griddetect import grid_recover_ordering
         gperm = grid_recover_ordering(A)
@@ -141,6 +133,7 @@ def _auto_format(A: sp.csr_matrix, ordering: str, dtype):
                 Pg = sell_plan_stats(Ag)[0]
                 if best is None or Pg < best[0]:
                     best = (Pg, gperm, Ag)
+                    grid_won = True
             else:
                 inv = np.empty(n, np.int64)
                 inv[gperm] = np.arange(n)
@@ -153,6 +146,25 @@ def _auto_format(A: sp.csr_matrix, ordering: str, dtype):
                 if bandwidth(Ag) <= band_thresh:
                     return (band_from_scipy(A, dtype=dtype, perm=gperm),
                             gperm)
+
+    # 4) profile (RCM) candidates — only when grid recovery didn't
+    #    already win (a recovered stencil's pass count collapses to
+    #    ~avg_row, unbeatable by any band profile). The candidate
+    #    RANKING only needs an RCM-shaped profile, not SPARSPAK-exact
+    #    tie-breaks (-pc_factor_mat_ordering_type parity keeps
+    #    genrcm): scipy's RCM is ~20x faster at 262k rows.
+    if not grid_won:
+        perm = get_ordering(A, "rcm_fast" if ordering == "rcm"
+                            else ordering)
+        Ap = A[perm][:, perm].tocsr()
+        if bandwidth(Ap) <= band_thresh:
+            return band_from_scipy(A, dtype=dtype, perm=perm), perm
+        if f32 and tpu:
+            Ap.sum_duplicates()
+            if sell_viable(Ap):
+                Pp = sell_plan_stats(Ap)[0]
+                if best is None or Pp < best[0]:
+                    best = (Pp, perm, Ap)
     if best is not None:
         return sell_from_scipy(best[2]), best[1]
     return aij_from_scipy(A, dtype=dtype), None

@@ -57,7 +57,11 @@ def _pattern_graph(A: sp.csr_matrix):
     B.data = np.ones_like(B.data, dtype=np.int32)
     B.setdiag(0)
     B.eliminate_zeros()
-    if (B != B.T).nnz:
+    B.sort_indices()
+    Bt = B.T.tocsr()                 # canonical-form array compare is
+    Bt.sort_indices()                # ~3x cheaper than (B != B.T)
+    if not (np.array_equal(B.indptr, Bt.indptr)
+            and np.array_equal(B.indices, Bt.indices)):
         return None
     return B
 
@@ -69,12 +73,40 @@ def _classify(maxdeg: int):
 
 
 def _bfs_dist(F: sp.csr_matrix, src: int) -> np.ndarray:
-    from scipy.sparse.csgraph import dijkstra
-    d = dijkstra(F, indices=src, unweighted=True, directed=False)
-    out = np.full(F.shape[0], -1, np.int64)
-    fin = np.isfinite(d)
-    out[fin] = d[fin].astype(np.int64)
+    """Unweighted BFS distances by vectorized frontier expansion —
+    O(E) total vs dijkstra's O(E log V) heap traffic (this runs up to
+    2^dim times; it was ~2/3 of the 64³ probe's plan time)."""
+    n = F.shape[0]
+    indptr, indices = F.indptr, F.indices
+    out = np.full(n, -1, np.int64)
+    out[src] = 0
+    frontier = np.asarray([src], np.int64)
+    d = 0
+    while len(frontier):
+        d += 1
+        # all neighbours of the frontier (duplicates fine)
+        counts = indptr[frontier + 1] - indptr[frontier]
+        nbr = indices[_ranges(indptr[frontier], counts)]
+        new = nbr[out[nbr] < 0]
+        if not len(new):
+            break
+        out[new] = d                    # duplicate writes agree
+        frontier = np.unique(new)
     return out
+
+
+def _ranges(starts, counts):
+    """Concatenated arange(s, s+c) per (s, c) — vectorized."""
+    nz = counts > 0                 # zero-count rows corrupt the
+    starts, counts = starts[nz], counts[nz]   # cumsum trick below
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    out = np.ones(total, np.int64)
+    ends = np.cumsum(counts)
+    out[0] = starts[0]
+    out[ends[:-1]] = starts[1:] - (starts[:-1] + counts[:-1] - 1)
+    return np.cumsum(out)
 
 
 def _recover_interior_coords(F: sp.csr_matrix, dim: int):
@@ -136,6 +168,15 @@ def _in_stencil(a, b, kind):
     return sum(d) == 1
 
 
+def _expected_deg_vec(c, Ma, kind):
+    """_expected_deg over rows of c [n, dim] (vectorized)."""
+    if kind == "box":
+        span = (np.minimum(c + 1, Ma - 1) - np.maximum(c - 1, 0) + 1)
+        return span.prod(axis=1) - 1
+    return ((c > 0).astype(np.int64)
+            + (c < Ma - 1).astype(np.int64)).sum(axis=1)
+
+
 def grid_recover_ordering(A, max_nnz: int = 4e7):
     """Return perm (new->old int64 array: lexicographic grid order) or
     None when A is not a scrambled box-grid stencil pattern."""
@@ -159,19 +200,22 @@ def grid_recover_ordering(A, max_nnz: int = 4e7):
     # ---- interior face graph ------------------------------------------------
     is_int = np.zeros(n, bool)
     is_int[interior] = True
+    ridx = np.full(n, -1, np.int64)
+    ridx[interior] = np.arange(len(interior))
     if kind == "box":
-        W = (B @ B).tocsr()
-        Wb = B.multiply(W).tocsr()       # common-nbr count on each edge
+        # counts are only consumed on interior-row edges: restrict the
+        # spgemm to those rows (the full-graph COLUMN side keeps the
+        # counts exact — shared neighbourhood boxes of interior pairs
+        # include boundary nodes)
+        Bi = B[interior]
+        Wb = Bi.multiply(Bi @ B).tocoo()  # common-nbr count per edge
         face_count = 2 * 3 ** (dim - 1) - 2
-        coo = Wb.tocoo()
-        keep = ((coo.data == face_count) & is_int[coo.row]
-                & is_int[coo.col])
+        keep = (Wb.data == face_count) & is_int[Wb.col]
+        r, c = Wb.row[keep], ridx[Wb.col[keep]]
     else:
         coo = B.tocoo()
         keep = is_int[coo.row] & is_int[coo.col]
-    ridx = np.full(n, -1, np.int64)
-    ridx[interior] = np.arange(len(interior))
-    r, c = ridx[coo.row[keep]], ridx[coo.col[keep]]
+        r, c = ridx[coo.row[keep]], ridx[coo.col[keep]]
     F = sp.csr_matrix((np.ones(len(r), np.int8), (r, c)),
                       shape=(len(interior), len(interior)))
 
@@ -191,42 +235,70 @@ def grid_recover_ordering(A, max_nnz: int = 4e7):
     placed = is_int.copy()
     unplaced = np.flatnonzero(~placed)
     indptr, indices = B.indptr, B.indices
-    offs = _stencil_offsets(dim, kind)
+    offs = np.stack(_stencil_offsets(dim, kind))        # [noff, dim]
+    Ma = np.asarray(M)
+    deg_all = np.diff(indptr)
     for _ in range(3 * dim):
         if not len(unplaced):
             break
-        progress = []
-        for v in unplaced:
-            nbrs = indices[indptr[v]:indptr[v + 1]]
-            pn = nbrs[placed[nbrs]]
-            if not len(pn):
-                continue
-            pcs = coords[pn]
-            base = pcs[0]
-            cand_ok = None
-            for off in offs:
-                c = base + off
-                if np.any(c < 0) or np.any(c >= M):
-                    continue
-                tc = tuple(c)
-                if occupied[tc]:
-                    continue
-                if _expected_deg(c, M, kind) != len(nbrs):
-                    continue
-                if not all(_in_stencil(c, p, kind) for p in pcs):
-                    continue
-                if cand_ok is not None:      # ambiguous: defer
-                    cand_ok = "ambig"
-                    break
-                cand_ok = c
-            if cand_ok is None or isinstance(cand_ok, str):
-                continue
-            coords[v] = cand_ok
-            occupied[tuple(cand_ok)] = True
-            placed[v] = True
-            progress.append(v)
-        if not progress:
+        # vectorized round: every unplaced v with >=1 placed neighbour
+        # tests all stencil offsets of its FIRST placed neighbour's
+        # cell at once; acceptance needs a UNIQUE candidate cell that
+        # is free, has the right boundary degree, and is in-stencil of
+        # ALL placed neighbours (same predicate as the old per-vertex
+        # loop — this ran 2-3 ms/kvertex in Python, ~6 s on the 64³
+        # probe's 24k boundary shell)
+        counts = indptr[unplaced + 1] - indptr[unplaced]
+        nbr = indices[_ranges(indptr[unplaced], counts)]
+        vof = np.repeat(np.arange(len(unplaced)), counts)   # pair -> u
+        pmask = placed[nbr]
+        pv, pn = vof[pmask], nbr[pmask]                 # placed pairs
+        has = np.zeros(len(unplaced), bool)
+        # first placed neighbour per u (pairs are in pv-ascending order)
+        first = np.full(len(unplaced), -1, np.int64)
+        first[pv[::-1]] = pn[::-1]
+        has[pv] = True
+        ui = np.flatnonzero(has)                        # active rows
+        if not len(ui):
             return None
+        base = coords[first[ui]]                        # [na, dim]
+        # remap placed pairs to active-row ids
+        rmap = np.full(len(unplaced), -1, np.int64)
+        rmap[ui] = np.arange(len(ui))
+        ppv = rmap[pv]                                  # pair -> active
+        pco = coords[pn]                                # pair coords
+        nok = np.zeros(len(ui), np.int64)               # candidates/row
+        csel = np.zeros((len(ui), dim), np.int64)
+        for off in offs:
+            c = base + off                              # [na, dim]
+            ok = ((c >= 0) & (c < Ma)).all(axis=1)
+            cc = np.clip(c, 0, Ma - 1)
+            ok &= ~occupied[tuple(cc.T)]
+            ok &= _expected_deg_vec(cc, Ma, kind) == deg_all[
+                unplaced[ui]]
+            # all placed neighbours in-stencil of c: count violations
+            dpp = np.abs(cc[ppv] - pco)
+            viol = (dpp.max(axis=1) != 1) if kind == "box" \
+                else (dpp.sum(axis=1) != 1)
+            ok &= np.bincount(ppv, viol, len(ui)) == 0
+            nok += ok
+            csel[ok] = c[ok]
+        win = nok == 1                                  # unambiguous
+        if not win.any():
+            return None
+        # two rows claiming one cell: keep such cells for next round
+        wflat = np.ravel_multi_index(csel[win].T, M)
+        uniq, cnt = np.unique(wflat, return_counts=True)
+        dup = set(uniq[cnt > 1].tolist())
+        if dup:
+            win[np.flatnonzero(win)[
+                np.isin(wflat, list(dup))]] = False
+            if not win.any():
+                return None
+        vwin = unplaced[ui[win]]
+        coords[vwin] = csel[win]
+        occupied[tuple(csel[win].T)] = True
+        placed[vwin] = True
         unplaced = np.flatnonzero(~placed)
     if len(unplaced):
         return None

@@ -51,6 +51,14 @@ def sub_ksp_solve(mesh: Mesh, A_list, b_list, cfg: KSPConfig = None,
     axis_sub, axis_rows = mesh.axis_names
     nsub = mesh.devices.shape[0]
     assert len(A_list) == nsub and len(b_list) == nsub
+    # concurrent subgroups iterate their while-loops DIFFERENT numbers
+    # of times; XLA:CPU's collective-permute rendezvous expects every
+    # local device thread at each permute, so the ppermute halo style
+    # deadlocks (40 s rendezvous abort) when one group finishes first.
+    # all_to_all rendezvouses per replica group — coerce.
+    A_list = [replace(A, style="alltoall")
+              if getattr(A, "style", None) in ("ppermute", "auto")
+              else A for A in A_list]
     A_st = _stack(A_list)                       # leaves [nsub, P, ...]
     npad = A_list[0].shape[0]
     bs = []

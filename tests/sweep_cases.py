@@ -348,3 +348,81 @@ def by_tag(tag):
         if c.tag == tag:
             return c
     raise KeyError(tag)
+
+# ---- round-5 batch 2: +26 configs widening solver/pc coverage --------------
+CASES += [
+    # tfqmr / cgne / lgmres / ibcgs / fbcgs depth (1-2 cases each before)
+    Case("sw2_ex2_tfqmr_ilu30", "ex2:m=30,n=30",
+         "-ksp_type tfqmr -pc_type ilu -ksp_rtol 1e-6"),
+    Case("sw2_ex2_tfqmr_sor", "ex2:m=20,n=20",
+         "-ksp_type tfqmr -pc_type sor -ksp_rtol 1e-6"),
+    Case("sw2_ex2_cgne_jacobi24", "ex2:m=24,n=24",
+         "-ksp_type cgne -pc_type jacobi -ksp_rtol 1e-6",
+         check="its"),              # normal equations: fp-trajectory
+    Case("sw2_ex2_lgmres_jacobi", "ex2:m=24,n=24",
+         "-ksp_type lgmres -pc_type jacobi -ksp_gmres_restart 12 "
+         "-ksp_lgmres_augment 2 -ksp_rtol 1e-6"),
+    Case("sw2_ex2_lgmres_ilu_aug4", "ex2:m=24,n=24",
+         "-ksp_type lgmres -pc_type ilu -ksp_gmres_restart 16 "
+         "-ksp_lgmres_augment 4 -ksp_rtol 1e-6"),
+    Case("sw2_ex2_ibcgs_ilu24", "ex2:m=24,n=24",
+         "-ksp_type ibcgs -pc_type ilu -ksp_rtol 1e-6"),
+    Case("sw2_ex2_fbcgs_sor24", "ex2:m=24,n=24",
+         "-ksp_type fbcgs -pc_type sor -ksp_rtol 1e-6"),
+    Case("sw2_ex2_lcd_ilu24", "ex2:m=24,n=24",
+         "-ksp_type lcd -pc_type ilu -ksp_rtol 1e-6"),
+    Case("sw2_ex2_pipecr_jacobi24", "ex2:m=24,n=24",
+         "-ksp_type pipecr -pc_type jacobi -ksp_rtol 1e-6"),
+    Case("sw2_ex2_cheby_jacobi_ev", "ex2:m=20,n=20",
+         "-ksp_type chebyshev -pc_type jacobi "
+         "-ksp_chebyshev_eigenvalues 0.05,1.95 -ksp_rtol 1e-4"),
+    Case("sw2_ex2_gcr_ilu24", "ex2:m=24,n=24",
+         "-ksp_type gcr -pc_type ilu -ksp_rtol 1e-6"),
+    Case("sw2_ex2_cgs_icc24", "ex2:m=24,n=24",
+         "-ksp_type cgs -pc_type icc -ksp_rtol 1e-6"),
+    Case("sw2_ex2_bcgsl_ell4", "ex2:m=24,n=24",
+         "-ksp_type bcgsl -ksp_bcgsl_ell 4 -pc_type ilu -ksp_rtol 1e-6"),
+    Case("sw2_ex2_minres_sor24", "ex2:m=24,n=24",
+         "-ksp_type minres -pc_type sor -ksp_rtol 1e-6"),
+    Case("sw2_ex2_symmlq_icc24", "ex2:m=24,n=24",
+         "-ksp_type symmlq -pc_type icc -ksp_rtol 1e-6"),
+    # eisenstat (PCPreSolve/PostSolve shell route)
+    Case("sw2_ex2_cg_eisenstat24", "ex2:m=24,n=24",
+         "-ksp_type cg -pc_type eisenstat -ksp_rtol 1e-6"),
+    Case("sw2_ex2_gmres_eisenstat_om14", "ex2:m=20,n=20",
+         "-ksp_type gmres -pc_type eisenstat -pc_eisenstat_omega 1.4 "
+         "-ksp_rtol 1e-6"),
+    # asm variants
+    Case("sw2_ex2_gmres_asm2_basic", "ex2:m=20,n=20",
+         "-ksp_type gmres -pc_type asm -pc_asm_blocks 2 "
+         "-pc_asm_type basic -sub_pc_type lu -ksp_rtol 1e-6",
+         note="serial multiblock ASM ignores -pc_asm_type: the "
+              "localization scatter (asm.c:248) restricts writes to "
+              "owned rows regardless — pinned as restricted"),
+    Case("sw2_ex2_gmres_asm4_ov2", "ex2:m=20,n=20",
+         "-ksp_type gmres -pc_type asm -pc_asm_blocks 4 "
+         "-pc_asm_overlap 2 -sub_pc_type lu -ksp_rtol 1e-6"),
+    # 1-D systems, other sizes
+    Case("sw2_ex1_gmres_ilu200", "ex1:n=200",
+         "-ksp_type gmres -pc_type ilu -ksp_rtol 1e-7"),
+    Case("sw2_ex23_cg_sor120", "ex23:n=120",
+         "-ksp_type cg -pc_type sor -ksp_rtol 1e-7", rtol=5e-3,
+         note="51-it SSOR-CG: 3 tail values drift to 4e-3 rel "
+              "(abs ~7e-10 vs rnorm0 0.96 — sweep-order fp noise)"),
+    Case("sw2_ex2_rich_omega08", "ex2:m=16,n=16",
+         "-ksp_type richardson -ksp_richardson_scale 0.8 -pc_type sor "
+         "-ksp_rtol 1e-4"),
+    Case("sw2_ex2_preonly_ilu", "ex2:m=20,n=20",
+         "-ksp_type preonly -pc_type ilu", check="its"),
+    Case("sw2_ex2_cg_natural", "ex2:m=20,n=20",
+         "-ksp_type cg -ksp_norm_type natural -pc_type jacobi "
+         "-ksp_rtol 1e-6"),
+    # np > 1 (distributed path on the CPU mesh; oracle = serial
+    # bjacobi equivalent, see module docstring)
+    Case("sw2_np2_ex2_cg_bjacobi", "ex2:m=16,n=16",
+         "-ksp_type cg -pc_type bjacobi -sub_pc_type ilu "
+         "-ksp_rtol 1e-6", np=2, oracle_args="-pc_bjacobi_blocks 2"),
+    Case("sw2_np4_ex1_gmres_bjacobi", "ex1:n=160",
+         "-ksp_type gmres -pc_type bjacobi -sub_pc_type ilu "
+         "-ksp_rtol 1e-7", np=4, oracle_args="-pc_bjacobi_blocks 4"),
+]

@@ -99,8 +99,19 @@ def run_serial(case, flags, A, b):
         # the reference's PCPreSolve/PostSolve transformed system
         # (eisen.c:55/:91) — the KSP runs on the shell operator
         from petsctpu.pc.extra import make_eisenstat_system
-        shell, pc, pre, post = make_eisenstat_system(A)
+        shell, pc, pre, post = make_eisenstat_system(
+            A, omega=float(flags.get("pc_eisenstat_omega", 1.0)))
         return ksp_solve(shell, pre(jnp.asarray(b)), pc=pc, cfg=cfg)
+    if flags.get("pc_type") == "asm" and case.np == 1 \
+            and flags.get("pc_asm_type") == "basic":
+        # reference quirk: with >1 blocks on ONE rank, PCSetUp_ASM
+        # always builds the `localization` scatter (asm.c:248,:310)
+        # and PCApply_ASM writes only each block's OWNED rows — so
+        # serial multiblock ASM is effectively RESTRICTED no matter
+        # what -pc_asm_type says (the type flags only alter scatter
+        # modes, which are no-ops in serial). Pin that behavior.
+        flags = {**flags, "pc_asm_type": "restrict"}
+        opts, cfg = build_cfg(flags)
     if flags.get("mat_type") == "baij":
         bs = int(flags.get("matload_block_size", 1))
         Ad = baij_from_scipy_bsr(A, bs=bs)
