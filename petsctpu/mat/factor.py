@@ -383,6 +383,36 @@ class SpTRSVPlan:
         return x[:n]
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DenseTRSVPlan:
+    """Dense triangular solve on the MXU — the robustness fallback for
+    small-n factors whose fill pattern is neither band-viable nor
+    level-schedulable in reasonable depth (SuperLU ILUT factors reach
+    ~n bandwidth and ~1000 dependency levels; the level-scheduled
+    fori_loop then issues ~1e9 scalar gathers in one program, which
+    trips the relay's execution watchdog — PARITY.md r5). n <= 4096
+    keeps the [n, n] operand <= 64 MB fp32."""
+
+    T: jax.Array                   # [n, n] dense triangle
+    lower: bool = field(metadata=dict(static=True), default=True)
+    unit: bool = field(metadata=dict(static=True), default=False)
+
+    def solve(self, b: jax.Array) -> jax.Array:
+        import jax.scipy.linalg as jsla
+        return jsla.solve_triangular(self.T, b, lower=self.lower,
+                                     unit_diagonal=self.unit)
+
+
+def make_dense_trsv_plan(T, lower: bool, unit_diag: bool, dtype=None):
+    import scipy.sparse as sp
+    D = np.asarray(sp.csr_matrix(T).toarray(),
+                   np.dtype(dtype or T.dtype))
+    if unit_diag:
+        np.fill_diagonal(D, 1.0)
+    return DenseTRSVPlan(jnp.asarray(D), lower, unit_diag)
+
+
 def make_sptrsv_plan(T, lower: bool, unit_diag: bool, dtype=None,
                      pad_to: tuple = None) -> SpTRSVPlan:
     """Build a device plan from a scipy triangular matrix.

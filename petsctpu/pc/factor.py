@@ -79,11 +79,28 @@ def make_ilu(A_host, dtype=None, levels: int = 0,
         Lstrict = sp.tril(L, k=-1, format="csr")
         if tri == "auto":
             # same auto policy as the ILU(k) path: band-viable fp32
-            # factors take the MXU route, else level scheduling
+            # factors take the MXU route; band-inviable SMALL factors
+            # go dense (SuperLU ILUT fill reaches ~n bandwidth AND
+            # ~1000 dependency levels — the level-scheduled loop then
+            # runs ~1e9 scalar gathers in one program and trips the
+            # relay watchdog); only large band-inviable factors keep
+            # level scheduling
             from petsctpu.pc.parallel import band_solve_viable
-            tri = ("band2" if band_solve_viable([Lstrict], [U], dtype)
-                   else "level")
-        if tri == "band2":
+            if band_solve_viable([Lstrict], [U], dtype):
+                tri = "band2"
+            elif L.shape[0] <= 4096:
+                tri = "dense"
+            else:
+                tri = "level"
+        if tri == "dense":
+            from petsctpu.mat.factor import make_dense_trsv_plan
+            inner = ILUPC(
+                make_dense_trsv_plan(Lstrict + sp.eye(L.shape[0]),
+                                     lower=True, unit_diag=True,
+                                     dtype=dtype),
+                make_dense_trsv_plan(U, lower=False, unit_diag=False,
+                                     dtype=dtype))
+        elif tri == "band2":
             from petsctpu.mat.factor import make_band_trsv_hier_plan
             inner = ILUPC(
                 make_band_trsv_hier_plan(Lstrict, lower=True,

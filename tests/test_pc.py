@@ -176,3 +176,37 @@ class TestILUDropTol:
                       maxits=5)
         # drop_tol→0 is a complete LU: Richardson converges immediately
         assert int(r.its) <= 2
+
+
+class TestILUTDenseFallback:
+    """Band-inviable small ILUT factors take a dense MXU triangular
+    solve instead of deep level scheduling (the 1000-level SuperLU
+    fill pattern ran ~1e9 scalar gathers in one program — PARITY.md
+    r5 relay-watchdog note)."""
+
+    def _sys(self):
+        from petsctpu.models import ex2_system
+        import scipy.sparse as sp
+        A, b, _ = ex2_system(24, 24)
+        return sp.csr_matrix(A).astype(np.float64), np.asarray(b)
+
+    def test_dense_tri_matches_level(self):
+        from petsctpu.pc.factor import make_ilu
+        A, b = self._sys()
+        pcd = make_ilu(A, drop_tol=1e-5, fill_factor=20.0, tri="dense")
+        pcl = make_ilu(A, drop_tol=1e-5, fill_factor=20.0, tri="level")
+        zd = np.asarray(pcd.apply(jnp.asarray(b)))
+        zl = np.asarray(pcl.apply(jnp.asarray(b)))
+        np.testing.assert_allclose(zd, zl, rtol=1e-10, atol=1e-12)
+
+    def test_auto_falls_back_dense(self, monkeypatch):
+        import petsctpu.pc.parallel as par
+        from petsctpu.mat.factor import DenseTRSVPlan
+        from petsctpu.pc.factor import make_ilu
+        A, b = self._sys()
+        monkeypatch.setattr(par, "band_solve_viable",
+                            lambda *a, **k: False)
+        pc = make_ilu(A, drop_tol=1e-5, fill_factor=20.0, tri="auto")
+        assert isinstance(pc.Lplan, DenseTRSVPlan), type(pc.Lplan)
+        z = np.asarray(pc.apply(jnp.asarray(b)))
+        assert np.isfinite(z).all()
