@@ -265,13 +265,27 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
                          max_pattern=opts.get_int("pc_spai_max", 64))
     if pc_type == "sor":
         _require_host(A_host, "sor")
+        omega = opts.get_real("pc_sor_omega", 1.0)
+        sweeps = opts.get_int("pc_sor_its", 1)
+        fwd = opts.get_bool("pc_sor_forward", False)
+        bwd = opts.get_bool("pc_sor_backward", False)
+        symmetric = opts.get_bool("pc_sor_symmetric", False) \
+            or not (fwd or bwd)
+        if not opts.get_bool("mat_no_inode", False):
+            # reference default: AIJ matrices with inodes take the
+            # node-blocked sweep (MatSOR_SeqAIJ_Inode, inode.c:2757;
+            # silently — only -mat_no_inode restores scalar SOR).
+            # make_inode_sor returns None for omega != 1 exactly as
+            # the reference refuses that combination.
+            from petsctpu.pc.sor import make_inode_sor
+            ipc = make_inode_sor(A_host, omega=omega, sweeps=sweeps,
+                                 symmetric=symmetric,
+                                 forward_only=fwd and not symmetric,
+                                 dtype=dt)
+            if ipc is not None:
+                return ipc
         return make_sor(
-            A_host,
-            omega=opts.get_real("pc_sor_omega", 1.0),
-            sweeps=opts.get_int("pc_sor_its", 1),
-            symmetric=opts.get_bool("pc_sor_symmetric", False)
-            or not (opts.get_bool("pc_sor_forward", False)
-                    or opts.get_bool("pc_sor_backward", False)),
+            A_host, omega=omega, sweeps=sweeps, symmetric=symmetric,
             dtype=dt)
     raise ValueError(f"unknown pc_type {pc_type!r}; known: "
                      f"{sorted(set(list(PC_REGISTRY) + ['none','jacobi','pbjacobi','ilu','lu','cholesky','icc','sor']))}")

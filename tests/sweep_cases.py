@@ -176,11 +176,11 @@ CASES = [
          "-ksp_type cg -pc_type pbjacobi -ksp_rtol 1e-5"),
     # the reference silently routes this bs=3 matrix through its
     # Inode-blocked SOR (MatSOR_SeqAIJ_Inode — node-wise sweeps, a
-    # different operator from scalar SSOR); -mat_no_inode pins the
-    # scalar path, which we match digit-exactly
+    # different operator from scalar SSOR). Both paths are pinned:
+    # -mat_no_inode (shared flag) = scalar SSOR, default = the
+    # r5 InodeSORPC block sweep (pc/sor.py)
     Case("sw_ex10b_bcgs_sor", "file:ex10_baij3.bin",
-         "-ksp_type bcgs -pc_type sor -ksp_rtol 1e-5",
-         oracle_args="-mat_no_inode"),
+         "-ksp_type bcgs -pc_type sor -mat_no_inode -ksp_rtol 1e-5"),
 
     # ---- np in {2,4}: real distributed solves on the CPU mesh vs the
     # oracle's exact serial equivalent of the np-rank default PC --------
@@ -419,6 +419,12 @@ CASES += [
          "-ksp_rtol 1e-6"),
     # np > 1 (distributed path on the CPU mesh; oracle = serial
     # bjacobi equivalent, see module docstring)
+    # reference-DEFAULT SOR on the bs=3 matrix: the silent Inode
+    # block sweep, now implemented (InodeSORPC) — no flags needed
+    Case("sw2_ex10b_bcgs_inodesor", "file:ex10_baij3.bin",
+         "-ksp_type bcgs -pc_type sor -ksp_rtol 1e-5"),
+    Case("sw2_ex10b_gmres_inodesor", "file:ex10_baij3.bin",
+         "-ksp_type gmres -pc_type sor -ksp_rtol 1e-5"),
     Case("sw2_np2_ex2_cg_bjacobi", "ex2:m=16,n=16",
          "-ksp_type cg -pc_type bjacobi -sub_pc_type ilu "
          "-ksp_rtol 1e-6", np=2, oracle_args="-pc_bjacobi_blocks 2"),

@@ -210,3 +210,78 @@ class TestILUTDenseFallback:
         assert isinstance(pc.Lplan, DenseTRSVPlan), type(pc.Lplan)
         z = np.asarray(pc.apply(jnp.asarray(b)))
         assert np.isfinite(z).all()
+
+
+class TestInodeSOR:
+    """MatSOR_SeqAIJ_Inode analog (pc/sor.InodeSORPC): block sweeps
+    over identical-pattern row groups. Stream parity is pinned by
+    tests/test_sweep.py sw2_ex10b_*_inodesor; here: exactness vs a
+    sequential numpy block-GS and the make_pc wiring."""
+
+    def _blocked(self, nb=30, bs=3, seed=0):
+        import scipy.sparse as sp
+        rng = np.random.default_rng(seed)
+        Bs = sp.random(nb, nb, density=0.15, random_state=1,
+                       format="csr")
+        Bs = Bs + Bs.T + 3 * sp.eye(nb)
+        A = sp.bmat([[sp.csr_matrix(rng.standard_normal((bs, bs))
+                                    + (6 * np.eye(bs) if i == j else 0))
+                      if Bs[i, j] != 0 else None
+                      for j in range(nb)] for i in range(nb)],
+                    format="csr")
+        return A
+
+    def test_matches_sequential_block_gs(self):
+        from petsctpu.pc.sor import make_inode_sor
+        A = self._blocked()
+        n = A.shape[0]
+        rng = np.random.default_rng(2)
+        b = rng.standard_normal(n)
+        pc = make_inode_sor(A, sweeps=2, symmetric=True)
+        assert pc is not None
+        z = np.asarray(pc.apply(jnp.asarray(b)))
+        Ad = A.toarray()
+        starts = np.arange(0, n + 1, 3)
+        x = np.zeros(n)
+        t = np.zeros(n)
+        for s in range(2):
+            for i in range(n // 3):
+                r = slice(starts[i], starts[i + 1])
+                if s == 0:
+                    rhs = b[r] - Ad[r, :starts[i]] @ x[:starts[i]]
+                    t[r] = rhs
+                else:
+                    rhs = (b[r] - Ad[r, :starts[i]] @ x[:starts[i]]
+                           - Ad[r, starts[i + 1]:] @ x[starts[i + 1]:])
+                x[r] = np.linalg.solve(Ad[r, r], rhs)
+            for i in range(n // 3 - 1, -1, -1):
+                r = slice(starts[i], starts[i + 1])
+                if s == 0:
+                    rhs = t[r] - Ad[r, starts[i + 1]:] @ x[starts[i + 1]:]
+                else:
+                    rhs = (b[r] - Ad[r, :starts[i]] @ x[:starts[i]]
+                           - Ad[r, starts[i + 1]:] @ x[starts[i + 1]:])
+                x[r] = np.linalg.solve(Ad[r, r], rhs)
+        np.testing.assert_allclose(z, x, rtol=1e-12, atol=1e-13)
+
+    def test_make_pc_default_and_no_inode(self):
+        from petsctpu.core.options import Options
+        from petsctpu.pc import make_pc
+        from petsctpu.pc.sor import InodeSORPC, SORPC
+        A = self._blocked()
+        pc = make_pc("sor", A_host=A, options=Options({}))
+        assert isinstance(pc, InodeSORPC)
+        pc2 = make_pc("sor", A_host=A,
+                      options=Options({"mat_no_inode": "true"}))
+        assert isinstance(pc2, SORPC)
+        # omega != 1: reference refuses inode SOR -> scalar fallback
+        pc3 = make_pc("sor", A_host=A,
+                      options=Options({"pc_sor_omega": "1.3"}))
+        assert isinstance(pc3, SORPC)
+        # matrices without inodes stay scalar
+        from petsctpu.models import ex2_system
+        import scipy.sparse as sp
+        A2, _, _ = ex2_system(8, 8)
+        pc4 = make_pc("sor", A_host=sp.csr_matrix(A2),
+                      options=Options({}))
+        assert isinstance(pc4, SORPC)
