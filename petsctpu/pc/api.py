@@ -172,6 +172,22 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
     if pc_type == "mat":
         from petsctpu.pc.composite import MatPC
         return MatPC(opts.get("pc_mat_operator") or A)
+    if pc_type == "shell":
+        # PCShell (src/ksp/pc/impls/shell): user-callback PC. The
+        # callable rides the Options object (same pattern as
+        # pc_mat_operator): apply_fn(ctx, x) -> z.
+        from petsctpu.pc.composite import ShellPC
+        ap = opts.get("pc_shell_apply")
+        if ap is None:
+            raise ValueError("pc_type=shell needs pc_shell_apply "
+                             "(a callable (ctx, x) -> z) in options")
+        return ShellPC(opts.get("pc_shell_ctx"), ap)
+    if pc_type == "hmpi":
+        # PCHMPI (src/ksp/pc/impls/openmp): outer-sequential user,
+        # inner-parallel solve over the device mesh
+        _require_host(A_host, "hmpi")
+        from petsctpu.pc.parallel import make_hmpi
+        return make_hmpi(A_host, options=opts, dtype=dt)
     if pc_type == "redundant":
         # serial semantics: every rank solves the full system → exact LU
         # (src/ksp/pc/impls/redundant); the subcomm variant arrives with

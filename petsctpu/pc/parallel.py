@@ -10,6 +10,9 @@ a leading shard axis; `shard_map` splits them and `_local()` strips it.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -316,3 +319,81 @@ def make_dist_asm(A_host, part: PartitionedCSR, overlap: int = 1,
                jnp.asarray(np.stack(pcs), jnp.int32))
     return DistASMPC(lup, jnp.asarray(halo.send_idx),
                      jnp.asarray(halo.ghost_src), s, P, axis)
+
+
+# ---------------------------------------------------------------------------
+# PCHMPI — outer-sequential user, inner-parallel solve (P8)
+# ---------------------------------------------------------------------------
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class HMPIPC:
+    """PCHMPI analog (src/ksp/pc/impls/openmp): the OUTER solver runs
+    as ordinary single-stream code; each preconditioner application
+    solves M z = r with an INNER distributed KSP over a device mesh.
+    The inner shard_map composes under the outer jit, so the outer
+    Krylov loop stays one compiled program — the reference's
+    "sequential user, parallel PC" split becomes a nested-mesh
+    region instead of a second MPI communicator."""
+
+    Ash: Any                     # ShardedAIJ over the inner mesh
+    pc_inner: Any
+    n: int = field(metadata=dict(static=True))
+    cfg: Any = field(metadata=dict(static=True), default=None)
+    mesh: Any = field(metadata=dict(static=True), default=None)
+
+    def apply(self, b):
+        import functools
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from petsctpu.ksp.api import KSP_REGISTRY
+        from petsctpu.ksp.common import SolveResult
+
+        axis = self.Ash.axis
+        npad = self.Ash.shape[0]
+        bp = jnp.zeros(npad, b.dtype).at[: self.n].set(b)
+        pc_spec = jax.tree.map(lambda _: P(axis), self.pc_inner)
+        fn = KSP_REGISTRY[self.cfg.ksp_type]
+
+        @functools.partial(
+            shard_map, mesh=self.mesh,
+            in_specs=(P(axis), P(axis), pc_spec),
+            out_specs=SolveResult(P(axis), P(), P(), P(), P()),
+            check_vma=False)
+        def inner(A_st, b_loc, pc_st):
+            from petsctpu.parallel.api import _local
+            return fn(A_st.local(), b_loc, jnp.zeros_like(b_loc),
+                      _local(pc_st), self.cfg, axis)
+
+        res = inner(self.Ash, bp, self.pc_inner)
+        return res.x.reshape(-1)[: self.n]
+
+
+def make_hmpi(A_host, mesh=None, options=None, dtype=None):
+    """Build the PCHMPI analog: partition A over `mesh` (or all
+    devices), inner bjacobi(ILU)+KSP with the reference's `-hmpi_`
+    option prefix (ksp_type/rtol/max_it)."""
+    import scipy.sparse as sp
+    from jax.sharding import Mesh
+
+    from petsctpu.core.options import Options
+    from petsctpu.ksp.common import KSPConfig
+    from petsctpu.parallel.pmat import sharded_aij_from_scipy
+
+    opts = (options or Options()).prefixed("hmpi_")
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), ("rows",))
+    nsh = int(np.prod(mesh.devices.shape))
+    A = sp.csr_matrix(A_host)
+    # alltoall halo style: the inner while trip count is data-dependent
+    # and ppermute's XLA:CPU rendezvous is global (see subcomm.py)
+    Ash, part = sharded_aij_from_scipy(A, nsh, dtype=dtype,
+                                       style="alltoall")
+    pc_inner = make_bjacobi(part, sub_pc=opts.get_str("sub_pc_type",
+                                                      "ilu"),
+                            dtype=dtype)
+    cfg = KSPConfig(ksp_type=opts.get_str("ksp_type", "gmres"),
+                    rtol=opts.get_real("ksp_rtol", 1e-8),
+                    maxits=opts.get_int("ksp_max_it", 200))
+    return HMPIPC(Ash, pc_inner, A.shape[0], cfg, mesh)

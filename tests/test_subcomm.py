@@ -91,3 +91,52 @@ class TestPartitionedSharding:
         serial = ksp_solve(aij_from_scipy(A), jnp.asarray(b), ksp_type="cg",
                            rtol=1e-10)
         np.testing.assert_allclose(x0, np.asarray(serial.x), atol=1e-8)
+
+
+@multidev
+def test_hmpi_inner_parallel_pc():
+    """PCHMPI analog (pc/parallel.make_hmpi): the outer sequential
+    Krylov loop applies an inner DISTRIBUTED solve as its PC — a
+    near-exact inner solve makes the outer solver converge in O(1)
+    iterations (the reference's outer-seq/inner-par split,
+    src/ksp/pc/impls/openmp)."""
+    import scipy.sparse as sp
+
+    from petsctpu.core.options import Options
+    from petsctpu.ksp import ksp_solve
+    from petsctpu.mat import aij_from_scipy
+    from petsctpu.models import ex2_system
+    from petsctpu.pc import make_pc
+
+    A, b, u = ex2_system(16, 16)
+    A = sp.csr_matrix(A)
+    pc = make_pc("hmpi", A_host=A,
+                 options=Options({"hmpi_ksp_rtol": "1e-10"}))
+    Ad = aij_from_scipy(A)
+    r = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="fgmres",
+                  rtol=1e-8, maxits=50)
+    assert int(r.reason) > 0
+    assert int(r.its) <= 3, int(r.its)
+    np.testing.assert_allclose(np.asarray(r.x), u, atol=1e-8)
+
+
+def test_shell_pc():
+    """PCShell: user callback (ctx, x) -> z through make_pc."""
+    import scipy.sparse as sp
+
+    from petsctpu.core.options import Options
+    from petsctpu.ksp import ksp_solve
+    from petsctpu.mat import aij_from_scipy
+    from petsctpu.models import ex2_system
+    from petsctpu.pc import make_pc
+
+    A, b, u = ex2_system(10, 10)
+    dinv = jnp.asarray(1.0 / sp.csr_matrix(A).diagonal())
+    pc = make_pc("shell", options=Options({
+        "pc_shell_ctx": dinv,
+        "pc_shell_apply": lambda ctx, x: ctx * x}))
+    Ad = aij_from_scipy(sp.csr_matrix(A))
+    r = ksp_solve(Ad, jnp.asarray(b), pc=pc, ksp_type="cg",
+                  rtol=1e-10, maxits=500)
+    assert int(r.reason) > 0
+    np.testing.assert_allclose(np.asarray(r.x), u, atol=1e-7)
