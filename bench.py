@@ -390,19 +390,32 @@ def main():
             ShW, partW = sharded_aij_from_scipy(Aw, Pn,
                                                 dtype=np.float32)
             bW = jnp.zeros(ShW.shape[0], jnp.float32)
-            aW = audit_par_ksp(Pn, ShW, bW, ksp_type="cg", maxits=10)
-            per = aW.per_iteration
             nnz_loc = Aw.nnz / Pn
             t_comp = (nnz_loc * 8.0 + 10 * n_loc * 4.0) / BW_HBM
-            t_comm = (per.total_bytes / BW_ICI
-                      + per.total_count * LAT)
-            sweep[f"shards_{Pn}"] = {
-                "colls_per_it": int(per.total_count),
-                "bytes_per_it_per_shard": float(per.total_bytes),
-                "halo": halo_audit(partW.halo, np.float32),
-                "predicted_weak_eff":
-                    round(t_comp / (t_comp + t_comm), 4),
-            }
+            ent = {"halo": halo_audit(partW.halo, np.float32)}
+            for kt in ("cg", "pipecg"):
+                aW = audit_par_ksp(Pn, ShW, bW, ksp_type=kt,
+                                   maxits=10)
+                per = aW.per_iteration
+                by = per.summary()["by_op"]
+                # halo ppermutes are ISSUED BEFORE the diagonal SpMV
+                # (pmat.mult: ghosts() first, diag mult while the
+                # collective flies) -> overlap their cost with
+                # compute; dot-product psums gate the iteration ->
+                # serial
+                pperm_n, pperm_b = by.get("ppermute", (0, 0.0))
+                psum_n, psum_b = by.get("psum", (0, 0.0))
+                t_halo = pperm_b / BW_ICI + pperm_n * LAT
+                t_ser = psum_b / BW_ICI + psum_n * LAT
+                eff = t_comp / (max(t_comp, t_halo) + t_ser)
+                ent[f"{kt}_colls_per_it"] = int(per.total_count)
+                ent[f"{kt}_bytes_per_it_per_shard"] = \
+                    float(per.total_bytes)
+                ent[f"{kt}_predicted_weak_eff"] = round(eff, 4)
+                # also the fully-serial (no-overlap) bound
+                ent[f"{kt}_weak_eff_no_overlap"] = round(
+                    t_comp / (t_comp + t_halo + t_ser), 4)
+            sweep[f"shards_{Pn}"] = ent
         comm["weak_scaling_sweep"] = sweep
         # production-scale extrapolation: same audited collective
         # structure, 128^3 rows/shard (halo bytes scale with the
@@ -411,14 +424,20 @@ def main():
         scale_face = (128.0 / mloc) ** 2
         nloc_big = 128 ** 3
         t_comp_big = (7.0 * nloc_big * 8.0 + 10 * nloc_big * 4.0) / BW_HBM
-        t_comm_big = (s16["bytes_per_it_per_shard"] * scale_face / BW_ICI
-                      + s16["colls_per_it"] * LAT)
+        t_comm_big = (s16["cg_bytes_per_it_per_shard"] * scale_face
+                      / BW_ICI + s16["cg_colls_per_it"] * LAT)
         comm["weak_scaling_model"] = {
             "per_shard_rows_audited": n_loc,
-            "assumptions": "HBM 700 GB/s, ICI 90 GB/s, 1.5us/collective",
+            "assumptions": "HBM 700 GB/s, ICI 90 GB/s, 1.5us/collective;"
+                           " halo ppermutes overlapped with the diag"
+                           " SpMV (issue-first program order), dot"
+                           " psums serial",
             "halo_style": "ppermute (O(neighbors) payload, P-flat)",
-            "predicted_eff_16shards_48cube":
-                s16["predicted_weak_eff"],
+            "predicted_eff_16shards_48cube_cg":
+                s16["cg_predicted_weak_eff"],
+            "predicted_eff_16shards_48cube_pipecg":
+                s16["pipecg_predicted_weak_eff"],
+            "no_overlap_bound_cg": s16["cg_weak_eff_no_overlap"],
             "predicted_eff_16shards_128cube":
                 round(t_comp_big / (t_comp_big + t_comm_big), 4),
             "baseline_target": ">=0.80",
