@@ -432,3 +432,25 @@ CASES += [
          "-ksp_type gmres -pc_type bjacobi -sub_pc_type ilu "
          "-ksp_rtol 1e-7", np=4, oracle_args="-pc_bjacobi_blocks 4"),
 ]
+
+# ---- round-5 batch 3: +8 snes/ts depth -------------------------------------
+CASES += [
+    Case("sw3_snes5_l2_m14", "snes_ex5:m=14,par=2.0",
+         "-snes_rtol 1e-8", check="snes"),
+    Case("sw3_snes5_l55_m20", "snes_ex5:m=20,par=5.5",
+         "-snes_rtol 1e-8", check="snes"),
+    Case("sw3_snes5_l1_m8", "snes_ex5:m=8,par=1.0",
+         "-snes_rtol 1e-8", check="snes"),
+    Case("sw3_snes14_fdcolor_l4", "snes_ex14:m=9,par=4.0",
+         "-fdcoloring -snes_rtol 1e-8", check="snes14"),
+    Case("sw3_snes14_fdcolor_l2", "snes_ex14:m=12,par=2.0",
+         "-fdcoloring -snes_rtol 1e-8", check="snes14"),
+    Case("sw3_ts4_beuler_m80", "ts_ex4:m=80",
+         "-ts_type beuler -ts_max_steps 25 -time_dependent_rhs "
+         "-ksp_rtol 1e-12", check="ts"),
+    Case("sw3_ts4_euler_m40", "ts_ex4:m=40",
+         "-ts_type euler -ts_max_steps 60", check="ts"),
+    Case("sw3_ts4_beuler_dt", "ts_ex4:m=50",
+         "-ts_type beuler -ts_max_steps 30 -ts_init_time_step 0.0005 "
+         "-time_dependent_rhs -ksp_rtol 1e-12", check="ts"),
+]

@@ -255,8 +255,9 @@ def run_snes_ex14(case, flags):
     p = dict(kv.split("=") for kv in case.sys.split(":")[1].split(","))
     m, lam = int(p["m"]), float(p["par"])
     txt = open(os.path.join(ORACLE, case.tag + ".txt")).read()
-    monit = [float(mm.group(1)) for mm in re.finditer(
-        r"SNES Function norm (\S+)", txt) if "<" not in mm.group(1)]
+    # monitor_short prints "< 1.e-11" for tiny norms -> None sentinel
+    monit = [None if "<" in mm.group(1) else float(mm.group(1))
+             for mm in re.finditer(r"SNES Function norm (\S+)", txt)]
     h = 1.0 / (m - 1)
     sc = h * h * h * lam
     w = h            # hx = hy = hz
@@ -316,10 +317,16 @@ def run_snes_ex14(case, flags):
                       maxits=10000)
         x = x - r.x
     assert len(hist) == len(monit), (len(hist), len(monit))
-    # final entry sits at the quadratic limit (~1e-10 relative to
-    # rnorm0) where the FD Jacobian's own O(sqrt(eps)) error dominates
-    np.testing.assert_allclose(hist[:-1], monit[:-1], rtol=3e-5)
-    np.testing.assert_allclose(hist[-1:], monit[-1:], rtol=5e-3)
+    for i, (hv, mv) in enumerate(zip(hist, monit)):
+        if mv is None:                      # printed as "< 1.e-11"
+            assert hv < 1e-11, (i, hv)
+        elif i == len(hist) - 1:
+            # final entry sits at the quadratic limit (~1e-10
+            # relative) where the FD Jacobian's own O(sqrt(eps))
+            # error dominates
+            np.testing.assert_allclose(hv, mv, rtol=5e-3)
+        else:
+            np.testing.assert_allclose(hv, mv, rtol=3e-5)
 
 
 @pytest.mark.parametrize("case", CASES, ids=lambda c: c.tag)
