@@ -118,34 +118,51 @@ def _auto_format(A: sp.csr_matrix, ordering: str, dtype):
     grid_won = False
     if best is None or best[0] > 2.0 * avg:
         from petsctpu.mat.griddetect import grid_recover_ordering
-        gperm = grid_recover_ordering(A)
+        gperm, gdims = grid_recover_ordering(A, return_dims=True)
         if gperm is not None:
             # a recovered grid is a <= 3^d-offset stencil with ~zero
-            # band fill. Kernel choice by regime (measured, v5e):
-            # small n is per-op overhead-bound -> one Pallas SELL call
-            # (P collapses to ~avg_row under the recovered ordering:
-            # 133 -> 36 on the 64^3 27-point probe, 0.30 -> 0.77 of
-            # the ideal-CSR roofline); large n is bandwidth-bound ->
-            # DIA streams with no index arrays (mat/dia.py).
+            # band fill: build stencil coefficient STREAMS directly
+            # (mat/stencil.py — no index arrays at all; 622 -> 706
+            # GB/s over the recovered-SELL route on the 64^3 27-point
+            # probe, same kernel the 16.7M-row roofline bench rides)
             Ag = A[gperm][:, gperm].tocsr()
             Ag.sum_duplicates()
+            cog = Ag.tocoo()
+            rcs = np.unravel_index(cog.row, gdims)
+            ccs = np.unravel_index(cog.col, gdims)
+            # stencil offsets are in {-1,0,1}^d (verified by the
+            # recovery) — encode each as one base-3 int so the
+            # dedup is a plain integer unique, not a 6.8M-row
+            # lexsort (np.unique axis=0 cost ~15 s on the 64^3 probe)
+            key = np.zeros(cog.row.shape, np.int64)
+            for rk, ck in zip(rcs, ccs):
+                key = key * 3 + (ck.astype(np.int64) - rk + 1)
+            okeys, oinv = np.unique(key, return_inverse=True)
+            K = len(okeys)
+            if K * n <= 2.0 * max(Ag.nnz, 1):   # boundary-pad guard
+                import jax.numpy as jnp
+
+                from petsctpu.mat.stencil import StencilMat
+                offs = []
+                for ok in okeys:
+                    o, ds = [], int(ok)
+                    for _ in gdims:
+                        o.append(ds % 3 - 1)
+                        ds //= 3
+                    offs.append(tuple(reversed(o)))
+                C = np.zeros((K,) + tuple(gdims),
+                             np.dtype(dtype or A.dtype))
+                C[(oinv,) + rcs] = cog.data
+                return (StencilMat(jnp.asarray(C), tuple(offs),
+                                   tuple(gdims)), gperm)
             if f32 and tpu and n < 2_000_000 and sell_viable(Ag):
                 Pg = sell_plan_stats(Ag)[0]
                 if best is None or Pg < best[0]:
                     best = (Pg, gperm, Ag)
                     grid_won = True
-            else:
-                inv = np.empty(n, np.int64)
-                inv[gperm] = np.arange(n)
-                cog = A.tocoo()
-                noffs = len(np.unique(inv[cog.col] - inv[cog.row]))
-                if noffs <= 64:
-                    from petsctpu.mat import dia_from_scipy
-                    return (dia_from_scipy(A, dtype=dtype, perm=gperm),
-                            gperm)
-                if bandwidth(Ag) <= band_thresh:
-                    return (band_from_scipy(A, dtype=dtype, perm=gperm),
-                            gperm)
+            elif bandwidth(Ag) <= band_thresh:
+                return (band_from_scipy(A, dtype=dtype, perm=gperm),
+                        gperm)
 
     # 4) profile (RCM) candidates — only when grid recovery didn't
     #    already win (a recovered stencil's pass count collapses to

@@ -177,9 +177,19 @@ def _expected_deg_vec(c, Ma, kind):
             + (c < Ma - 1).astype(np.int64)).sum(axis=1)
 
 
-def grid_recover_ordering(A, max_nnz: int = 4e7):
+def grid_recover_ordering(A, max_nnz: int = 4e7, return_dims=False):
     """Return perm (new->old int64 array: lexicographic grid order) or
-    None when A is not a scrambled box-grid stencil pattern."""
+    None when A is not a scrambled box-grid stencil pattern. With
+    return_dims, returns (perm, dims) / (None, None) — the recovered
+    box dimensions let the caller build stencil coefficient streams
+    (mat/stencil.py) directly."""
+    res = _grid_recover_impl(A, max_nnz)
+    if return_dims:
+        return res if res is not None else (None, None)
+    return res[0] if res is not None else None
+
+
+def _grid_recover_impl(A, max_nnz):
     A = sp.csr_matrix(A)
     n = A.shape[0]
     if n != A.shape[1] or A.nnz > max_nnz or n < 4096:
@@ -312,7 +322,7 @@ def grid_recover_ordering(A, max_nnz: int = 4e7):
     offsets = np.unique(inv[co.col] - inv[co.row])
     if len(offsets) > 3 ** dim:
         return None
-    return perm
+    return perm, tuple(int(m) for m in M)
 
 
 def _stencil_offsets(dim, kind):

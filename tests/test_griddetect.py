@@ -79,7 +79,10 @@ def test_small_matrices_skipped():
     assert grid_recover_ordering(A) is None      # n < 4096 fast-path out
 
 
-def test_factory_auto_routes_scrambled_grid_to_dia():
+def test_factory_auto_routes_scrambled_grid_to_stencil():
+    """Recovered grids ride stencil coefficient streams (r5: replaces
+    the earlier DIA/SELL regime split — 622 -> 706 GB/s measured on
+    the 64^3 probe, no index arrays at all)."""
     import jax.numpy as jnp
 
     from petsctpu.mat.factory import mat_from_options
@@ -89,7 +92,7 @@ def test_factory_auto_routes_scrambled_grid_to_dia():
     A.sum_duplicates()
     A.data = rng.standard_normal(A.nnz)
     M, perm = mat_from_options(A, mat_type="auto", dtype=np.float32)
-    assert type(M).__name__ == "DiaMat"
+    assert type(M).__name__ == "StencilMat"
     assert perm is not None
     x = rng.standard_normal(A.shape[0]).astype(np.float32)
     y = np.asarray(M.mult(jnp.asarray(x[perm])))
