@@ -31,9 +31,12 @@ class SNESConfig:
     atol: float = 1e-50
     stol: float = 1e-8
     maxits: int = 50
-    linesearch: str = "bt"            # bt | basic
+    linesearch: str = "bt"            # bt | basic | l2 | cp
     ls_alpha: float = 1e-4
     ls_maxits: int = 40
+    ls_it: int = 1                    # l2/cp refinement iterations
+                                      # (SNESLineSearch max_its
+                                      # default, linesearch.c:63)
     ls_lambda_min: float = 1e-12
     ls_order: str = "cubic"           # bt model: cubic | quadratic
                                       # (-snes_linesearch_order,
@@ -209,6 +212,12 @@ def snes_solve(F: Callable, x0: jax.Array, jac: Union[str, ColoredJacobian,
             Fn = F(xn)
             fn = ops.norm(Fn, axis)
             ls_ok = jnp.asarray(True)
+        elif cfg.linesearch == "l2":
+            xn, Fn, fn, lam, ls_ok = _linesearch_l2(
+                F, x, dx, fnorm, axis, max_its=cfg.ls_it)
+        elif cfg.linesearch == "cp":
+            xn, Fn, fn, lam, ls_ok = _linesearch_cp(
+                F, x, dx, Fx, axis, max_its=cfg.ls_it)
         else:
             xn, Fn, fn, lam, ls_ok = _linesearch_bt(F, x, dx, Fx, fnorm,
                                                     cfg, axis)

@@ -304,3 +304,31 @@ class TestEx28Multiphysics:
         self._newton(F, np.concatenate([u0, k0]), self._pattern(2),
                      [20.0067, 0.150179, 0.109934, 0.0140264,
                       0.000304759, 1.23654e-07], 1e-6, rtol=2e-3)
+
+
+def test_newton_l2_cp_linesearches():
+    """-snes_linesearch_type l2|cp on Newton (the helpers previously
+    only served nrichardson/ncg/fas; linesearchl2.c / linesearchcp.c
+    wired through SNESConfig.linesearch)."""
+    import jax.numpy as jnp
+
+    from petsctpu.dm import DA
+    from petsctpu.ksp.common import KSPConfig
+    from petsctpu.models.bratu import (bratu_initial_guess,
+                                       bratu_jacobian_template,
+                                       bratu_residual)
+    from petsctpu.snes.api import SNESConfig, snes_solve
+    from petsctpu.snes.fdjac import ColoredJacobian
+
+    da = DA((12, 12))
+    its = {}
+    for ls in ("bt", "l2", "cp"):
+        r = snes_solve(
+            bratu_residual(da, 5.0), bratu_initial_guess(da, 5.0),
+            jac=ColoredJacobian.from_stencil(bratu_jacobian_template(da)),
+            cfg=SNESConfig(rtol=1e-8, linesearch=ls),
+            ksp_cfg=KSPConfig(ksp_type="gmres", rtol=1e-8, maxits=500))
+        assert int(r.reason) > 0, ls
+        its[ls] = int(r.its)
+    # all converge at the Newton rate on this mild problem
+    assert max(its.values()) <= 5, its
