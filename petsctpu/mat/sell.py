@@ -222,15 +222,23 @@ def _sell_spmvT_chunk(vals, idx, qs, rt, *, S, interpret):
         t = pl.program_id(0)
         iota = jax.lax.broadcasted_iota(jnp.int32, (G, 128, 128), 2)
         o_ref[0] = jnp.zeros((S, 128), jnp.float32)
-        for p in range(P):
-            contrib = vals_ref[0, p] * r_ref[0]          # [G, 128]
-            oh = (idx_ref[0, p].astype(jnp.int32)[:, :, None]
-                  == iota).astype(jnp.float32)           # [G,128,128]
+
+        # fori_loop, NOT an unrolled Python loop: Mosaic gives every
+        # unrolled pass its own live [G,128,128] one-hot temporary,
+        # which blows the 16 MB scoped-vmem stack for P >~ 25 (the
+        # ex56 RBM prolongator packs at P = 132)
+        def pass_body(p, _):
+            contrib = vals_ref[0, pl.ds(p, 1)][0] * r_ref[0]  # [G,128]
+            oh = (idx_ref[0, pl.ds(p, 1)][0].astype(jnp.int32)
+                  [:, :, None] == iota).astype(jnp.float32)
             row = jnp.sum(contrib[:, :, None] * oh,
                           axis=(0, 1))[None, :]           # [1, 128]
             q = qs_ref[t, p]
             cur = o_ref[0, pl.ds(q, 1), :]
             o_ref[0, pl.ds(q, 1), :] = cur + row
+            return 0
+
+        jax.lax.fori_loop(0, P, pass_body, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -104,6 +104,11 @@ def asa_hierarchy(A, B, theta: float = 0.0, coarse_n: int = 64,
         if int(agg_node.max()) + 1 >= G.shape[0]:
             break
         P0, Bc = tentative_prolongator_multi(agg, Bl)
+        if P0.shape[1] >= P0.shape[0]:     # no real coarsening left:
+            break                          # k candidates x na nodes
+            # can equal the fine size once cur_bs collapses to 1 —
+            # the 24000-dof ex56 run previously stacked SIX identical
+            # 1206-row levels here (asa_tentatives had this guard)
         P = smooth_prolongator(Ac, P0) if smooth else P0
         As.append((P.T @ Ac @ P).tocsr())
         Ps.append(P)

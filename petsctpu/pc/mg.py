@@ -508,6 +508,14 @@ def make_algebraic_mg_from_hierarchy(As, Ps, dtype=None, sm_its: int = 2,
             Ah2.sum_duplicates()
             if sell_viable(Ah2):
                 return sell_from_scipy(Ah2)
+        n_ = sp.csr_matrix(Ah).shape[0]
+        if fmt == "auto" and np.dtype(dtype) == np.float32 \
+                and n_ <= 4096 and n_ * n_ * 4 <= 64 * 2**20:
+            # small SELL-inviable levels (coarse elasticity operators
+            # densify): a dense matvec beats the ELL gather ~100x
+            from petsctpu.mat.dense import Dense
+            return Dense(jnp.asarray(
+                sp.csr_matrix(Ah).toarray().astype(dtype)))
         return aij_from_scipy(Ah, dtype=dtype)
 
     if fmt in ("ell", "auto", "sell") and sm_pc == "jacobi" \
@@ -671,12 +679,58 @@ def make_algebraic_mg_from_hierarchy(As, Ps, dtype=None, sm_its: int = 2,
             return PermutedPC(pmg, jnp.asarray(perms[0], jnp.int32))
         return pmg
 
+    def _transfer_ops(Pl):
+        """(P_op, R_op|None) for the non-packed cycle. ELL transfer
+        gathers dominated the ex56 RBM V-cycle (level-0 R+P alone
+        18 ms of a 32 ms apply): prefer chunk-SELL P with restriction
+        through P.multT (the r5 one-hot transpose kernel), dense for
+        small transfers, ELL+scatter-add as the robust fallback."""
+        Pl = sp.csr_matrix(Pl)
+        Pl.sum_duplicates()
+        Pl.sort_indices()
+        m_, n_ = Pl.shape
+        import jax as _jax
+        if (np.dtype(dtype) == np.float32
+                and _jax.default_backend() == "tpu"):
+            from petsctpu.mat.sell import (sell_from_scipy,
+                                           sell_plan_stats)
+            P32 = Pl.astype(np.float32)
+            bestc = None
+            for G in (8, 16):
+                if m_ < G * 128:
+                    continue
+                try:
+                    Pp, _, S_, _ = sell_plan_stats(P32, G=G,
+                                                   mode="chunk")
+                except Exception:
+                    continue
+                nt_ = -(-m_ // (G * 128))
+                cost = nt_ * Pp * G * 128
+                if S_ <= 8192 and (bestc is None or cost < bestc[1]):
+                    bestc = (G, cost)
+            avg_ = P32.nnz / max(m_, 1)
+            if bestc is not None and bestc[1] <= 8 * avg_ * m_:
+                try:
+                    return (sell_from_scipy(P32, G=bestc[0],
+                                            mode="chunk"), None)
+                except ValueError:
+                    pass
+        if np.dtype(dtype) == np.float32 \
+                and m_ * n_ * 4 <= 64 * 1024 * 1024 \
+                and min(m_, n_) <= 4096:
+            from petsctpu.mat.dense import Dense
+            D = np.asarray(Pl.toarray(), dtype)
+            return (Dense(jnp.asarray(D)),
+                    Dense(jnp.asarray(np.ascontiguousarray(D.T))))
+        return aij_from_scipy(Pl, dtype=dtype), None
+
     levels = []
     for l in range(len(Ps)):
         Ad = _level_op(As[l])
-        Pd = aij_from_scipy(Ps[l], dtype=dtype)
+        Pd, Rd = _transfer_ops(Ps[l])
         levels.append(MGLevel(Ad, Pd,
-                              _cheby_smoother(As[l], dtype, sm_its, sm_pc)))
+                              _cheby_smoother(As[l], dtype, sm_its,
+                                              sm_pc), Rd))
     coarse_pc = make_lu(As[-1], dtype=dtype)
     coarse_A = aij_from_scipy(As[-1], dtype=dtype)
     mg = MGPC(tuple(levels), coarse_pc, coarse_A, cycles, mg_type)
