@@ -454,3 +454,11 @@ CASES += [
          "-ts_type beuler -ts_max_steps 30 -ts_init_time_step 0.0005 "
          "-time_dependent_rhs -ksp_rtol 1e-12", check="ts"),
 ]
+
+# ---- round-5 batch 4: distributed SNES vs oracle stream --------------------
+CASES += [
+    Case("sw4_np4_snes5_l5_m16", "snes_ex5:m=16,par=5.0",
+         "-snes_rtol 1e-8", np=4, check="snes_np"),
+    Case("sw4_np8_snes5_l4_m12", "snes_ex5:m=12,par=4.0",
+         "-snes_rtol 1e-8", np=8, check="snes_np"),
+]

@@ -181,6 +181,51 @@ def run_snes_ex5(case, flags):
         assert ours <= 3.5 * monit[k] + 1e-11, (k, ours, monit[k])
 
 
+def run_snes_ex5_np(case, flags):
+    """DISTRIBUTED snes ex5 Bratu vs the oracle's serial stream:
+    Newton iteration counts are rank-count-invariant (the oracle is
+    mpiuni), so the np-device shard_map Newton (parallel/psnes —
+    sharded residual over ppermute halos + per-shard colored FD
+    Jacobian) must reproduce the same -snes_monitor stream the serial
+    rig does (same head tolerance / quadratic-tail bound as
+    run_snes_ex5)."""
+    import jax
+
+    from petsctpu.dm import DA
+    from petsctpu.models.bratu import (bratu_initial_guess,
+                                       bratu_residual_sharded)
+    from petsctpu.parallel import ShardedFDJac, par_snes_solve
+    from petsctpu.snes.api import SNESConfig
+
+    if len(jax.devices()) < case.np:
+        pytest.skip(f"needs {case.np} devices")
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:case.np]), ("rows",))
+    p = dict(kv.split("=") for kv in case.sys.split(":")[1].split(","))
+    m, lam = int(p["m"]), float(p["par"])
+    txt = open(os.path.join(ORACLE, case.tag + ".txt")).read()
+    monit = [float(mm.group(1)) for mm in re.finditer(
+        r"SNES Function norm (\S+)", txt) if "<" not in mm.group(1)]
+    da = DA((m, m))
+    STAR5 = ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1))
+    Fp, _ = bratu_residual_sharded(da, case.np, lam=lam)
+    plan = ShardedFDJac.plan((m, m), STAR5, case.np)
+    x0 = np.asarray(bratu_initial_guess(da, lam))
+    r = par_snes_solve(
+        mesh, Fp, x0, jac=plan,
+        cfg=SNESConfig(rtol=float(flags.get("snes_rtol", 1e-8)),
+                       atol=1e-50),
+        ksp_cfg=KSPConfig(ksp_type="fgmres", rtol=1e-10, maxits=1000,
+                          restart=200))
+    assert int(r.its) >= len(monit) - 1, (int(r.its), len(monit) - 1)
+    hist = np.asarray(r.history)
+    head = max(len(monit) - 2, 1)
+    np.testing.assert_allclose(hist[:head], monit[:head], rtol=6e-4)
+    for k in range(head, len(monit)):
+        assert float(hist[k]) <= 3.5 * monit[k] + 1e-11, \
+            (k, float(hist[k]), monit[k])
+
+
 def run_ts_ex4(case, flags):
     """ts ex4 1-D heat: error-vs-analytic Timestep stream (ex4.c:446
     monitor; RHS matrix with unit boundary rows :516)."""
@@ -334,6 +379,9 @@ def test_sweep(case):
     flags = parse_args(case.args)
     if case.check == "snes":
         run_snes_ex5(case, flags)
+        return
+    if case.check == "snes_np":
+        run_snes_ex5_np(case, flags)
         return
     if case.check == "snes14":
         run_snes_ex14(case, flags)
