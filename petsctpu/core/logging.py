@@ -177,3 +177,30 @@ def dot_flops(n: int) -> float:
 
 def axpy_flops(n: int) -> float:
     return 2.0 * n
+
+
+# ---------------------------------------------------------------------------
+# -info verbose channel (PetscInfo, src/sys/info/verboseinfo.c)
+# ---------------------------------------------------------------------------
+_INFO = False
+
+
+def info_on(flag: bool = True) -> None:
+    """PetscInfoAllow analog: enable the -info verbose stream."""
+    global _INFO
+    _INFO = bool(flag)
+
+
+def info_enabled() -> bool:
+    return _INFO
+
+
+def petsc_info(func: str, msg: str) -> None:
+    """PetscInfo analog: '[0] Func(): message' lines documenting
+    internal decisions (format selection, level sizes, plan stats) —
+    the reference's -info channel (verboseinfo.c; e.g. 'Stash has %D
+    entries' mpiaij.c:649). Host-side only: these fire at plan/setup
+    time, never inside jit."""
+    if _INFO:
+        import sys
+        print(f"[0] {func}(): {msg}", file=sys.stderr, flush=True)

@@ -101,6 +101,9 @@ def _compiled(ksp_type: str, cfg: KSPConfig, axis: Optional[str]):
 
 def config_from_options(opts: Options, defaults: KSPConfig = None) -> KSPConfig:
     """Consume -ksp_* options (itcl.c KSPSetFromOptions analog)."""
+    if opts.get_bool("info", False):
+        from petsctpu.core.logging import info_on
+        info_on()
     cfg = defaults or KSPConfig()
     cfg = replace(
         cfg,

@@ -39,6 +39,9 @@ def mat_from_options(A, opts=None, mat_type: str = None, dtype=None):
         mat_type = mat_type or opts.get_str("mat_type", "aij")
         bs = opts.get_int("mat_block_size", 1)
         ordering = opts.get_str("mat_ordering_type", "rcm")
+        if opts.get_bool("info", False):
+            from petsctpu.core.logging import info_on
+            info_on()
     else:
         mat_type = mat_type or "aij"
         bs = 1
@@ -66,7 +69,13 @@ def mat_from_options(A, opts=None, mat_type: str = None, dtype=None):
         Ap.sum_duplicates()
         return sell_from_scipy(Ap), perm
     if mat_type == "auto":
-        return _auto_format(A, ordering, dtype)
+        M, perm = _auto_format(A, ordering, dtype)
+        from petsctpu.core.logging import petsc_info
+        petsc_info("MatFromOptions",
+                   f"-mat_type auto: n={A.shape[0]} nnz={A.nnz} -> "
+                   f"{type(M).__name__}"
+                   + ("" if perm is None else " (permuted)"))
+        return M, perm
     raise ValueError(f"unknown -mat_type {mat_type!r} "
                      "(aij|baij|sbaij|dense|band|dia|sell|auto)")
 

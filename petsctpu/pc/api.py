@@ -35,6 +35,11 @@ def make_pc(pc_type: str, A=None, A_host=None, options: Options = None,
     A_host: scipy matrix (needed by factorization/AMG setups)
     """
     opts = options or Options()
+    if opts.get_bool("info", False):
+        from petsctpu.core.logging import info_on
+        info_on()
+    from petsctpu.core.logging import petsc_info
+    petsc_info("PCSetUp", f"pc_type={pc_type}")
     dt = _dtype_of(A)
     if pc_type in PC_REGISTRY:
         return PC_REGISTRY[pc_type](A, A_host, opts, axis)

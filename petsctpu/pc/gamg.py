@@ -233,6 +233,10 @@ def make_gamg(A_host, dtype=None, options: Options = None):
                                 max_levels=max_levels, smooth=smooth,
                                 coarsen=opts.get_str("pc_gamg_coarsen_type",
                                                      "mis"))
+    from petsctpu.core.logging import petsc_info
+    petsc_info("PCSetUp_GAMG",
+               "level sizes " + " -> ".join(str(a.shape[0])
+                                            for a in As))
     return make_algebraic_mg_from_hierarchy(
         As, Ps, dtype=dtype, sm_its=sm_its,
         fmt=opts.get_str("pc_gamg_mat_type", "auto"),

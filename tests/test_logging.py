@@ -49,3 +49,25 @@ class TestLogSummary:
         assert "GMRES: restart=30" in out
         assert "left preconditioning" in out
         assert "PC Object" in out
+
+
+def test_info_channel(capsys):
+    """-info verbose stream (PetscInfo, verboseinfo.c): '[0] Func():'
+    decision lines from plan/setup code, toggled by the option."""
+    import numpy as np
+
+    from petsctpu.core.logging import info_enabled, info_on, petsc_info
+    from petsctpu.core.options import Options
+    from petsctpu.mat.factory import mat_from_options
+    from petsctpu.models import laplacian_2d
+
+    info_on(False)
+    assert not info_enabled()
+    A = laplacian_2d(70, 70, dtype=np.float32).tocsr()
+    mat_from_options(A, Options({"mat_type": "auto", "info": "true"}))
+    assert info_enabled()
+    import sys
+    petsc_info("Test", "hello")
+    err = capsys.readouterr().err
+    assert "[0] MatFromOptions():" in err and "[0] Test(): hello" in err
+    info_on(False)
