@@ -462,3 +462,21 @@ CASES += [
     Case("sw4_np8_snes5_l4_m12", "snes_ex5:m=12,par=4.0",
          "-snes_rtol 1e-8", np=8, check="snes_np"),
 ]
+
+# ---- round-5 batch 5: +4 more distributed KSP configs ----------------------
+CASES += [
+    Case("sw5_np2_ex23_cg_jacobi", "ex23:n=160",
+         "-ksp_type cg -pc_type jacobi -ksp_rtol 1e-7", np=2),
+    Case("sw5_np4_ex2_tfqmr_bjacobi", "ex2:m=18,n=18",
+         "-ksp_type tfqmr -pc_type bjacobi -sub_pc_type ilu "
+         "-ksp_rtol 1e-6", np=4, oracle_args="-pc_bjacobi_blocks 4"),
+    Case("sw5_np2_ex10n_fgmres_bjacobi", "file:ex10_nonsym.bin",
+         "-ksp_type fgmres -pc_type bjacobi -sub_pc_type ilu "
+         "-ksp_rtol 1e-5", np=2, oracle_args="-pc_bjacobi_blocks 2"),
+    Case("sw5_np8_ex2_pipecg_jacobi", "ex2:m=24,n=24",
+         "-ksp_type pipecg -pc_type jacobi -ksp_rtol 1e-6", np=8,
+         check="its", oracle_args="-ksp_type cg",
+         note="oracle side runs CG: the 3.3-era reference PIPECG "
+         "diverges (PARITY); pipecg == cg mathematically, pinned on "
+         "exact iteration count"),
+]
