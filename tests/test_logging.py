@@ -71,3 +71,27 @@ def test_info_channel(capsys):
     err = capsys.readouterr().err
     assert "[0] MatFromOptions():" in err and "[0] Test(): hello" in err
     info_on(False)
+
+
+def test_ams_snooper():
+    """AMS analog (core/ams.py): live JSON snapshots of published
+    objects + the log_view text over a localhost endpoint
+    (PetscObjectAMSPublish, pams.c)."""
+    import json
+    import urllib.request
+
+    from petsctpu.core import ams
+
+    state = {"its": 0}
+    ams.publish("static", 42)
+    ams.publish("solver", lambda: dict(state))
+    url = ams.start()
+    try:
+        state["its"] = 7
+        snap = json.loads(urllib.request.urlopen(url, timeout=5).read())
+        assert snap["static"] == 42
+        assert snap["solver"]["its"] == 7
+        log = urllib.request.urlopen(url + "/log", timeout=5).read()
+        assert isinstance(log, bytes)
+    finally:
+        ams.stop()
