@@ -480,3 +480,43 @@ CASES += [
          "diverges (PARITY); pipecg == cg mathematically, pinned on "
          "exact iteration count"),
 ]
+
+# ---- round-5 batch 6: serial breadth across underrepresented axes ----------
+CASES += [
+    Case("sw6_ex2_cg_icc1", "ex2:m=26,n=26",
+         "-ksp_type cg -pc_type icc -pc_factor_levels 1 -ksp_rtol 1e-6"),
+    Case("sw6_ex2_cg_icc2", "ex2:m=26,n=26",
+         "-ksp_type cg -pc_type icc -pc_factor_levels 2 -ksp_rtol 1e-6"),
+    Case("sw6_ex2_rich_sor_fwd", "ex2:m=16,n=16",
+         "-ksp_type richardson -pc_type sor -pc_sor_forward "
+         "-ksp_rtol 1e-4"),
+    Case("sw6_ex2_rich_sor_bwd", "ex2:m=16,n=16",
+         "-ksp_type richardson -pc_type sor -pc_sor_backward "
+         "-ksp_rtol 1e-4"),
+    Case("sw6_ex2_gmres_restart45", "ex2:m=30,n=30",
+         "-ksp_type gmres -pc_type jacobi -ksp_gmres_restart 45 "
+         "-ksp_rtol 1e-6"),
+    Case("sw6_ex2_cgs_ilu1", "ex2:m=24,n=24",
+         "-ksp_type cgs -pc_type ilu -pc_factor_levels 1 "
+         "-ksp_rtol 1e-6"),
+    Case("sw6_ex2_bicg_icc", "ex2:m=20,n=20",
+         "-ksp_type bicg -pc_type icc -ksp_rtol 1e-6"),
+    Case("sw6_ex2_minres_icc", "ex2:m=24,n=24",
+         "-ksp_type minres -pc_type icc -ksp_rtol 1e-6"),
+    Case("sw6_ex2_symmlq_sor", "ex2:m=24,n=24",
+         "-ksp_type symmlq -pc_type sor -ksp_rtol 1e-6"),
+    Case("sw6_ex2_cr_icc", "ex2:m=24,n=24",
+         "-ksp_type cr -pc_type icc -ksp_rtol 1e-6"),
+    Case("sw6_ex2_groppcg_sor", "ex2:m=24,n=24",
+         "-ksp_type groppcg -pc_type sor -ksp_rtol 1e-6"),
+    Case("sw6_ex1_lsqr_jacobi200", "ex1:n=200",
+         "-ksp_type lsqr -pc_type jacobi -ksp_rtol 1e-7",
+         check="its_approx",
+         note="507-it normal-equations run: fp drift accumulates to "
+              "~2% of the iteration count (PARITY annotated class)"),
+    Case("sw6_ex23_preonly_cholesky", "ex23:n=100",
+         "-ksp_type preonly -pc_type cholesky", check="its"),
+    Case("sw6_ex2_cheby_icc_ev", "ex2:m=20,n=20",
+         "-ksp_type chebyshev -pc_type icc "
+         "-ksp_chebyshev_eigenvalues 0.1,1.9 -ksp_rtol 1e-4"),
+]
