@@ -520,3 +520,14 @@ CASES += [
          "-ksp_type chebyshev -pc_type icc "
          "-ksp_chebyshev_eigenvalues 0.1,1.9 -ksp_rtol 1e-4"),
 ]
+
+CASES += [
+    # inode SOR its>1: exercises InodeSORPC's nonzero-guess sweep
+    # branches (forward rhs = b - Ub x_old; backward explicit lower
+    # residual) against the reference's general inode path
+    Case("sw6_ex10b_rich_inodesor2", "file:ex10_baij3.bin",
+         "-ksp_type richardson -pc_type sor -pc_sor_its 2 "
+         "-ksp_rtol 1e-3"),
+    Case("sw6_ex10b_gmres_inodesor2", "file:ex10_baij3.bin",
+         "-ksp_type gmres -pc_type sor -pc_sor_its 2 -ksp_rtol 1e-5"),
+]
