@@ -45,7 +45,14 @@ def get_ordering(A, kind: str = "natural") -> np.ndarray:
     if kind == "ndrb":
         S = ((A + A.T) != 0).astype(np.int8).tocsr()
         return nested_dissection(S)
-    if kind in ("qmd", "md"):
+    if kind == "qmd":
+        # SPARSPAK genqmd, behavior-exact (see genqmd below) — factor
+        # streams under -pc_factor_mat_ordering_type qmd match the
+        # reference digit-for-digit
+        S = ((A + A.T) != 0).astype(np.int8).tocsr()
+        S.sort_indices()
+        return genqmd(S)
+    if kind == "md":
         S = ((A + A.T) != 0).astype(np.int8).tocsr()
         return minimum_degree(S)
     if kind == "1wd":
@@ -180,6 +187,257 @@ def minimum_degree(S: sp.csr_matrix) -> np.ndarray:
             deg[u] = len(adj[u])
         adj[i] = set()
     return perm
+
+
+def _qmd_reach(root, xadj, adjncy, deg, marker):
+    """Reachable/neighborhood sets of `root` through eliminated nodes
+    in the quotient graph (SPARSPAK QMDRCH, src/mat/order/qmdrch.c).
+    Eliminated supernodes store their reach list in chained segments:
+    a negative entry links to the next segment, 0 terminates."""
+    rchset, nbrhd = [], []
+    for i in range(xadj[root], xadj[root + 1]):
+        nabor = adjncy[i]
+        if nabor == 0:                 # terminator ends the whole scan
+            break
+        if marker[nabor] != 0:
+            continue
+        if deg[nabor] >= 0:            # live node -> reachable
+            rchset.append(nabor)
+            marker[nabor] = 1
+            continue
+        marker[nabor] = -1             # eliminated: walk its chain
+        nbrhd.append(nabor)
+        seg, chase = nabor, True
+        while chase:
+            chase = False
+            for j in range(xadj[seg], xadj[seg + 1]):
+                node = adjncy[j]
+                if node < 0:
+                    seg, chase = -node, True
+                    break
+                if node == 0:
+                    break
+                if marker[node] == 0:
+                    rchset.append(node)
+                    marker[node] = 1
+    return rchset, nbrhd
+
+
+def _qmd_qt(root, xadj, adjncy, marker, rchset, nbrhd):
+    """Quotient-graph transform after eliminating `root` (QMDQT,
+    src/mat/order/qmdqt.c): pack root's reach set into its adjacency
+    slots, chaining through the absorbed nbrhd nodes' slots (last word
+    of each segment is the link), 0-terminated; then substitute root
+    for the first dead neighbor in each reach node's list."""
+    irch = inhd = 0
+    rchsze = len(rchset)
+    node = root
+    last_j = xadj[root]
+    while True:
+        jstrt, jstop = xadj[node], xadj[node + 1] - 2   # reserve link slot
+        filled = False
+        for j in range(jstrt, jstop + 1):
+            adjncy[j] = rchset[irch]
+            last_j = j
+            irch += 1
+            if irch >= rchsze:
+                filled = True
+                break
+        if filled:
+            break
+        ilink = adjncy[jstop + 1]
+        if ilink < 0:
+            node = -ilink
+            continue
+        node = nbrhd[inhd]
+        inhd += 1
+        adjncy[jstop + 1] = -node
+    adjncy[last_j + 1] = 0
+    for node in rchset:
+        if marker[node] < 0:
+            continue
+        for j in range(xadj[node], xadj[node + 1]):
+            if marker[adjncy[j]] < 0:
+                adjncy[j] = root
+                break
+
+
+def _qmd_merge(xadj, adjncy, deg, qsize, qlink, marker, deg0, nbrhd):
+    """Merge indistinguishable nodes adjacent to the eliminated
+    supernodes in `nbrhd` (QMDMRG, src/mat/order/qmdmrg.c). Nodes of
+    the caller's reach set carry marker 1; a reach node all of whose
+    live neighbors lie in reach sets joins the merged supernode
+    (marker -1, chained on qlink under a head with updated degree)."""
+    for root in nbrhd:
+        marker[root] = 0
+    for root in nbrhd:
+        marker[root] = -1
+        rchset, ovrlp = [], []
+        deg1 = 0
+        seg, chase = root, True
+        while chase:
+            chase = False
+            for j in range(xadj[seg], xadj[seg + 1]):
+                nabor = adjncy[j]
+                if nabor < 0:
+                    seg, chase = -nabor, True
+                    break
+                if nabor == 0:
+                    break
+                mark = marker[nabor]
+                if mark < 0 or mark > 1:
+                    continue
+                if mark == 0:
+                    rchset.append(nabor)
+                    deg1 += qsize[nabor]
+                    marker[nabor] = 1
+                else:                   # mark == 1: in the given set
+                    ovrlp.append(nabor)
+                    marker[nabor] = 2
+        head = mrgsze = 0
+        for node in ovrlp:
+            mergeable = True
+            for j in range(xadj[node], xadj[node + 1]):
+                if marker[adjncy[j]] == 0:
+                    mergeable = False
+                    break
+            if not mergeable:
+                marker[node] = 1
+                continue
+            mrgsze += qsize[node]
+            marker[node] = -1
+            lnode = node
+            while qlink[lnode] > 0:
+                lnode = qlink[lnode]
+            qlink[lnode] = head
+            head = node
+        if head > 0:
+            qsize[head] = mrgsze
+            deg[head] = deg0 + deg1 - 1
+            marker[head] = 2
+        marker[root] = 0
+        for node in rchset:
+            marker[node] = 0
+
+
+def _qmd_update(xadj, adjncy, nodes, deg, qsize, qlink, marker):
+    """Degree update for the reach set after an elimination (QMDUPD,
+    src/mat/order/qmdupd.c): collect dead supernodes adjacent to the
+    set, merge indistinguishables, then recompute each survivor's
+    quotient degree deg0 + |reach outside the set| - 1."""
+    if not nodes:
+        return
+    deg0 = 0
+    nbrhd = []
+    for node in nodes:
+        deg0 += qsize[node]
+        for j in range(xadj[node], xadj[node + 1]):
+            nabor = adjncy[j]
+            if marker[nabor] == 0 and deg[nabor] < 0:
+                marker[nabor] = -1
+                nbrhd.append(nabor)
+    if nbrhd:
+        _qmd_merge(xadj, adjncy, deg, qsize, qlink, marker, deg0, nbrhd)
+    for node in nodes:
+        mark = marker[node]
+        if mark > 1 or mark < 0:
+            continue
+        marker[node] = 2
+        rchset, nbr = _qmd_reach(node, xadj, adjncy, deg, marker)
+        deg1 = deg0
+        for inode in rchset:
+            deg1 += qsize[inode]
+            marker[inode] = 0
+        deg[node] = deg1 - 1
+        for inode in nbr:
+            marker[inode] = 0
+
+
+def genqmd(S: sp.csr_matrix) -> np.ndarray:
+    """Quotient-minimum-degree ordering, behavior-exact vs SPARSPAK's
+    GENQMD (src/mat/order/genqmd.c, reached via
+    -pc_factor_mat_ordering_type qmd, spqmd.c:18): threshold search
+    over the evolving perm array, quotient-graph reach sets,
+    indistinguishable-supernode merging, and in-place quotient
+    transforms — so factor streams match the reference digit-for-digit.
+    Expects the symmetrized structure WITH the diagonal (MatGetRowIJ
+    symmetric form), 0-based CSR; returns the elimination order."""
+    n = S.shape[0]
+    if n == 0:
+        return np.empty(0, np.int64)
+    # 1-based workspace: node ids 1..n, adjacency values 1-based,
+    # 0 free for the terminator convention
+    xadj = np.empty(n + 2, np.int64)
+    xadj[1:] = S.indptr + 1
+    adjncy = np.empty(S.nnz + 1, np.int64)
+    adjncy[1:] = S.indices + 1
+    perm = np.empty(n + 1, np.int64)
+    invp = np.empty(n + 1, np.int64)
+    perm[1:] = np.arange(1, n + 1)
+    invp[1:] = np.arange(1, n + 1)
+    marker = np.zeros(n + 1, np.int64)
+    qsize = np.ones(n + 1, np.int64)
+    qlink = np.zeros(n + 1, np.int64)
+    deg = np.empty(n + 1, np.int64)
+    deg[1:] = np.diff(S.indptr)
+    mindeg = min(int(deg[1:].min()), n)
+    num = 0
+    thresh = None
+    while num < n:
+        # threshold search for a node of degree <= thresh, starting at
+        # `search` in perm order (genqmd.c L200/L300)
+        search = 1
+        thresh = mindeg
+        mindeg = n
+        while num < n:
+            search = max(search, num + 1)
+            sel = 0
+            for j in range(search, n + 1):
+                node = int(perm[j])
+                if marker[node] < 0:
+                    continue
+                ndeg = int(deg[node])
+                if ndeg <= thresh:
+                    sel = node
+                    search = j
+                    break
+                if ndeg < mindeg:
+                    mindeg = ndeg
+            if not sel:
+                break                      # raise the threshold (L200)
+            node = sel
+            marker[node] = 1
+            rchset, nbrhd = _qmd_reach(node, xadj, adjncy, deg, marker)
+            # number node and everything merged into it (qlink chain)
+            nxnode = node
+            while nxnode > 0:
+                num += 1
+                np_ = int(invp[nxnode])
+                ip = int(perm[num])
+                perm[np_] = ip
+                invp[ip] = np_
+                perm[num] = nxnode
+                invp[nxnode] = num
+                deg[nxnode] = -1
+                nxnode = int(qlink[nxnode])
+            if rchset:
+                _qmd_update(xadj, adjncy, rchset, deg, qsize, qlink,
+                            marker)
+                marker[node] = 0
+                for inode in rchset:
+                    if marker[inode] < 0:
+                        continue
+                    marker[inode] = 0
+                    ndeg = int(deg[inode])
+                    if ndeg < mindeg:
+                        mindeg = ndeg
+                    if ndeg <= thresh:
+                        mindeg = thresh
+                        thresh = ndeg
+                        search = int(invp[inode])
+                if nbrhd:
+                    _qmd_qt(node, xadj, adjncy, marker, rchset, nbrhd)
+    return perm[1:] - 1
 
 
 def _rootls(S: sp.csr_matrix, root: int, mask: np.ndarray):

@@ -531,3 +531,54 @@ CASES += [
     Case("sw6_ex10b_gmres_inodesor2", "file:ex10_baij3.bin",
          "-ksp_type gmres -pc_type sor -pc_sor_its 2 -ksp_rtol 1e-5"),
 ]
+
+CASES += [
+    # ---- batch 7: factor orderings (SPARSPAK ports must be
+    # vector-exact for these streams to match digit-for-digit:
+    # genrcm/gennd/genqmd/gen1wd, src/mat/order/) -----------------------
+    Case("sw7_ex2_gmres_ilu_nd", "ex2:m=20,n=20",
+         "-ksp_type gmres -pc_type ilu -pc_factor_mat_ordering_type nd "
+         "-ksp_rtol 1e-6"),
+    Case("sw7_ex2_gmres_ilu_qmd", "ex2:m=20,n=20",
+         "-ksp_type gmres -pc_type ilu -pc_factor_mat_ordering_type qmd "
+         "-ksp_rtol 1e-6"),
+    Case("sw7_ex2_gmres_ilu_1wd", "ex2:m=20,n=20",
+         "-ksp_type gmres -pc_type ilu -pc_factor_mat_ordering_type 1wd "
+         "-ksp_rtol 1e-6"),
+    Case("sw7_ex2_cg_icc_rcm", "ex2:m=20,n=20",
+         "-ksp_type cg -pc_type icc -pc_factor_mat_ordering_type rcm "
+         "-ksp_rtol 1e-6"),
+    Case("sw7_ex2_gmres_ilu3", "ex2:m=24,n=24",
+         "-ksp_type gmres -pc_type ilu -pc_factor_levels 3 "
+         "-ksp_rtol 1e-6"),
+    Case("sw7_ex10p_cg_icc3", "file:ex10_poisson.bin",
+         "-ksp_type cg -pc_type icc -pc_factor_levels 3 -ksp_rtol 1e-7"),
+    # ---- batch 7: compositional PCs (composite.c additive/
+    # multiplicative, PCKSP inner-solver, PCSVD, PCREDUNDANT serial) ----
+    Case("sw7_ex2_cg_composite_add", "ex2:m=20,n=20",
+         "-ksp_type cg -pc_type composite -pc_composite_pcs jacobi,sor "
+         "-pc_composite_type additive -ksp_rtol 1e-6"),
+    Case("sw7_ex2_gmres_composite_mult", "ex2:m=20,n=20",
+         "-ksp_type gmres -pc_type composite -pc_composite_pcs "
+         "jacobi,sor -pc_composite_type multiplicative -ksp_rtol 1e-6"),
+    Case("sw7_ex2_fgmres_ksppc", "ex2:m=20,n=20",
+         # fixed-sweep inner solve (norm_type none => exactly max_it
+         # richardson sweeps): the PC is a deterministic linear
+         # operator, so the outer stream pins digit-exact (an
+         # rtol-stopped inner would compare solver-internal noise)
+         "-ksp_type fgmres -pc_type ksp -ksp_ksp_type richardson "
+         "-ksp_ksp_max_it 5 -ksp_ksp_norm_type none "
+         "-ksp_pc_type sor -ksp_rtol 1e-6"),
+    Case("sw7_ex2_gmres_svd", "ex2:m=16,n=16",
+         "-ksp_type gmres -pc_type svd -ksp_rtol 1e-6"),
+    Case("sw7_ex2_cg_redundant", "ex2:m=20,n=20",
+         "-ksp_type cg -pc_type redundant -ksp_rtol 1e-6"),
+    # ---- batch 7: solver breadth on the serial sweep systems ----------
+    Case("sw7_ex2_fbcgsr_jacobi", "ex2:m=20,n=20",
+         "-ksp_type fbcgsr -pc_type jacobi -ksp_rtol 1e-6"),
+    Case("sw7_ex23_rich_sor_its3", "ex23:n=80",
+         "-ksp_type richardson -pc_type sor -pc_sor_its 3 "
+         "-ksp_rtol 1e-5"),
+    Case("sw7_ex2_tcqmr_ilu", "ex2:m=20,n=20",
+         "-ksp_type tcqmr -pc_type ilu -ksp_rtol 1e-6"),
+]
