@@ -582,3 +582,41 @@ CASES += [
     Case("sw7_ex2_tcqmr_ilu", "ex2:m=20,n=20",
          "-ksp_type tcqmr -pc_type ilu -ksp_rtol 1e-6"),
 ]
+
+CASES += [
+    # ---- batch 8: transpose-PC solvers on nonsymmetric factors ------
+    # (-pc_factor_transpose_solves is petsctpu's knob to pre-build the
+    # MXU transpose factor plans; the oracle ignores unknown options —
+    # the reference builds M^-T on the fly inside PCApplyTranspose)
+    Case("sw8_ex2_bicg_ilu", "ex2:m=20,n=20",
+         "-ksp_type bicg -pc_type ilu -pc_factor_transpose_solves "
+         "-ksp_rtol 1e-6"),
+    Case("sw8_ex10n_bicg_ilu", "file:ex10_nonsym.bin",
+         "-ksp_type bicg -pc_type ilu -pc_factor_transpose_solves "
+         "-ksp_rtol 1e-6"),
+    Case("sw8_ex2_cgne_ilu", "ex2:m=20,n=20",
+         "-ksp_type cgne -pc_type ilu -pc_factor_transpose_solves "
+         "-ksp_rtol 1e-6"),
+    # ---- batch 8: Crank-Nicolson heat ladder (TSCN, theta=1/2) ------
+    # NOTE cn: the 3.3-era reference TSCN DIVERGES on this linear
+    # heat problem (error 2.2 -> 6.6 -> 15 from step 2 — a reference
+    # defect; CN is unconditionally stable here). The oracle side is
+    # minted with the equivalent correct stepper -ts_type theta
+    # -ts_theta_theta 0.5 (last option wins), which our cn must match.
+    Case("sw8_ts4_cn_m60", "ts_ex4:m=60",
+         "-ts_type cn -ts_max_steps 40 -time_dependent_rhs "
+         "-ksp_rtol 1e-12", check="ts",
+         oracle_args="-ts_type theta -ts_theta_theta 0.5",
+         note="oracle minted as theta(0.5); 3.3 TSCN diverges"),
+    Case("sw8_ts4_cn_m40", "ts_ex4:m=40",
+         "-ts_type cn -ts_max_steps 60 -time_dependent_rhs "
+         "-ksp_rtol 1e-12", check="ts",
+         oracle_args="-ts_type theta -ts_theta_theta 0.5",
+         note="oracle minted as theta(0.5); 3.3 TSCN diverges"),
+    # ---- batch 8: SBAIJ MatLoad route (-mat_type sbaij stores the
+    # upper triangle; MatMult sums U + strict(U)^T contributions) ----
+    Case("sw8_ex10p_sbaij_cg_icc", "file:ex10_poisson.bin",
+         "-mat_type sbaij -ksp_type cg -pc_type icc -ksp_rtol 1e-7"),
+    Case("sw8_ex10p_sbaij_cg_jacobi", "file:ex10_poisson.bin",
+         "-mat_type sbaij -ksp_type cg -pc_type jacobi -ksp_rtol 1e-7"),
+]

@@ -119,6 +119,10 @@ def run_serial(case, flags, A, b):
             opts = Options({**dict(flags),
                             "pc_pbjacobi_block_size":
                                 flags.get("matload_block_size", "1")})
+    elif flags.get("mat_type") == "sbaij":
+        from petsctpu.mat import sbaij_from_scipy
+        Ad = sbaij_from_scipy(A, bs=int(flags.get("matload_block_size",
+                                                  1)))
     else:
         Ad = aij_from_scipy(A)
     pc = make_pc(flags.get("pc_type", "ilu"), A=Ad, A_host=A,
