@@ -620,3 +620,21 @@ CASES += [
     Case("sw8_ex10p_sbaij_cg_jacobi", "file:ex10_poisson.bin",
          "-mat_type sbaij -ksp_type cg -pc_type jacobi -ksp_rtol 1e-7"),
 ]
+
+CASES += [
+    # ---- batch 9: the reference's OWN regression targets for the
+    # stateful spectral-estimate PC (makefile runex2_specest_1/_2,
+    # src/ksp/ksp/examples/tutorials/makefile:365,:369) ---------------
+    Case("sw9_ex2_fgmres_ksppc_specest", "ex2:m=80,n=80",
+         "-ksp_type fgmres -pc_type ksp -ksp_ksp_type specest"),
+    Case("sw9_ex2_fgmres_ksppc_specest_cg", "ex2:m=80,n=80",
+         "-ksp_type fgmres -pc_type ksp -ksp_ksp_type specest "
+         "-ksp_specest_ksp_type cg"),
+    # ---- batch 9: trust-region CG family (infinite default radius ->
+    # interior solve; validates the stcg/nash/gltr natural-norm
+    # recurrence against the reference) ------------------------------
+    Case("sw9_ex2_stcg_jacobi", "ex2:m=20,n=20",
+         "-ksp_type stcg -pc_type jacobi -ksp_rtol 1e-6"),
+    Case("sw9_ex2_nash_icc", "ex2:m=20,n=20",
+         "-ksp_type nash -pc_type icc -ksp_rtol 1e-6"),
+]

@@ -394,6 +394,13 @@ def test_sweep(case):
         run_ts_ex4(case, flags)
         return
     monit = oracle_stream(case.tag)
+    if case.sys.startswith("ex2:") and "ksp_rtol" not in flags:
+        # ex2.c hardcodes KSPSetTolerances rtol = 1.e-2/((m+1)*(n+1))
+        # (ex2.c:89); cases that carry reference-exact flag sets with
+        # no -ksp_rtol inherit that default
+        p = dict(kv.split("=") for kv in case.sys[4:].split(","))
+        flags = {**flags, "ksp_rtol":
+                 repr(1e-2 / ((int(p["m"]) + 1) * (int(p["n"]) + 1)))}
     A, b = build_system(case.sys)
     if case.np > 1:
         r = run_distributed(case, flags, A, b)
