@@ -132,6 +132,8 @@ def config_from_options(opts: Options, defaults: KSPConfig = None) -> KSPConfig:
         aug_dim=opts.get_int("ksp_lgmres_augment", cfg.aug_dim),
         bcgsl_ell=opts.get_int("ksp_bcgsl_ell", cfg.bcgsl_ell),
         lag_norm=opts.get_bool("ksp_lag_norm", cfg.lag_norm),
+        cg_single_reduction=opts.get_bool("ksp_cg_single_reduction",
+                                          cfg.cg_single_reduction),
     )
     # -ksp_pc_side right on gmres: right preconditioning with a fixed
     # (linear) PC is exactly FGMRES's iteration — map to it (the
@@ -309,3 +311,21 @@ def ksp_solve_transpose(A, b, x0=None, pc=None, axis=None,
 
     return ksp_solve(Transpose(A), b, x0=x0, pc=pc, axis=axis,
                      cfg=cfg, **kw)
+
+
+def diagonal_scale_system(A_host, b):
+    """KSPSetDiagonalScale analog (-ksp_diagonal_scale; itfunc.c:237-263
+    builds d_i = 1/sqrt(|a_ii|) (1 where a_ii = 0), :380 scales the
+    rhs, :436 unscales the solution): returns the symmetrically scaled
+    host system (D A D, D b) plus d, so callers solve the scaled
+    system — monitors then show the scaled norms exactly like the
+    reference — and recover x = D x̃. The reference's
+    -ksp_diagonal_scale_fix (restore the caller's matrix after the
+    solve) is implicit here: the input matrix is never mutated."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    d = np.asarray(A_host.diagonal(), np.float64)
+    d = np.where(d != 0.0, 1.0 / np.sqrt(np.abs(d)), 1.0)
+    D = sp.diags(d)
+    return (D @ A_host @ D).tocsr(), d * np.asarray(b, np.float64), d

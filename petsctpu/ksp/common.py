@@ -54,6 +54,10 @@ class KSPConfig:
     # into its single recurrence reduction. Default off like the
     # reference (default IBCGS pays a second reduction per iteration).
     lag_norm: bool = False
+    # -ksp_cg_single_reduction (KSPCGUseSingleReduction, cg.c:349):
+    # keep s = Az and reconstruct p'Ap from the delta/beta recurrence
+    # so the iteration's inner products merge into one reduction
+    cg_single_reduction: bool = False
 
 
 class SolveResult(NamedTuple):

@@ -638,3 +638,30 @@ CASES += [
     Case("sw9_ex2_nash_icc", "ex2:m=20,n=20",
          "-ksp_type nash -pc_type icc -ksp_rtol 1e-6"),
 ]
+
+CASES += [
+    # ---- batch 10: KSPCGUseSingleReduction + KSPSetDiagonalScale
+    # (the reference's runex10_19 / runex10_6 feature axes on our
+    # datafiles: -ksp_cg_single_reduction cg.c:349, -ksp_diagonal_scale
+    # itfunc.c:237) ---------------------------------------------------
+    Case("sw10_ex2_cg_sr_icc", "ex2:m=20,n=20",
+         "-ksp_type cg -pc_type icc -ksp_cg_single_reduction "
+         "-ksp_rtol 1e-6"),
+    Case("sw10_ex2_cg_sr_natural", "ex2:m=20,n=20",
+         "-ksp_type cg -pc_type jacobi -ksp_cg_single_reduction "
+         "-ksp_norm_type natural -ksp_rtol 1e-6"),
+    # (the sbaij variant of runex10_19 aborts in the 3.3 oracle:
+    # SBAIJ has no MatSOR for PCEisenstat — pinned on aij instead)
+    Case("sw10_ex10p_cg_eisen_sr", "file:ex10_poisson.bin",
+         "-ksp_type cg -pc_type eisenstat "
+         "-ksp_cg_single_reduction -ksp_rtol 1e-7"),
+    Case("sw10_ex2_gmres_dscale", "ex2:m=20,n=20",
+         "-ksp_type gmres -pc_type jacobi -ksp_diagonal_scale "
+         "-ksp_diagonal_scale_fix -ksp_rtol 1e-6"),
+    Case("sw10_ex10n_gmres_dscale_ilu", "file:ex10_nonsym.bin",
+         "-ksp_type gmres -pc_type ilu -ksp_diagonal_scale "
+         "-ksp_diagonal_scale_fix -ksp_rtol 1e-6"),
+    Case("sw10_ex2_cg_dscale_eisen", "ex2:m=20,n=20",
+         "-ksp_type cg -pc_type eisenstat -ksp_diagonal_scale "
+         "-ksp_diagonal_scale_fix -ksp_rtol 1e-6"),
+]

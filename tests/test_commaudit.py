@@ -42,6 +42,23 @@ class TestCommAudit:
                           lag_norm=True)
         assert a.per_iteration.counts.get("psum", 0) == 1
 
+    def test_cg_single_reduction_collectives(self):
+        """-ksp_cg_single_reduction (KSPCGUseSingleReduction,
+        cg.c:349): the delta/beta recurrence merges every inner
+        product of the iteration — including the natural norm — into
+        ONE fused psum (the reference still pays 2 MPI_Allreduce
+        because its VecMDot and VecNorm stay separate; the audit shows
+        the fully-fused TPU program does 1)."""
+        A = _poisson3d(16)
+        Sh, _ = sharded_aij_from_scipy(A, 8, dtype=np.float32)
+        b = jnp.zeros(Sh.shape[0], jnp.float32)
+        a = audit_par_ksp(8, Sh, b, ksp_type="cg", maxits=5,
+                          cg_single_reduction=True, norm_type="natural")
+        assert a.per_iteration.counts.get("psum", 0) == 1
+        # steady state still runs ONE SpMV (s = Az; w = Ap comes from
+        # the recurrence), so the halo cost matches plain CG
+        assert a.per_iteration.counts.get("ppermute", 0) == 2
+
     def test_halo_bytes_counted(self):
         A = _poisson3d(16)
         Sh, part = sharded_aij_from_scipy(A, 8, dtype=np.float32)

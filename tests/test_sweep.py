@@ -95,6 +95,11 @@ def build_cfg(flags):
 def run_serial(case, flags, A, b):
     from petsctpu.mat.bsr import baij_from_scipy_bsr
     opts, cfg = build_cfg(flags)
+    if "ksp_diagonal_scale" in flags:
+        # KSPSetDiagonalScale: solve the symmetrically scaled system
+        # (monitors show scaled norms, like the reference)
+        from petsctpu.ksp.api import diagonal_scale_system
+        A, b, _ = diagonal_scale_system(A, b)
     if flags.get("pc_type") == "eisenstat":
         # the reference's PCPreSolve/PostSolve transformed system
         # (eisen.c:55/:91) — the KSP runs on the shell operator
