@@ -665,3 +665,15 @@ CASES += [
          "-ksp_type cg -pc_type eisenstat -ksp_diagonal_scale "
          "-ksp_diagonal_scale_fix -ksp_rtol 1e-6"),
 ]
+
+CASES += [
+    # ---- batch 11: distributed variants of the round-5 features —
+    # jacobi is rank-count-invariant so the mpiuni oracle's stream is
+    # the exact distributed expectation ------------------------------
+    Case("sw11_np4_ex2_cg_sr_jacobi", "ex2:m=24,n=24",
+         "-ksp_type cg -pc_type jacobi -ksp_cg_single_reduction "
+         "-ksp_rtol 1e-6", np=4),
+    Case("sw11_np8_ex23_cg_sr_jacobi", "ex23:n=96",
+         "-ksp_type cg -pc_type jacobi -ksp_cg_single_reduction "
+         "-ksp_rtol 1e-8", np=8),
+]
