@@ -44,7 +44,25 @@ def _enable_compile_cache():
 
     if os.environ.get("JAX_COMPILATION_CACHE_DIR") is None and \
             jax.config.jax_compilation_cache_dir is None:
-        path = os.path.expanduser("~/.cache/petsctpu-xla")
+        # key the cache by a host-CPU fingerprint: XLA:CPU AOT results
+        # embed the compile machine's feature set, and loading an
+        # executable built on a different host can SIGILL/segfault
+        # (cpu_aot_loader "machine type doesn't match" => crash in
+        # get_executable_and_time). A TPU/host move just starts a
+        # fresh cache directory.
+        import hashlib
+        import platform
+        src = platform.machine() + platform.processor()
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        src += line
+                        break
+        except OSError:
+            pass
+        tag = hashlib.sha1(src.encode()).hexdigest()[:10]
+        path = os.path.expanduser(f"~/.cache/petsctpu-xla-{tag}")
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
