@@ -677,3 +677,41 @@ CASES += [
          "-ksp_type cg -pc_type jacobi -ksp_cg_single_reduction "
          "-ksp_rtol 1e-8", np=8),
 ]
+
+CASES += [
+    # ---- batch 12: solver breadth on the 1-D systems + larger ex2 ---
+    Case("sw12_ex1_tcqmr_jacobi", "ex1:n=200",
+         "-ksp_type tcqmr -pc_type jacobi -ksp_rtol 1e-5"),
+    Case("sw12_ex1_gcr_ilu", "ex1:n=200",
+         "-ksp_type gcr -pc_type ilu -ksp_rtol 1e-5"),
+    # the two jacobi cases run ~36/77 transient-spiky iterations on
+    # the kappa~6e3 tridiagonal: fp accumulation drifts the tail by
+    # +/-1 iteration (the PARITY-annotated drift class) — its_approx
+    Case("sw12_ex23_bcgsl_jacobi", "ex23:n=120",
+         "-ksp_type bcgsl -pc_type jacobi -ksp_rtol 1e-8",
+         check="its_approx",
+         note="long ill-conditioned run: +/-1 it fp drift"),
+    Case("sw12_ex23_fbcgs_ilu", "ex23:n=120",
+         "-ksp_type fbcgs -pc_type ilu -ksp_rtol 1e-8"),
+    Case("sw12_ex23_fbcgsr_jacobi", "ex23:n=120",
+         "-ksp_type fbcgsr -pc_type jacobi -ksp_rtol 1e-8",
+         check="its_approx",
+         note="long ill-conditioned run: +/-1 it fp drift"),
+    # (ibcgs+sor aborts in the reference: IBCGS needs
+    # PCApplyTranspose, which PCSOR lacks — precon.c:515)
+    Case("sw12_ex23_ibcgs_ilu", "ex23:n=120",
+         "-ksp_type ibcgs -pc_type ilu -pc_factor_transpose_solves "
+         "-ksp_rtol 1e-8"),
+    Case("sw12_ex2_lgmres_icc_aug2", "ex2:m=24,n=24",
+         "-ksp_type lgmres -pc_type icc -ksp_lgmres_augment 2 "
+         "-ksp_gmres_restart 12 -ksp_rtol 1e-6"),
+    Case("sw12_ex2_minres_icc1", "ex2:m=24,n=24",
+         "-ksp_type minres -pc_type icc -pc_factor_levels 1 "
+         "-ksp_rtol 1e-6"),
+    Case("sw12_ex2_symmlq_ssor14", "ex2:m=24,n=24",
+         "-ksp_type symmlq -pc_type sor -pc_sor_symmetric "
+         "-pc_sor_omega 1.4 -ksp_rtol 1e-6"),
+    Case("sw12_ex2_cr_bjacobi8", "ex2:m=24,n=24",
+         "-ksp_type cr -pc_type bjacobi -pc_bjacobi_blocks 8 "
+         "-sub_pc_type icc -ksp_rtol 1e-6"),
+]

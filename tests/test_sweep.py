@@ -383,6 +383,23 @@ def run_snes_ex14(case, flags):
             np.testing.assert_allclose(hv, mv, rtol=3e-5)
 
 
+# XLA's CPU compiler segfaults (backend_compile_and_load) once a
+# single process accumulates enough compiled while_loop executables
+# (see the conftest note); this module alone jits ~190 solver
+# programs, so the between-module cache clear isn't enough — drop the
+# executable caches every 40 cases to bound the compiler state.
+_CASES_RUN = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _bound_compiler_state():
+    yield
+    _CASES_RUN["n"] += 1
+    if _CASES_RUN["n"] % 40 == 0:
+        import jax
+        jax.clear_caches()
+
+
 @pytest.mark.parametrize("case", CASES, ids=lambda c: c.tag)
 def test_sweep(case):
     flags = parse_args(case.args)
